@@ -1,0 +1,66 @@
+"""Headline benchmark: run the registered queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (collect of a bounded result or a
+count for unbounded ones) so the full plan — scan, shuffle, agg — runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from profitscout_engine_spark.queries import load_registry
+from profitscout_engine_spark.session import get_spark
+
+# Queries whose result is bounded (top-k / per-group rollups) are collected;
+# anything potentially large is counted (forces full execution, no driver OOM).
+COLLECT_LIMIT = 100_000
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="profitscout-engine-bench")
+    registry = load_registry()
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # plan, not session startup.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in sorted(registry):
+        fn = registry[name].fn
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.limit(COLLECT_LIMIT + 1).count()
+        if n <= COLLECT_LIMIT:
+            df.collect()
+        else:
+            df.count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "engine_query_suite_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

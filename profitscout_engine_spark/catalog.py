@@ -1,0 +1,40 @@
+"""Fixture-table catalog.
+
+The driver's synthetic tables (TPC-H-ish star + events/documents/embeddings)
+live one parquet file per table under an sf dir. At 100 TB these would be
+partitioned parquet/lakehouse table roots; the loader below only assumes
+"path per table", so swapping a directory of part-files in changes nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register temp views so queries can be written in Spark SQL."""
+    for name in names:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

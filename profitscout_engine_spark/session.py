@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults are chosen for correctness-vs-oracle first (UTC session timezone so
+parquet timestamps compare bit-identically with DuckDB's naive reads) and for
+scale second: AQE on (runtime coalescing, skew-join splitting), Arrow enabled
+for the pandas-UDF kernels, and a shuffle-partition default sized for local
+runs that a cluster deployment would override via ``spark.sql.shuffle.partitions``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "profitscout-engine-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) when
+    no active session exists. On a real cluster the caller's session wins:
+    if a session is already active we return it untouched except for
+    session-scoped confs (timezone, AQE) that are safe to set at runtime.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        _apply_runtime_confs(active)
+        return active
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    spark = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    _apply_runtime_confs(spark)
+    return spark
+
+
+def _apply_runtime_confs(spark: SparkSession) -> None:
+    """Session-scoped confs that must hold regardless of who built the session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Idempotent daily re-runs overwrite only the partitions present in the
+    # written frame (reference: DELETE-partition-then-append daily pattern).
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

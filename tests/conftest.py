@@ -1,0 +1,58 @@
+"""Shared test fixtures: one SparkSession per session, a DuckDB oracle, and
+the driver-shaped comparison (sorted columns, order-insensitive rows)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from profitscout_engine_spark.catalog import TABLES  # noqa: E402
+from profitscout_engine_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(master=os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[8]"))
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def oracle(sf_dir):
+    con = duckdb.connect()
+    for name in TABLES:
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    yield con
+    con.close()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-shaped canonical form: columns sorted by name, rows sorted by
+    every column, tz/naive timestamps unified, -0.0 folded into 0.0."""
+    out = df[sorted(df.columns)].copy()
+    for c in out.columns:
+        if pd.api.types.is_datetime64_any_dtype(out[c]):
+            out[c] = pd.to_datetime(out[c]).dt.tz_localize(None)
+        elif pd.api.types.is_float_dtype(out[c]):
+            out[c] = out[c] + 0.0  # -0.0 → 0.0
+    out = out.sort_values(by=list(out.columns), na_position="last").reset_index(drop=True)
+    return out
+
+
+def assert_frames_match(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str = ""):
+    a, b = normalize(spark_df), normalize(oracle_df)
+    assert list(a.columns) == list(b.columns), f"{name}: columns {list(a.columns)} != {list(b.columns)}"
+    assert len(a) == len(b), f"{name}: row count {len(a)} != {len(b)}"
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True, obj=name or "query")
