@@ -9,6 +9,7 @@ partitioned parquet/lakehouse table roots; the loader below only assumes
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -28,9 +29,21 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table as a DataFrame."""
+    """Load one fixture table as a DataFrame.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects. We read it as raw nanos (legacy conf) and
+    floor-divide to a microsecond TimestampType — bit-identical to DuckDB's
+    own ns→µs truncation, so oracle comparisons stay exact.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -105,20 +105,33 @@ def contract_symbol(
         F.upper(underlying),
         F.date_format(expiration, "yyMMdd"),
         F.when(F.upper(option_type).startswith("C"), F.lit("C")).otherwise(F.lit("P")),
-        F.lpad((strike * 1000).cast("long").cast("string"), 8, "0"),
+        F.lpad(F.round(strike * 1000, 0).cast("long").cast("string"), 8, "0"),
     )
 
 
+def stable_round(col: Column, n: int) -> Column:
+    """Engine-stable half-up rounding: ``floor(x * 10^n + 0.5) / 10^n``.
+
+    Spark's ``round`` (BigDecimal half-up on the exact binary value) and
+    DuckDB's ``round`` disagree on half-boundary doubles, which breaks exact
+    oracle hash comparison. This formulation is pure IEEE-double arithmetic,
+    so any engine computes the identical bits. Oracle SQL uses the matching
+    ``FLOOR(x * 1eN + 0.5) / 1eN`` (see queries/_util.py::sr).
+    """
+    scale = F.lit(float(10**n))
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
 def r2(col: Column) -> Column:
-    """Round to cents — the comparison-point rounding for money sums."""
-    return F.round(col, 2)
+    """Stable-round to cents — comparison-point rounding for money sums."""
+    return stable_round(col, 2)
 
 
 def r4(col: Column) -> Column:
-    """Round to 4 dp — the comparison-point rounding for ratios/averages."""
-    return F.round(col, 4)
+    """Stable-round to 4 dp — comparison-point rounding for ratios/averages."""
+    return stable_round(col, 4)
 
 
 def r6(col: Column) -> Column:
-    """Round to 6 dp — for unit-scale values (cosines, rates)."""
-    return F.round(col, 6)
+    """Stable-round to 6 dp — for unit-scale values (cosines, rates)."""
+    return stable_round(col, 6)

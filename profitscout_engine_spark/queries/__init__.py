@@ -35,13 +35,54 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def stabilize_round(sql: str) -> str:
+    """Rewrite every ``ROUND(expr, n)`` in oracle SQL into the engine-stable
+    ``FLOOR((expr) * 1eN + 0.5) / 1eN`` form (see exprs.stable_round for why:
+    Spark and DuckDB ROUND disagree on half-boundary doubles). Lets oracle
+    SQL stay readable while the executed text matches Spark's arithmetic.
+    """
+    out = []
+    i = 0
+    upper = sql.upper()
+    while True:
+        j = upper.find("ROUND(", i)
+        if j < 0:
+            out.append(sql[i:])
+            return "".join(out)
+        # Only a bare function name (not e.g. MY_ROUND()).
+        if j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
+            out.append(sql[i : j + 6])
+            i = j + 6
+            continue
+        out.append(sql[i:j])
+        depth, k = 1, j + 6
+        top_comma = -1
+        while k < len(sql) and depth:
+            ch = sql[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 1:
+                top_comma = k
+            k += 1
+        inner = sql[j + 6 : k - 1]
+        if top_comma < 0:
+            expr, n = inner, "0"
+        else:
+            expr, n = inner[: top_comma - (j + 6)], inner[top_comma - (j + 6) + 1 :].strip()
+        out.append(f"FLOOR(({expr.strip()}) * 1e{n} + 0.5) / 1e{n}")
+        i = k
+
+
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator registering a named query with its oracle SQL."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, tags=tuple(tags))
+        stable = stabilize_round(oracle) if oracle is not None else None
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=stable, tags=tuple(tags))
         return fn
 
     return deco

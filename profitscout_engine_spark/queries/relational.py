@@ -1,1 +1,453 @@
-"""Placeholder — queries land incrementally."""
+"""Relational core: scans, projections, filters, predicates, joins
+(SURVEY §2.1-§2.3, §2.8).
+
+Every query is the Spark-first expression of a reference behavior, with its
+oracle SQL inline. Filters and projections are written so Catalyst pushes
+them into the parquet scan (verified via .explain in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..exprs import contract_symbol, pct_change, r2, r4
+from . import query
+from ._util import t
+
+
+# --- S1/P1/P2: projected, predicate-pushed scan -------------------------------
+@query(
+    "pruned_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROUND(l_extendedprice, 2) AS extprice
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_shipdate >= TIMESTAMP '1997-06-01'
+    """,
+    tags=("S1", "P1", "P2"),
+)
+def pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold + range predicates with an explicit projection; both reach
+    the parquet scan (PushedFilters + pruned ReadSchema)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_quantity").between(10, 20)
+            & (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            r2(F.col("l_extendedprice")).alias("extprice"),
+        )
+    )
+
+
+# --- P3: compound AND/OR gate (the V3 eligibility-gate shape) -----------------
+@query(
+    "compound_gate",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           ROUND(o_totalprice, 2) AS totalprice
+    FROM orders
+    WHERE o_totalprice >= 150000
+      AND (o_orderstatus = 'O' OR o_orderpriority LIKE '1%')
+    """,
+    tags=("P3",),
+)
+def compound_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """premium_score>=2 AND (vol>250 OR oi>500) shape
+    (forward-paper-trader eligibility gate)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_totalprice") >= 150000)
+            & ((F.col("o_orderstatus") == "O") | F.col("o_orderpriority").startswith("1"))
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            r2(F.col("o_totalprice")).alias("totalprice"),
+        )
+    )
+
+
+# --- P4: negated conjunction (VIX pivot-logic filter) -------------------------
+@query(
+    "negated_conjunction",
+    oracle="""
+    SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
+    FROM events
+    WHERE NOT (value >= 18 AND event_type = 'click')
+    """,
+    tags=("P4",),
+)
+def negated_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT (VIX>=18 AND direction='BULLISH') shape (monte_carlo_sniper pivot)."""
+    return (
+        t(spark, sf_dir, "events")
+        .filter(~((F.col("value") >= 18) & (F.col("event_type") == "click")))
+        .select("event_id", "user_id", "event_type", r2(F.col("value")).alias("value"))
+    )
+
+
+# --- P5+P8: null predicates + null-on-error coercion --------------------------
+@query(
+    "null_guard_cast",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS prop_k
+    FROM events
+    WHERE TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) IS NOT NULL
+      AND TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) >= 50
+    """,
+    tags=("P5", "P8", "P10"),
+)
+def null_guard_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String→number extraction with null-on-error cast, then an IS NOT NULL
+    state filter (the win-tracker `performance_updated IS NULL` shape)."""
+    k = F.regexp_extract(F.col("props"), r'"k": ([0-9]+)', 1).cast("long")
+    return (
+        t(spark, sf_dir, "events")
+        .select("event_id", k.alias("prop_k"))
+        .filter(F.col("prop_k").isNotNull() & (F.col("prop_k") >= 50))
+    )
+
+
+# --- P6: membership semi-filter (universe gate) -------------------------------
+@query(
+    "membership_semi",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 200000)
+    """,
+    tags=("P6",),
+)
+def membership_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ticker in universe` as isin + a left-semi join against a fact table.
+    The semi join shuffles only keys; at scale the isin set broadcasts."""
+    big_orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .join(big_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+# --- P7: coalesce fallback chain (price = day.close → lastTrade → prevDay) ----
+@query(
+    "coalesce_fallback",
+    oracle="""
+    SELECT event_id,
+           ROUND(COALESCE(
+               CASE WHEN value >= 10 THEN value END,
+               CASE WHEN value >= 5 THEN value * 2 END,
+               -1.0), 2) AS resolved_price
+    FROM events
+    """,
+    tags=("P7",),
+)
+def coalesce_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fallback chain over null-injected candidates (polygon price chains)."""
+    primary = F.when(F.col("value") >= 10, F.col("value"))
+    secondary = F.when(F.col("value") >= 5, F.col("value") * 2)
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        r2(F.coalesce(primary, secondary, F.lit(-1.0))).alias("resolved_price"),
+    )
+
+
+# --- P9: string-to-number extraction ("VIX 18.42" → 18.42) --------------------
+@query(
+    "string_extract",
+    oracle="""
+    SELECT c_custkey,
+           CAST(split_part(c_name, '#', 2) AS BIGINT) AS cust_num,
+           upper(trim(c_mktsegment)) AS segment
+    FROM customer
+    """,
+    tags=("P9",),
+)
+def string_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split()[-1] → cast (deep_pattern_analysis VIX-string cleanup shape)."""
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.element_at(F.split(F.col("c_name"), "#"), -1).cast("long").alias("cust_num"),
+        F.upper(F.trim(F.col("c_mktsegment"))).alias("segment"),
+    )
+
+
+# --- P11+A8: derived boolean flags + boolean-group aggregate ------------------
+@query(
+    "flag_groups",
+    oracle="""
+    SELECT (l_quantity > 40) AS is_big,
+           (l_discount > 0.05) AS is_discounted,
+           COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS total_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    tags=("P11", "A8"),
+)
+def flag_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort flags (HEDGE_HIGH_RR-style) + per-flag-group aggregates."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .withColumn("is_big", F.col("l_quantity") > 40)
+        .withColumn("is_discounted", F.col("l_discount") > 0.05)
+        .groupBy("is_big", "is_discounted")
+        .agg(
+            F.count("*").alias("n"),
+            r2(F.sum("l_extendedprice")).alias("total_price"),
+            r4(F.avg("l_quantity")).alias("avg_qty"),
+        )
+    )
+
+
+# --- J1: broadcast dim join chain ---------------------------------------------
+@query(
+    "dim_enrichment_revenue",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY 1, 2
+    """,
+    tags=("J1", "A1"),
+)
+def dim_enrichment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast dims (ticker→sector/industry shape): the fact table
+    never shuffles for the joins — only the final small agg shuffles."""
+    li = t(spark, sf_dir, "lineitem")
+    sup = F.broadcast(t(spark, sf_dir, "supplier"))
+    nat = F.broadcast(t(spark, sf_dir, "nation"))
+    reg = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(nat, sup["s_nationkey"] == nat["n_nationkey"])
+        .join(reg, nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        )
+    )
+
+
+# --- J3: multi-way keyed merge ------------------------------------------------
+@query(
+    "multiway_join",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, n.n_name AS nation,
+           ROUND(o.o_totalprice, 2) AS totalprice
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderstatus = 'F' AND o.o_totalprice > 250000
+    """,
+    tags=("J3",),
+)
+def multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signals ⋈ technicals ⋈ news shape: two left-to-right equi joins."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 250000)
+    )
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            "o_orderkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            r2(F.col("o_totalprice")).alias("totalprice"),
+        )
+    )
+
+
+# --- J8: scalar-subquery latest-day filter ------------------------------------
+@query(
+    "latest_day_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice AS totalprice
+    FROM orders
+    WHERE o_orderdate = (SELECT MAX(o_orderdate) FROM orders)
+    """,
+    tags=("J8",),
+)
+def latest_day_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE scan_date = (SELECT MAX(scan_date)) — Spark SQL scalar subquery,
+    which Catalyst executes as a one-row broadcast."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice AS totalprice
+        FROM orders
+        WHERE o_orderdate = (SELECT MAX(o_orderdate) FROM orders)
+        """
+    )
+
+
+# --- J7+W8: temporal range join, first-3 future rows per anchor ---------------
+@query(
+    "future_rows_top3",
+    oracle="""
+    WITH s AS (
+        SELECT event_id AS signal_id, user_id, ts
+        FROM events WHERE event_type = 'signup'
+    ),
+    f AS (
+        SELECT s.signal_id, e.value,
+               ROW_NUMBER() OVER (PARTITION BY s.signal_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+        FROM s JOIN events e
+          ON e.user_id = s.user_id AND e.ts > s.ts
+    )
+    SELECT signal_id,
+           ROUND(MAX(CASE WHEN rn = 1 THEN value END), 2) AS day1_value,
+           ROUND(MAX(CASE WHEN rn = 2 THEN value END), 2) AS day2_value,
+           ROUND(MAX(CASE WHEN rn = 3 THEN value END), 2) AS day3_value,
+           ROUND(MAX(CASE WHEN rn <= 3 THEN value END), 2) AS peak_value
+    FROM f GROUP BY signal_id
+    """,
+    tags=("J7", "W8", "W9"),
+)
+def future_rows_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """win-tracker forward-return shape: for each signal, the next 3 rows of
+    the entity's series (range join + row_number cut + conditional agg)."""
+    from pyspark.sql.window import Window
+
+    signals = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signal_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+        )
+    )
+    series = t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("e_id"),
+        "value",
+    )
+    joined = signals.join(
+        series, (series["e_user"] == signals["s_user"]) & (series["e_ts"] > signals["s_ts"])
+    )
+    w = Window.partitionBy("signal_id").orderBy("e_ts", "e_id")
+    ranked = joined.select("signal_id", "value", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= 3
+    )
+    return ranked.groupBy("signal_id").agg(
+        r2(F.max(F.when(F.col("rn") == 1, F.col("value")))).alias("day1_value"),
+        r2(F.max(F.when(F.col("rn") == 2, F.col("value")))).alias("day2_value"),
+        r2(F.max(F.when(F.col("rn") == 3, F.col("value")))).alias("day3_value"),
+        r2(F.max(F.when(F.col("rn") <= 3, F.col("value")))).alias("peak_value"),
+    )
+
+
+# --- §2.8 string/date scalar families -----------------------------------------
+@query(
+    "contract_symbols",
+    oracle="""
+    SELECT p_partkey,
+           'O:' || upper(replace(p_brand, '#', '')) ||
+           strftime(DATE '2024-01-01' + p_size, '%y%m%d') ||
+           CASE WHEN p_retailprice > 1400 THEN 'C' ELSE 'P' END ||
+           lpad(CAST(CAST(ROUND(p_retailprice * 1000, 0) AS BIGINT) AS VARCHAR), 8, '0')
+           AS contract_symbol
+    FROM part
+    """,
+    tags=("scalar-string",),
+)
+def contract_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCC option-symbol formatting (zero-pad, fixed-width, yyMMdd)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        contract_symbol(
+            underlying=F.regexp_replace(F.col("p_brand"), "#", ""),
+            expiration=F.date_add(F.lit("2024-01-01").cast("date"), F.col("p_size")),
+            option_type=F.when(F.col("p_retailprice") > 1400, F.lit("C")).otherwise(F.lit("P")),
+            strike=F.col("p_retailprice"),
+        ).alias("contract_symbol"),
+    )
+
+
+@query(
+    "date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS order_dow,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-12-31') AS days_to_ref,
+           CAST(o_orderdate AS DATE) - 5 AS minus_5d,
+           strftime(o_orderdate, '%y%m%d') AS yymmdd
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+    tags=("scalar-date",),
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family: parts, diffs, offsets, compact formatting (DTE math,
+    staleness checks, yyMMdd symbols)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.cast("date").alias("order_date"),
+        F.year(d).cast("int").alias("order_year"),
+        F.month(d).cast("int").alias("order_month"),
+        F.quarter(d).cast("int").alias("order_quarter"),
+        F.dayofweek(d).cast("int").alias("order_dow"),
+        F.datediff(F.lit("2001-12-31").cast("date"), d.cast("date")).alias("days_to_ref"),
+        F.date_sub(d.cast("date"), 5).alias("minus_5d"),
+        F.date_format(d, "yyMMdd").alias("yymmdd"),
+    )
+
+
+# --- pct-change + guarded division (§2.8 math) --------------------------------
+@query(
+    "pct_change_guarded",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND((l_extendedprice - l_extendedprice / NULLIF(l_quantity, 0))
+                 / NULLIF(l_extendedprice / NULLIF(l_quantity, 0), 0) * 100, 4)
+               AS pct_vs_unit,
+           ROUND(l_extendedprice / GREATEST(l_quantity, 1.0), 4) AS guarded_unit_price
+    FROM lineitem
+    WHERE l_orderkey % 7 = 0
+    """,
+    tags=("scalar-math",),
+)
+def pct_change_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pct-change and x/max(y,1) guarded-division idioms."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    unit = F.col("l_extendedprice") / F.nullif(F.col("l_quantity"), F.lit(0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r4(pct_change(F.col("l_extendedprice"), unit)).alias("pct_vs_unit"),
+        r4(F.col("l_extendedprice") / F.greatest(F.col("l_quantity"), F.lit(1.0))).alias(
+            "guarded_unit_price"
+        ),
+    )

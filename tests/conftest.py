@@ -41,12 +41,18 @@ def oracle(sf_dir):
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     """Driver-shaped canonical form: columns sorted by name, rows sorted by
     every column, tz/naive timestamps unified, -0.0 folded into 0.0."""
+    import datetime
+
     out = df[sorted(df.columns)].copy()
     for c in out.columns:
         if pd.api.types.is_datetime64_any_dtype(out[c]):
             out[c] = pd.to_datetime(out[c]).dt.tz_localize(None)
         elif pd.api.types.is_float_dtype(out[c]):
             out[c] = out[c] + 0.0  # -0.0 → 0.0
+        elif out[c].dtype == object:
+            sample = out[c].dropna()
+            if len(sample) and isinstance(sample.iloc[0], datetime.date):
+                out[c] = pd.to_datetime(out[c])
     out = out.sort_values(by=list(out.columns), na_position="last").reset_index(drop=True)
     return out
 
