@@ -1,1 +1,509 @@
-"""Placeholder — queries land incrementally."""
+"""Aggregation operators (SURVEY §2.4 A2-A21, §2.7 U1, §2.5 W11).
+
+Every aggregate is a single hash aggregation (map-side partial agg → one
+shuffle of |groups| rows). Conditional aggregates use when()/FILTER instead
+of pre-splitting the frame, so the fact table is scanned once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..exprs import bucketize, r2, r4, tier_ladder
+from . import query
+from ._util import t
+
+
+# --- A2+A3+A6+A21: conditional count/sum, win-rate with NULLIF guard ----------
+@query(
+    "conditional_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN l_quantity > 30 THEN 1 END) AS n_active,
+           ROUND(SUM(CASE WHEN l_quantity > 30
+                          THEN (l_quantity - 30) * l_extendedprice END), 2) AS uoa_depth,
+           ROUND(AVG(CASE WHEN l_quantity > 30 THEN 1.0 ELSE 0.0 END), 4) AS active_rate,
+           ROUND(SUM(l_extendedprice) / NULLIF(SUM(l_quantity), 0), 4) AS price_per_unit
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("A2", "A3", "A6", "A21"),
+)
+def conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-strike counting + UOA depth + win-rate over a boolean, in one
+    pass (overnight_scanner flow metrics / premium_eda win-rates)."""
+    li = t(spark, sf_dir, "lineitem")
+    active = F.col("l_quantity") > 30
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(active, 1)).alias("n_active"),
+        r2(F.sum(F.when(active, (F.col("l_quantity") - 30) * F.col("l_extendedprice")))).alias(
+            "uoa_depth"
+        ),
+        r4(F.avg(F.when(active, 1.0).otherwise(0.0))).alias("active_rate"),
+        r4(F.sum("l_extendedprice") / F.nullif(F.sum("l_quantity"), F.lit(0))).alias(
+            "price_per_unit"
+        ),
+    )
+
+
+# --- A4: argmin nearest-neighbor (ATM-IV pattern) -----------------------------
+@query(
+    "argmin_nearest",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_orderkey, l_extendedprice,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY ABS(l_quantity - 25), l_extendedprice,
+                                           l_linenumber) AS rn
+        FROM lineitem
+    )
+    SELECT l_orderkey, ROUND(l_extendedprice, 2) AS atm_price
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("A4",),
+)
+def argmin_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per group, value of the row nearest a target scalar — ``min_by`` over a
+    composite ordering struct (one shuffle; no window sort)."""
+    li = t(spark, sf_dir, "lineitem")
+    ordering = F.struct(
+        F.abs(F.col("l_quantity") - 25).alias("d"),
+        F.col("l_extendedprice").alias("p"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    return li.groupBy("l_orderkey").agg(
+        r2(F.min_by(F.col("l_extendedprice"), ordering)).alias("atm_price")
+    )
+
+
+# --- A5: filtered argmax per group (best-contract selection) ------------------
+@query(
+    "best_contract",
+    oracle="""
+    WITH candidates AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) / GREATEST(l_quantity, 1.0) AS contract_score
+        FROM lineitem
+        WHERE l_quantity BETWEEN 7 AND 45 AND l_discount <= 0.08
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                     ORDER BY contract_score DESC,
+                                              l_orderkey, l_linenumber) AS rn
+        FROM candidates
+    )
+    SELECT l_suppkey, l_orderkey AS best_orderkey, l_linenumber AS best_linenumber,
+           ROUND(contract_score, 4) AS contract_score
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("A5", "P2"),
+)
+def best_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate filters (DTE/spread-style) → score expr → top-1 per group via
+    ``max_by`` on a composite struct (descending score, ascending keys)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(7, 45) & (F.col("l_discount") <= 0.08)
+    )
+    score = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) / F.greatest(F.col("l_quantity"), F.lit(1.0))
+    )
+    ordering = F.struct(
+        score.alias("s"), (-F.col("l_orderkey")).alias("ok"), (-F.col("l_linenumber")).alias("ln")
+    )
+    return (
+        li.withColumn("contract_score", score)
+        .groupBy("l_suppkey")
+        .agg(
+            F.max_by(
+                F.struct("l_orderkey", "l_linenumber", "contract_score"), ordering
+            ).alias("best")
+        )
+        .select(
+            "l_suppkey",
+            F.col("best.l_orderkey").alias("best_orderkey"),
+            F.col("best.l_linenumber").alias("best_linenumber"),
+            r4(F.col("best.contract_score")).alias("contract_score"),
+        )
+    )
+
+
+# --- A7: grouped agg on CASE-concat key + HAVING ------------------------------
+@query(
+    "pattern_combo_having",
+    oracle="""
+    SELECT CONCAT(o_orderstatus, '_',
+                  CASE WHEN o_totalprice >= 200000 THEN 'BIG'
+                       WHEN o_totalprice >= 100000 THEN 'MID'
+                       ELSE 'SMALL' END) AS pattern,
+           COUNT(*) AS n,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders
+    GROUP BY 1
+    HAVING COUNT(*) >= 3
+    """,
+    tags=("A7",),
+)
+def pattern_combo_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """premium_eda Query-4 shape: derived pattern label → groupBy → HAVING."""
+    o = t(spark, sf_dir, "orders")
+    pattern = F.concat(
+        F.col("o_orderstatus"),
+        F.lit("_"),
+        F.when(F.col("o_totalprice") >= 200000, F.lit("BIG"))
+        .when(F.col("o_totalprice") >= 100000, F.lit("MID"))
+        .otherwise(F.lit("SMALL")),
+    )
+    return (
+        o.groupBy(pattern.alias("pattern"))
+        .agg(F.count("*").alias("n"), r2(F.avg("o_totalprice")).alias("avg_price"))
+        .filter(F.col("n") >= 3)
+    )
+
+
+# --- A10+W11: value_counts + percent-of-total window --------------------------
+@query(
+    "value_counts_pct",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 4) AS pct_of_total
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("A10", "W11"),
+)
+def value_counts_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-reason distribution with percent-of-total (premium_eda Query 5)."""
+    counts = t(spark, sf_dir, "events").groupBy("event_type").agg(F.count("*").alias("n"))
+    return counts.select(
+        "event_type",
+        "n",
+        r4(F.col("n") * 100.0 / F.sum("n").over(Window.partitionBy())).alias("pct_of_total"),
+    )
+
+
+# --- A11+A20: global ranges + rate normalization ------------------------------
+@query(
+    "date_span_rates",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           ROUND(COUNT(*) / GREATEST(date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                                     MAX(CAST(o_orderdate AS DATE))) / 30.0, 1.0), 4)
+               AS orders_per_month,
+           MIN(CAST(o_orderdate AS DATE)) AS first_order,
+           MAX(CAST(o_orderdate AS DATE)) AS last_order
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 5
+    """,
+    tags=("A11", "A20"),
+)
+def date_span_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trades/month = n / (span/30) normalization over a date range."""
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min(d).alias("first_order"),
+            F.max(d).alias("last_order"),
+        )
+        .filter(F.col("n_orders") >= 5)
+        .select(
+            "o_custkey",
+            "n_orders",
+            r4(
+                F.col("n_orders")
+                / F.greatest(
+                    F.datediff(F.col("last_order"), F.col("first_order")) / F.lit(30.0),
+                    F.lit(1.0),
+                )
+            ).alias("orders_per_month"),
+            "first_order",
+            "last_order",
+        )
+    )
+
+
+# --- A12+A13: exact median/quantiles per group --------------------------------
+@query(
+    "group_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(median(l_extendedprice), 4) AS med_price,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS q75,
+           ROUND(AVG(l_extendedprice), 4) AS mean_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("A12", "A13"),
+)
+def group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (loser-clustering q25/q75 thresholds; sweep median).
+    Spark ``percentile`` interpolates identically to ``quantile_cont``."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r4(F.expr("percentile(l_extendedprice, 0.5)")).alias("med_price"),
+        r4(F.expr("percentile(l_extendedprice, 0.25)")).alias("q25"),
+        r4(F.expr("percentile(l_extendedprice, 0.75)")).alias("q75"),
+        r4(F.avg("l_extendedprice")).alias("mean_price"),
+    )
+
+
+# --- A14: histogram bucketing (VIX buckets) -----------------------------------
+@query(
+    "histogram_buckets",
+    oracle="""
+    SELECT CASE WHEN value >= 0 AND value < 5 THEN 'calm'
+                WHEN value >= 5 AND value < 10 THEN 'normal'
+                WHEN value >= 10 AND value < 15 THEN 'elevated'
+                WHEN value >= 15 AND value < 20 THEN 'high'
+                WHEN value >= 20 AND value < 1e9 THEN 'extreme'
+           END AS bucket,
+           COUNT(*) AS n,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("A14",),
+)
+def histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.cut-style right-open bins → groupBy bucket."""
+    ev = t(spark, sf_dir, "events")
+    bucket = bucketize(
+        F.col("value"),
+        [0, 5, 10, 15, 20, 1e9],
+        ["calm", "normal", "elevated", "high", "extreme"],
+    )
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"), r4(F.avg("value")).alias("avg_value")
+    )
+
+
+# --- A15: multi-metric sweep rollup -------------------------------------------
+@query(
+    "sweep_rollup",
+    oracle="""
+    SELECT l_returnflag AS cohort, l_linestatus AS scenario,
+           COUNT(*) AS sample_size,
+           ROUND(AVG(CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END), 4) AS win_rate,
+           ROUND(AVG(CASE WHEN l_tax > 0.04 THEN 1.0 ELSE 0.0 END), 4) AS stop_rate,
+           ROUND(AVG((l_extendedprice * (1 - l_discount) - l_extendedprice)
+                     / l_extendedprice * 100), 4) AS expected_value,
+           ROUND(median((l_extendedprice * (1 - l_discount) - l_extendedprice)
+                        / l_extendedprice * 100), 4) AS median_return
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    tags=("A15", "A9"),
+)
+def sweep_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """run_sweep per-config rollup: n, win/stop rates, EV, median return."""
+    li = t(spark, sf_dir, "lineitem")
+    ret = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col("l_extendedprice"))
+        / F.col("l_extendedprice")
+        * 100
+    )
+    return (
+        li.withColumn("ret", ret)
+        .groupBy(F.col("l_returnflag").alias("cohort"), F.col("l_linestatus").alias("scenario"))
+        .agg(
+            F.count("*").alias("sample_size"),
+            r4(F.avg(F.when(F.col("l_discount") > 0.05, 1.0).otherwise(0.0))).alias("win_rate"),
+            r4(F.avg(F.when(F.col("l_tax") > 0.04, 1.0).otherwise(0.0))).alias("stop_rate"),
+            r4(F.avg("ret")).alias("expected_value"),
+            r4(F.expr("percentile(ret, 0.5)")).alias("median_return"),
+        )
+    )
+
+
+# --- A16: consensus tally with level ladder + deterministic argmax ------------
+@query(
+    "consensus_tally",
+    oracle="""
+    WITH picks AS (
+        SELECT o_orderpriority AS ticker, o_orderstatus AS direction,
+               o_totalprice AS conviction, o_orderkey
+        FROM orders WHERE o_totalprice >= 100000
+    ),
+    tally AS (
+        SELECT ticker, direction,
+               COUNT(*) AS votes,
+               ROUND(AVG(conviction), 2) AS avg_conviction
+        FROM picks GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT ticker, direction, o_orderkey AS best_pick,
+               ROW_NUMBER() OVER (PARTITION BY ticker, direction
+                                  ORDER BY conviction DESC, o_orderkey) AS rn
+        FROM picks
+    ),
+    sized AS (
+        SELECT t.*, b.best_pick,
+               SUM(t.votes) OVER (PARTITION BY t.ticker) AS total_votes
+        FROM tally t JOIN best b
+          ON b.ticker = t.ticker AND b.direction = t.direction AND b.rn = 1
+    )
+    SELECT ticker, direction, votes, avg_conviction, best_pick,
+           CASE WHEN votes = total_votes THEN 'unanimous'
+                WHEN votes * 1.0 / total_votes >= 0.75 THEN 'supermajority'
+                WHEN votes * 1.0 / total_votes > 0.5 THEN 'majority'
+                ELSE 'split' END AS consensus_level
+    FROM sized
+    """,
+    tags=("A16",),
+)
+def consensus_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agent-arena consensus: vote tally per (ticker, direction), avg
+    conviction, highest-conviction pick (deterministic max_by), and a
+    unanimous/supermajority/majority ladder on the vote share."""
+    picks = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 100000)
+        .select(
+            F.col("o_orderpriority").alias("ticker"),
+            F.col("o_orderstatus").alias("direction"),
+            F.col("o_totalprice").alias("conviction"),
+            "o_orderkey",
+        )
+    )
+    tally = picks.groupBy("ticker", "direction").agg(
+        F.count("*").alias("votes"),
+        r2(F.avg("conviction")).alias("avg_conviction"),
+        F.max_by(
+            F.col("o_orderkey"),
+            F.struct(F.col("conviction").alias("c"), (-F.col("o_orderkey")).alias("k")),
+        ).alias("best_pick"),
+    )
+    total = F.sum("votes").over(Window.partitionBy("ticker"))
+    share = F.col("votes") * 1.0 / F.col("total_votes")
+    return (
+        tally.withColumn("total_votes", total)
+        .withColumn(
+            "consensus_level",
+            F.when(F.col("votes") == F.col("total_votes"), "unanimous")
+            .when(share >= 0.75, "supermajority")
+            .when(share > 0.5, "majority")
+            .otherwise("split"),
+        )
+        .drop("total_votes")
+    )
+
+
+# --- A17: roll-up with sorted top-N id lists ----------------------------------
+@query(
+    "summary_top_lists",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           array_to_string(list_sort(list(doc_id))[1:10], ',') AS sample_docs
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("A17",),
+)
+def summary_top_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-summary shape: counts + first-10 ids per side. collect_list is
+    order-nondeterministic, so the list is sorted before slicing."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.array_join(F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10), ",").alias(
+            "sample_docs"
+        ),
+    )
+
+
+# --- A18 + tier ladder: outcome-tier tally ------------------------------------
+@query(
+    "tier_tally",
+    oracle="""
+    SELECT CASE WHEN pct >= 5 THEN 'strong_win'
+                WHEN pct >= 3 THEN 'solid_win'
+                WHEN pct >= 1 THEN 'directional_win'
+                WHEN pct >= 0 THEN 'no_decision'
+                ELSE 'loss' END AS tier,
+           COUNT(*) AS n
+    FROM (SELECT (l_quantity - 25) / 5.0 AS pct FROM lineitem)
+    GROUP BY 1
+    """,
+    tags=("A18",),
+)
+def tier_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """win-tracker tier classification ladder → tally (exhaustive over ℝ)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        ((F.col("l_quantity") - 25) / 5.0).alias("pct")
+    )
+    tiers = tier_ladder(
+        F.col("pct"),
+        [(5.0, "strong_win"), (3.0, "solid_win"), (1.0, "directional_win"), (0.0, "no_decision")],
+        "loss",
+    )
+    return li.groupBy(tiers.alias("tier")).agg(F.count("*").alias("n"))
+
+
+# --- A19+U2: distinct ---------------------------------------------------------
+@query(
+    "distinct_pairs",
+    oracle="""
+    SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+    """,
+    tags=("A19", "U2"),
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# --- U1: UNION ALL of per-pattern aggregates ----------------------------------
+@query(
+    "union_all_patterns",
+    oracle="""
+    SELECT 'HEDGE' AS pattern, COUNT(*) AS n, ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT 'HIGH_RR', COUNT(*), ROUND(AVG(o_totalprice), 2)
+    FROM orders WHERE o_totalprice > 200000
+    UNION ALL
+    SELECT 'BULL_FLOW', COUNT(*), ROUND(AVG(o_totalprice), 2)
+    FROM orders WHERE o_orderpriority LIKE '1%'
+    UNION ALL
+    SELECT 'BEAR_FLOW', COUNT(*), ROUND(AVG(o_totalprice), 2)
+    FROM orders WHERE o_orderpriority LIKE '5%'
+    UNION ALL
+    SELECT 'HIGH_ATR', COUNT(*), ROUND(AVG(o_totalprice), 2)
+    FROM orders WHERE o_orderstatus = 'O' AND o_totalprice < 50000
+    """,
+    tags=("U1",),
+)
+def union_all_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """premium_eda Query-2 shape: one aggregate per premium pattern, unioned.
+    (The idiomatic single-pass alternative is conditional aggregation — kept
+    as UNION ALL here to exercise the set operator.)"""
+    o = t(spark, sf_dir, "orders")
+
+    def one(label: str, cond) -> DataFrame:
+        return o.filter(cond).agg(
+            F.lit(label).alias("pattern"),
+            F.count("*").alias("n"),
+            r2(F.avg("o_totalprice")).alias("avg_price"),
+        ).select("pattern", "n", "avg_price")
+
+    parts = [
+        one("HEDGE", F.col("o_orderstatus") == "F"),
+        one("HIGH_RR", F.col("o_totalprice") > 200000),
+        one("BULL_FLOW", F.col("o_orderpriority").startswith("1")),
+        one("BEAR_FLOW", F.col("o_orderpriority").startswith("5")),
+        one("HIGH_ATR", (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") < 50000)),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,1 +1,339 @@
-"""Placeholder — queries land incrementally."""
+"""Window / time-series operators (SURVEY §2.5 W1-W12).
+
+Ordering inside every per-entity window is ``(ts, event_id)`` — a total
+order, so both engines rank identically. Frames are ROWS frames (the
+reference's rolling indicators are row-count windows over trading bars).
+
+Scale note: every window here partitions by a high-cardinality entity key
+(user_id), so state per partition is bounded and the sort is local to each
+entity — this is the shape that survives 100 TB. The one global window
+(chrono_split's ntile) is flagged in its docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..exprs import r2, r4
+from . import query
+from ._util import t
+
+def w_series():
+    """Per-entity bar ordering used by all series windows (lazy: Window
+    specs need an active session)."""
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+def _bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an OHLC-ish bar series (FIXTURES.md B3 mapping): value is
+    the close; high/low are deterministic bands so oracle SQL stays simple."""
+    return t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("value").alias("close"),
+        (F.col("value") * 1.02).alias("high"),
+        (F.col("value") * 0.98).alias("low"),
+    )
+
+
+_BARS_SQL = """
+    SELECT user_id, ts, event_id, value AS close,
+           value * 1.02 AS high, value * 0.98 AS low
+    FROM events
+"""
+
+
+# --- W1: rolling mean (SMA) ---------------------------------------------------
+@query(
+    "sma_window",
+    oracle=f"""
+    WITH bars AS ({_BARS_SQL})
+    SELECT event_id,
+           ROUND(AVG(close) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS sma_5,
+           ROUND(AVG(close) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 4) AS sma_20
+    FROM bars
+    """,
+    tags=("W1",),
+)
+def sma_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _bars(spark, sf_dir)
+    return bars.select(
+        "event_id",
+        r4(F.avg("close").over(w_series().rowsBetween(-4, 0))).alias("sma_5"),
+        r4(F.avg("close").over(w_series().rowsBetween(-19, 0))).alias("sma_20"),
+    )
+
+
+# --- W3: Bollinger bands (rolling mean ± 2σ) ----------------------------------
+@query(
+    "bollinger_bands",
+    oracle=f"""
+    WITH bars AS ({_BARS_SQL})
+    SELECT event_id,
+           ROUND(AVG(close) OVER w + 2 * STDDEV_SAMP(close) OVER w, 4) AS bb_upper,
+           ROUND(AVG(close) OVER w - 2 * STDDEV_SAMP(close) OVER w, 4) AS bb_lower
+    FROM bars
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("W3",),
+)
+def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _bars(spark, sf_dir)
+    w = w_series().rowsBetween(-19, 0)
+    mean, sd = F.avg("close").over(w), F.stddev_samp("close").over(w)
+    return bars.select(
+        "event_id",
+        r4(mean + 2 * sd).alias("bb_upper"),
+        r4(mean - 2 * sd).alias("bb_lower"),
+    )
+
+
+# --- W4: ATR-14 (true range needs lag of close) -------------------------------
+@query(
+    "atr_true_range",
+    oracle=f"""
+    WITH bars AS ({_BARS_SQL}),
+    tr AS (
+        SELECT user_id, ts, event_id,
+               GREATEST(high - low,
+                        ABS(high - LAG(close) OVER w),
+                        ABS(low - LAG(close) OVER w)) AS true_range
+        FROM bars
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id,
+           ROUND(true_range, 4) AS true_range,
+           ROUND(AVG(true_range) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 4) AS atr_14
+    FROM tr
+    """,
+    tags=("W4",),
+)
+def atr_true_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _bars(spark, sf_dir)
+    prev_close = F.lag("close").over(w_series())
+    true_range = F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - prev_close),
+        F.abs(F.col("low") - prev_close),
+    )
+    with_tr = bars.withColumn("true_range", true_range)
+    return with_tr.select(
+        "event_id",
+        r4(F.col("true_range")).alias("true_range"),
+        r4(F.avg("true_range").over(w_series().rowsBetween(-13, 0))).alias("atr_14"),
+    )
+
+
+# --- W5: cumulative signed sum (OBV) ------------------------------------------
+@query(
+    "obv_cumulative",
+    oracle=f"""
+    WITH bars AS ({_BARS_SQL}),
+    signed AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN close > LAG(close) OVER w THEN close
+                    WHEN close < LAG(close) OVER w THEN -close
+                    ELSE 0 END AS signed_val
+        FROM bars
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id,
+           ROUND(SUM(signed_val) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING), 4) AS obv
+    FROM signed
+    """,
+    tags=("W5",),
+)
+def obv_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _bars(spark, sf_dir)
+    prev = F.lag("close").over(w_series())
+    signed = (
+        F.when(F.col("close") > prev, F.col("close"))
+        .when(F.col("close") < prev, -F.col("close"))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        bars.withColumn("signed_val", signed)
+        .select(
+            "event_id",
+            r4(F.sum("signed_val").over(w_series().rowsBetween(Window.unboundedPreceding, 0))).alias(
+                "obv"
+            ),
+        )
+    )
+
+
+# --- W6: windowed extrema (52-week high/low + 20-bar swing levels) ------------
+@query(
+    "window_extrema",
+    oracle=f"""
+    WITH bars AS ({_BARS_SQL})
+    SELECT event_id,
+           ROUND(MAX(high) OVER (PARTITION BY user_id), 4) AS high_52w,
+           ROUND(MIN(low) OVER (PARTITION BY user_id), 4) AS low_52w,
+           ROUND(MAX(high) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 4) AS swing_high,
+           ROUND(MIN(low) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 4) AS swing_low
+    FROM bars
+    """,
+    tags=("W6",),
+)
+def window_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _bars(spark, sf_dir)
+    full = Window.partitionBy("user_id")
+    swing = w_series().rowsBetween(-19, 0)
+    return bars.select(
+        "event_id",
+        r4(F.max("high").over(full)).alias("high_52w"),
+        r4(F.min("low").over(full)).alias("low_52w"),
+        r4(F.max("high").over(swing)).alias("swing_high"),
+        r4(F.min("low").over(swing)).alias("swing_low"),
+    )
+
+
+# --- W7: max losing streak (gaps-and-islands) ---------------------------------
+@query(
+    "max_losing_streak",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts, event_id,
+               value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ret
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, ret,
+               SUM(CASE WHEN ret < 0 THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS grp
+        FROM s
+    ),
+    islands AS (
+        SELECT user_id, grp, COUNT(*) AS streak
+        FROM g WHERE ret < 0 GROUP BY user_id, grp
+    )
+    SELECT u.user_id, CAST(COALESCE(MAX(i.streak), 0) AS BIGINT) AS max_losing_streak
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN islands i ON i.user_id = u.user_id
+    GROUP BY u.user_id
+    """,
+    tags=("W7",),
+)
+def max_losing_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive negative deltas per entity, relationally:
+    island id = running count of non-negative rows; island size = streak.
+    (run_sweep max-losing-streak, without a sequential scan.)"""
+    ev = t(spark, sf_dir, "events")
+    ret = F.col("value") - F.lag("value").over(w_series())
+    grp = F.sum(F.when(F.col("ret") < 0, 0).otherwise(1)).over(
+        w_series().rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_grp = ev.withColumn("ret", ret).withColumn("grp", grp)
+    islands = (
+        with_grp.filter(F.col("ret") < 0)
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("streak"))
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(islands, "user_id", "left")
+        .groupBy("user_id")
+        .agg(F.coalesce(F.max("streak"), F.lit(0)).cast("long").alias("max_losing_streak"))
+    )
+
+
+# --- W8: explicit lead rows (t+1..t+3 closes + pct) ---------------------------
+@query(
+    "lead_returns",
+    oracle="""
+    SELECT event_id,
+           ROUND(LEAD(value, 1) OVER w, 2) AS next1,
+           ROUND(LEAD(value, 2) OVER w, 2) AS next2,
+           ROUND(LEAD(value, 3) OVER w, 2) AS next3,
+           ROUND((LEAD(value, 1) OVER w - value) / NULLIF(value, 0) * 100, 4) AS next1_pct
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("W8",),
+)
+def lead_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    n1 = F.lead("value", 1).over(w_series())
+    return ev.select(
+        "event_id",
+        r2(n1).alias("next1"),
+        r2(F.lead("value", 2).over(w_series())).alias("next2"),
+        r2(F.lead("value", 3).over(w_series())).alias("next3"),
+        r4((n1 - F.col("value")) / F.nullif(F.col("value"), F.lit(0)) * 100).alias("next1_pct"),
+    )
+
+
+# --- W10: chronological holdout split -----------------------------------------
+@query(
+    "chrono_split",
+    oracle="""
+    WITH halves AS (
+        SELECT o_totalprice,
+               NTILE(2) OVER (ORDER BY o_orderdate, o_orderkey) AS half
+        FROM orders
+    )
+    SELECT half, COUNT(*) AS n,
+           ROUND(AVG(o_totalprice), 2) AS avg_price,
+           ROUND(AVG(CASE WHEN o_totalprice > 150000 THEN 1.0 ELSE 0.0 END), 4) AS win_rate
+    FROM halves GROUP BY half
+    """,
+    tags=("W10",),
+)
+def chrono_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-sample/out-of-sample 2-fold split by time. NOTE: ntile over a
+    global window single-partitions the sort; at 100 TB the scalable form
+    computes the median date once (percentile agg) and splits by comparison.
+    Kept as ntile here because the oracle needs identical tie semantics."""
+    o = t(spark, sf_dir, "orders")
+    half = F.ntile(2).over(Window.orderBy("o_orderdate", "o_orderkey"))
+    return (
+        o.withColumn("half", half)
+        .groupBy("half")
+        .agg(
+            F.count("*").alias("n"),
+            r2(F.avg("o_totalprice")).alias("avg_price"),
+            r4(F.avg(F.when(F.col("o_totalprice") > 150000, 1.0).otherwise(0.0))).alias(
+                "win_rate"
+            ),
+        )
+    )
+
+
+# --- W12: dedup-rank (top-1 per key, rest flagged duplicates) -----------------
+@query(
+    "dedup_rank",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(rn AS INT) AS rn,
+           (rn > 1) AS is_duplicate
+    FROM (
+        SELECT o_orderkey, o_custkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    )
+    """,
+    tags=("W12", "U3"),
+)
+def dedup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """forward-paper-trader dedup: deterministic rank per key, first row
+    survives, the rest are flagged (docs/TESTING.md one-per-key invariant)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).cast("int").alias("rn"),
+    ).withColumn("is_duplicate", F.col("rn") > 1)
