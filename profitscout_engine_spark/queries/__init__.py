@@ -93,6 +93,7 @@ _MODULES = (
     "aggregates",
     "windows",
     "execution",
+    "timeseries",
     "textops",
     "similarity",
     "pipelines",

@@ -1,0 +1,92 @@
+"""Structured Streaming surface (SURVEY §2.9).
+
+The reference is a chain of scheduled idempotent daily batches; its
+streaming-adjacent semantics (idempotent reprocessing, staleness policy,
+incremental state) map onto Structured Streaming primitives:
+
+- ``Trigger.AvailableNow`` + idempotent sink  ≙  the count-guarded daily batch
+- watermarks                                   ≙  the >3-days-stale skip policy
+- tumbling/session windows over ``events``    ≙  the natural extension the
+  fixture invites (same aggregates as the batch queries, oracle-checked there)
+
+``run_stream_aggregation`` executes the SAME logical aggregation as the batch
+query through the streaming engine, so tests can assert batch/stream parity —
+the property that makes the daily pipeline re-runnable as an incremental one.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(spark: SparkSession, sf_dir: str, with_watermark: str | None = "1 hour") -> DataFrame:
+    """events as an unbounded stream (file source, one-file micro-batch).
+
+    The ns-timestamp shim mirrors catalog.table('events'): read raw nanos,
+    integer-divide to µs.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # The file source requires a directory; stage a symlink dir (the fixture
+    # is a single file — a real deployment points this at the table root).
+    import hashlib
+    import os
+
+    stage = f"/tmp/pse_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    if with_watermark:
+        stream = stream.withWatermark("ts", with_watermark)
+    return stream
+
+
+def tumbling_counts_stream(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts/sums per event_type — the streaming twin of the
+    batch ``tumbling_window_agg`` query."""
+    return (
+        events.groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def run_stream_aggregation(
+    spark: SparkSession,
+    sf_dir: str,
+    agg_builder=tumbling_counts_stream,
+    with_watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Run a streaming aggregation to completion with AvailableNow semantics
+    and return the final result as a static DataFrame (memory sink).
+
+    Complete output mode: every trigger emits full state — matching the
+    reference's overwrite-the-day idempotent sink pattern.
+    """
+    events = stream_events(spark, sf_dir, with_watermark=with_watermark)
+    agg = agg_builder(events)
+    name = f"stream_result_{next(tempfile._get_candidate_names())}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
