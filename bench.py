@@ -19,9 +19,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from profitscout_engine_spark.queries import load_registry
 from profitscout_engine_spark.session import get_spark
 
-# Queries whose result is bounded (top-k / per-group rollups) are collected;
-# anything potentially large is counted (forces full execution, no driver OOM).
-COLLECT_LIMIT = 100_000
 
 
 def main() -> None:
@@ -30,21 +27,23 @@ def main() -> None:
     spark = get_spark(app_name="profitscout-engine-bench")
     registry = load_registry()
 
-    # Warm the JVM + parquet footers once so per-query numbers measure the
-    # plan, not session startup.
+    # Warm the JVM + parquet footers + Python worker pool once so per-query
+    # numbers measure the plan, not session/daemon startup.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(64).repartition(64).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0
     for name in sorted(registry):
         fn = registry[name].fn
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.limit(COLLECT_LIMIT + 1).count()
-        if n <= COLLECT_LIMIT:
-            df.collect()
-        else:
-            df.count()
+        # noop sink: executes the COMPLETE plan (scan → shuffle → every
+        # projected expression) exactly once, discards rows executor-side.
+        # count() would let Catalyst prune the output projections;
+        # collect() would bottleneck on the driver — both mis-measure.
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt

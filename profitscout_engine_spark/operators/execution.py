@@ -230,7 +230,8 @@ def bracket_exit_pandas(
         if c not in b_side.columns:
             b_side = b_side.withColumn(c, F.lit(None).cast(dict(trades.dtypes)[c]))
     u = t_side.unionByName(b_side.select(*t_side.columns))
-    return u.groupBy(key).applyInPandas(walk, out_schema)
+    par = u.sparkSession.sparkContext.defaultParallelism
+    return u.repartition(par, key).groupBy(key).applyInPandas(walk, out_schema)
 
 
 def trading_calendar(dates: DataFrame, date_col: str = "cal_date") -> DataFrame:

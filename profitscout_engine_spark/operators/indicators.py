@@ -70,7 +70,13 @@ def ewm_indicator_frame(
             }
         )
 
-    return bars.groupBy(key).applyInPandas(compute, schema)
+    # Explicit hash repartition on the group key: AQE's byte-based
+    # partition coalescing would merge this small-by-bytes shuffle into
+    # one partition and serialize all the (CPU-heavy) Python groups onto
+    # a single core. A user-requested repartition is exempt from
+    # coalescing, so the pandas stage keeps full parallelism.
+    par = bars.sparkSession.sparkContext.defaultParallelism
+    return bars.repartition(par, key).groupBy(key).applyInPandas(compute, schema)
 
 
 def ema_weighted_sum(

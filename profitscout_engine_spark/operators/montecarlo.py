@@ -132,4 +132,7 @@ def simulate_paths_tiered(
         "min_capital double, ruined boolean"
     )
     _ = np  # numpy import is intentional (to_numpy fast path)
-    return drawn.groupBy("sim_id").applyInPandas(walk, schema)
+    # Explicit repartition: AQE byte-coalescing would serialize the
+    # CPU-bound Python sims onto one core (see indicators.py).
+    par = spark.sparkContext.defaultParallelism
+    return drawn.repartition(par, "sim_id").groupBy("sim_id").applyInPandas(walk, schema)

@@ -1,1 +1,443 @@
-"""Placeholder — queries land incrementally."""
+"""Near-dedup + similarity-search queries — MinHash/LSH, n-gram Jaccard,
+SimHash, brute-force & LSH-bucketed cosine top-k, IVF-style centroid
+assignment (SURVEY §7.2 Phase 5 over ``documents`` / ``embeddings``).
+
+Scale stance: every candidate-pair generator here is an EQUI-JOIN on a
+derived key (band signature, simhash byte, LSH bucket) — never an O(n²)
+cross join — except the brute-force cosine baseline, which is the
+explicit correctness yardstick and is implemented as a broadcast
+nested-loop join (small side broadcast, zero shuffle of the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..exprs import r4, r6
+from ..operators import text as tx
+from ..operators import similarity as sim
+from . import query
+from ._util import t
+
+TOPK = 5
+LSH_TOPK = 3
+JACCARD_MIN = 0.1
+COSINE_NEARDUP_MIN = 0.4
+SIMHASH_RADIUS = 3  # ≤ 3 → 4-byte banding is exact (pigeonhole)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents")
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label", sim.as_double("embedding").alias("v"))
+
+
+def _scalar_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(a, b) sides for pair scans, in the scalar-column fast layout.
+
+    The corpus is unpacked to 64 scalar double columns + precomputed norm
+    ONCE and persisted — the persist is a deliberate optimizer barrier:
+    without it, projection collapse inlines 64 element_at chains into the
+    per-pair expressions and Catalyst's commutative canonicalization
+    blows up on the resulting trees. The a-side is repartitioned to the
+    cluster's parallelism because the fixture parquet arrives as a single
+    split — otherwise the whole O(n²) scan lands on one task.
+    """
+    e0 = _vecs(spark, sf_dir).select("vec_id", "v")
+    u = sim.unpack(e0, "v", "x", keep=["vec_id"])
+    u = u.select(
+        "vec_id", sim.scalar_norm("x").alias("nrm"), *[f"x{i}" for i in range(sim.DIM)]
+    ).persist()
+    par = spark.sparkContext.defaultParallelism
+    a = u.repartition(par).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("nrm").alias("na"),
+        *[F.col(f"x{i}").alias(f"xa{i}") for i in range(sim.DIM)],
+    )
+    b = u.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("nrm").alias("nb"),
+        *[F.col(f"x{i}").alias(f"xb{i}") for i in range(sim.DIM)],
+    )
+    return a, b
+
+
+# ---- shared oracle fragments (generated from the same constants the Spark
+# ---- side uses, so the two formulations cannot drift) ------------------------
+
+_SHINGLES_CTE = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh_all AS (
+        SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        FROM toks, UNNEST(range(1, greatest(len(tk) - 1, 1))) AS u(i)
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh_all)
+"""
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n               ".join(
+        f"MIN(md5('{s}|' || shingle)) AS h{s}" for s in range(tx.MINHASH_K)
+    )
+    band_rows = "\n        UNION ALL\n        ".join(
+        "SELECT doc_id, {b} AS band_id, md5({concat}) AS band_sig FROM sig".format(
+            b=b,
+            concat=" || '|' || ".join(
+                f"h{b * tx.MINHASH_ROWS + r}" for r in range(tx.MINHASH_ROWS)
+            ),
+        )
+        for b in range(tx.MINHASH_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {band_rows}
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n               ".join(
+        "SUM(CASE WHEN substr(m, {i}, 1) IN ('1','3','5','7','9','b','d','f')"
+        " THEN 1 ELSE -1 END) AS c{j}".format(i=i + 1, j=i)
+        for i in range(tx.SIMHASH_BITS)
+    )
+    build = " + ".join(
+        f"(CASE WHEN c{i} > 0 THEN {1 << i} ELSE 0 END)::BIGINT"
+        for i in range(tx.SIMHASH_BITS)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    h AS (SELECT doc_id, md5(shingle) AS m FROM sh_all),
+    bits AS (
+        SELECT doc_id,
+               {votes}
+        FROM h GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, {build} AS simhash FROM bits)
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_RADIUS}
+    """
+
+
+def _cosine_sql(va: str, vb: str) -> str:
+    """dot/(|a|*|b|) with the same fold shape as the Spark side."""
+    return (
+        f"list_dot_product({va}, {vb}) / "
+        f"(sqrt(list_dot_product({va}, {va})) * sqrt(list_dot_product({vb}, {vb})))"
+    )
+
+
+def _lsh_bucket_sql(vec: str, table: int) -> str:
+    terms = []
+    for p in range(sim.LSH_PLANES):
+        signs = ",".join(
+            str(sim.hyperplane_sign(table, p, j)) for j in range(sim.DIM)
+        )
+        d = f"list_dot_product({vec}, [{signs}]::DOUBLE[])"
+        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+# ---- MinHash + LSH near-dedup ------------------------------------------------
+@query("minhash_lsh_pairs", oracle=_minhash_oracle(), tags=("dedup", "minhash-lsh"))
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4 rows) near-dup candidate pairs.
+
+    Shingle → one groupBy computing all 16 signature mins in a single
+    shuffle → band signatures → equi-join on (band_id, band_sig). The
+    pair set is a pure function of md5, hence exactly oracle-checkable.
+    """
+    sh = tx.shingle_frame(_docs(spark, sf_dir), distinct=True)
+    bands = tx.minhash_bands(tx.minhash_signature(sh))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+# ---- exact n-gram Jaccard over inverted-index candidates ---------------------
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           ROUND(c * 1.0 / (ca.n + cb.n - c), 4) AS jaccard
+    FROM common
+    JOIN counts ca ON ca.doc_id = d1
+    JOIN counts cb ON cb.doc_id = d2
+    WHERE c * 1.0 / (ca.n + cb.n - c) >= {JACCARD_MIN}
+    """,
+    tags=("dedup", "ngram-jaccard"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard ≥ {thr} via an inverted-index self-join
+    (shuffle on shingle; hot shingles are AQE skew-join territory at
+    scale — the principled fix is doc-frequency-capped shingles).
+    """.format(thr=JACCARD_MIN)
+    sh = tx.shingle_frame(_docs(spark, sf_dir), distinct=True)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("c"))
+    )
+    j = F.col("c") / (F.col("ca.n") + F.col("cb.n") - F.col("c"))
+    return (
+        common.join(counts.alias("ca"), F.col("d1") == F.col("ca.doc_id"))
+        .join(counts.alias("cb"), F.col("d2") == F.col("cb.doc_id"))
+        .where(j >= JACCARD_MIN)
+        .select("d1", "d2", r4(j).alias("jaccard"))
+    )
+
+
+# ---- SimHash near-dedup (banded candidates, exact at radius ≤ 3) -------------
+@query("simhash_pairs", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-32 pairs within Hamming distance ≤ 3.
+
+    Spark side generates candidates by the 4-byte band equi-join then
+    filters exactly; the oracle brute-forces all pairs. Pigeonhole makes
+    the two provably identical at radius ≤ 3 — the banded plan is the
+    one that survives 100 TB.
+    """
+    sh = tx.shingle_frame(_docs(spark, sf_dir), distinct=False)
+    bands = tx.simhash_bands(tx.simhash(sh))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            tx.hamming(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    return cand.where(F.col("hamming") <= SIMHASH_RADIUS)
+
+
+# ---- brute-force cosine top-k (ANN correctness baseline) ---------------------
+@query(
+    "cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sims AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               ROUND({_cosine_sql('a.v', 'b.v')}, 6) AS sim
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT a_id, b_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rank
+        FROM sims
+    )
+    SELECT a_id, b_id, rank, sim FROM ranked WHERE rank <= {TOPK}
+    """,
+    tags=("similarity", "ann-brute"),
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-{k} per vector: broadcast nested-loop
+    self-join with per-row precomputed norms (dot fold is the only
+    per-pair work). The yardstick the LSH variant is measured against.
+    """.format(k=TOPK)
+    a, b = _scalar_sides(spark, sf_dir)
+    pairs = a.join(F.broadcast(b), F.col("a_id") != F.col("b_id"))
+    scored = pairs.select(
+        "a_id",
+        "b_id",
+        r6(sim.scalar_dot("xa", "xb") / (F.col("na") * F.col("nb"))).alias("sim"),
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select("a_id", "b_id", "rank", "sim")
+    )
+
+
+# ---- LSH-bucketed cosine top-k (the scale path) ------------------------------
+def _lsh_oracle() -> str:
+    bucket_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT vec_id, {t_} AS table_id, {_lsh_bucket_sql('v', t_)} AS bucket FROM e"
+        for t_ in range(sim.LSH_TABLES)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    buckets AS (
+        {bucket_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM buckets a JOIN buckets b
+          ON a.table_id = b.table_id AND a.bucket = b.bucket
+         AND a.vec_id <> b.vec_id
+    ),
+    sims AS (
+        SELECT c.a_id, c.b_id,
+               ROUND({_cosine_sql('ea.v', 'eb.v')}, 6) AS sim
+        FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id
+    ),
+    ranked AS (
+        SELECT a_id, b_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rank
+        FROM sims
+    )
+    SELECT a_id, b_id, rank, sim FROM ranked WHERE rank <= {LSH_TOPK}
+    """
+
+
+@query("cosine_lsh_topk", oracle=_lsh_oracle(), tags=("similarity", "ann-lsh"))
+def cosine_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-{k}: {L} hash tables × {P} planes,
+    candidates from an equi-join on (table, bucket), exact cosine only on
+    candidates. Sign matrix is md5-derived (no RNG), so the bucket
+    assignment — and therefore the whole result — is oracle-exact.
+    Recall vs the brute-force baseline is pinned in pytest.
+    """.format(k=LSH_TOPK, L=sim.LSH_TABLES, P=sim.LSH_PLANES)
+    e = _vecs(spark, sf_dir).select("vec_id", "v")
+    buckets = sim.lsh_buckets(e)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    ea, eb = _scalar_sides(spark, sf_dir)
+    scored = (
+        cand.join(F.broadcast(ea), "a_id")
+        .join(F.broadcast(eb), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            r6(sim.scalar_dot("xa", "xb") / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= LSH_TOPK)
+        .select("a_id", "b_id", "rank", "sim")
+    )
+
+
+# ---- embedding-cosine near-dup pairs -----------------------------------------
+@query(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           ROUND({_cosine_sql('a.v', 'b.v')}, 4) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND({_cosine_sql('a.v', 'b.v')}, 4) >= {COSINE_NEARDUP_MIN}
+    """,
+    tags=("dedup", "embedding-cosine"),
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ {thr} over undirected pairs.
+    Brute-force form here (threshold filter after broadcast NL join); at
+    corpus scale the LSH bucketing above is the candidate generator.
+    """.format(thr=COSINE_NEARDUP_MIN)
+    a, b = _scalar_sides(spark, sf_dir)
+    a = a.withColumnRenamed("a_id", "d1")
+    b = b.withColumnRenamed("b_id", "d2")
+    return (
+        a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            r4(sim.scalar_dot("xa", "xb") / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
+        .where(F.col("sim") >= COSINE_NEARDUP_MIN)
+    )
+
+
+# ---- IVF-style nearest-centroid assignment -----------------------------------
+@query(
+    "ivf_centroid_assign",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    comp AS (
+        SELECT label, i AS pos, ROUND(AVG(v[i]), 6) AS m
+        FROM e, UNNEST(range(1, 65)) AS u(i)
+        GROUP BY 1, 2
+    ),
+    cent AS (SELECT label AS c_label, list(m ORDER BY pos) AS c FROM comp GROUP BY 1),
+    d AS (
+        SELECT e.vec_id, e.label, cent.c_label,
+               ROUND(sqrt(list_aggregate(list_transform(range(1, 65),
+                          i -> (e.v[i] - cent.c[i]) * (e.v[i] - cent.c[i])), 'sum')),
+                     4) AS dist
+        FROM e CROSS JOIN cent
+    ),
+    ranked AS (
+        SELECT vec_id, label, c_label, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+        FROM d
+    )
+    SELECT vec_id, label, c_label AS assigned_label, dist
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("similarity", "ivf"),
+)
+def ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: per-label centroids (posexplode + avg,
+    components rounded to kill float-sum order nondeterminism), then
+    nearest-centroid assignment via a broadcast cross join (10 centroids
+    — the IVF 'coarse list' every vector is routed to at scale)."""
+    e = _vecs(spark, sf_dir)
+    cents = sim.label_centroids(t(spark, sf_dir, "embeddings"))
+    cents_r = cents.select(
+        F.col("label").alias("c_label"),
+        F.expr("transform(centroid, x -> floor(x * 1e6 + 0.5) / 1e6)").alias("c"),
+    )
+    d = e.crossJoin(F.broadcast(cents_r)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        r4(sim.l2_distance("v", "c")).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("c_label"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("c_label").alias("assigned_label"), "dist")
+    )

@@ -1,1 +1,266 @@
-"""Placeholder — queries land incrementally."""
+"""Text-analysis queries over ``documents`` — the training-data-pipeline
+surface (token stats, quality scoring, language ID, fingerprinting, exact
+dedup, multimodal feature plumbing).
+
+All hot-path logic is JVM Column algebra; the one Python hop
+(multimodal decode) is an Arrow-batched ``mapInPandas`` stub. Hashing is
+md5 in both engines, so every query here (including the binary-payload
+one) has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..exprs import r4
+from ..operators.multimodal import FRAME_BYTES, decode_features, with_payload
+from ..operators.text import tokens
+from . import query
+from ._util import t
+
+# Stopword voting lists for the language-ID heuristic (ASCII-only; the
+# heuristic is the deterministic contract — the fixture's `lang` label is
+# carried through for comparison, not used in the computation).
+LANG_STOPWORDS = {
+    "de": ("der", "die", "das", "und", "ein", "eine", "mit", "von", "ist", "zu"),
+    "en": ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with"),
+    "es": ("el", "los", "las", "y", "un", "una", "en", "es", "por", "que"),
+    "fr": ("le", "la", "les", "et", "de", "dans", "pour", "est", "au", "du"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "men5", "zhe4"),
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents")
+
+
+# --- token counting: whitespace + BPE-ish regex -------------------------------
+@query(
+    "token_stats",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk, text FROM documents)
+    SELECT doc_id,
+           len(tk) AS n_tokens,
+           len(list_distinct(tk)) AS n_distinct,
+           ROUND(len(list_distinct(tk)) * 1.0 / len(tk), 4) AS ttr,
+           ROUND(length(replace(text, ' ', '')) * 1.0 / len(tk), 4) AS avg_token_len,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+    FROM tk
+    """,
+    tags=("textops", "token-count"),
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts, type-token ratio, and a BPE-ish regex
+    token count (letters-run | digits-run | single symbol)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text", tokens(F.col("text")).alias("tk"))
+    n = F.size("tk")
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct("tk")).alias("n_distinct"),
+        r4(F.size(F.array_distinct("tk")) / n).alias("ttr"),
+        r4(F.length(F.regexp_replace("text", " ", "")) / n).alias("avg_token_len"),
+        F.expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+# --- quality scoring ----------------------------------------------------------
+@query(
+    "text_quality",
+    oracle="""
+    WITH tk AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tk FROM documents),
+    m AS (
+        SELECT doc_id, n_chars,
+               len(tk) AS n_tokens,
+               len(list_filter(tk, x -> list_contains(
+                   ['the','a','and','of','to','in','is','on','for','with'], x)))
+                   * 1.0 / len(tk) AS stop_ratio,
+               len(list_distinct(tk)) * 1.0 / len(tk) AS ttr
+        FROM tk
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(stop_ratio, 4) AS stopword_ratio,
+           ROUND(0.4 * least(n_chars / 400.0, 1.0) + 0.3 * (1.0 - stop_ratio) + 0.3 * ttr,
+                 4) AS quality_score,
+           CASE WHEN ROUND(0.4 * least(n_chars / 400.0, 1.0) + 0.3 * (1.0 - stop_ratio)
+                           + 0.3 * ttr, 4) >= 0.75 THEN 'high'
+                WHEN ROUND(0.4 * least(n_chars / 400.0, 1.0) + 0.3 * (1.0 - stop_ratio)
+                           + 0.3 * ttr, 4) >= 0.55 THEN 'medium'
+                ELSE 'low' END AS quality_bucket
+    FROM m
+    """,
+    tags=("textops", "quality"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / stopword / lexical-diversity quality score with a tier
+    ladder — the filter a pretraining pipeline runs before dedup."""
+    stop = LANG_STOPWORDS["en"]
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars", tokens(F.col("text")).alias("tk"))
+    n = F.size("tk")
+    stop_list = ",".join(f"'{w}'" for w in stop)
+    stop_ratio = F.expr(f"size(filter(tk, x -> array_contains(array({stop_list}), x)))") / n
+    ttr = F.size(F.array_distinct("tk")) / n
+    score = r4(
+        F.lit(0.4) * F.least(F.col("n_chars") / F.lit(400.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.3) * ttr
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        r4(stop_ratio).alias("stopword_ratio"),
+        score.alias("quality_score"),
+        F.when(score >= 0.75, "high")
+        .when(score >= 0.55, "medium")
+        .otherwise("low")
+        .alias("quality_bucket"),
+    )
+
+
+# --- language-ID heuristic ----------------------------------------------------
+def _lang_oracle() -> str:
+    hits = ",\n           ".join(
+        "len(list_intersect(dtk, [{}])) AS hits_{}".format(
+            ",".join(f"'{w}'" for w in ws), lang
+        )
+        for lang, ws in LANG_STOPWORDS.items()
+    )
+    gmax = "greatest(" + ", ".join(f"hits_{lang}" for lang in LANG_STOPWORDS) + ")"
+    ladder = "\n                ".join(
+        f"WHEN hits_{lang} = {gmax} THEN '{lang}'" for lang in sorted(LANG_STOPWORDS)
+    )
+    return f"""
+    WITH dtk AS (
+        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS dtk
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, lang,
+           {hits}
+        FROM dtk
+    )
+    SELECT doc_id, lang,
+           CASE {ladder}
+                ELSE 'und' END AS lang_guess,
+           hits_en
+    FROM h
+    """
+
+
+@query("lang_id_heuristic", oracle=_lang_oracle(), tags=("textops", "lang-id"))
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language ID: distinct-token hits against per-language
+    stopword lists, argmax with alphabetical tie-break. The fixture `lang`
+    column rides along for later accuracy EDA (not used in the guess)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.array_distinct(tokens(F.col("text"))).alias("dtk")
+    )
+    hit_cols = []
+    for lang, ws in LANG_STOPWORDS.items():
+        lst = ",".join(f"'{w}'" for w in ws)
+        hit_cols.append(F.expr(f"size(array_intersect(dtk, array({lst})))").alias(f"hits_{lang}"))
+    h = d.select("doc_id", "lang", *hit_cols)
+    gmax = F.greatest(*[F.col(f"hits_{lang}") for lang in LANG_STOPWORDS])
+    guess = None
+    for lang in sorted(LANG_STOPWORDS):
+        cond = F.col(f"hits_{lang}") == gmax
+        guess = F.when(cond, lang) if guess is None else guess.when(cond, lang)
+    guess = guess.otherwise("und")
+    return h.select("doc_id", "lang", guess.alias("lang_guess"), "hits_en")
+
+
+# --- document fingerprinting (content hash + rolling min-hash) ----------------
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS content_hash,
+           list_min(list_transform(range(1, length(text) - 6),
+                                   i -> md5(substr(text, i, 8)))) AS winnow_hash
+    FROM documents
+    """,
+    tags=("textops", "fingerprint"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-content md5 plus a winnowing-style fingerprint: the minimum
+    md5 over all 8-char sliding windows (rolling-hash family; one array
+    expression, no shuffle, no Python)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        F.expr(
+            "array_min(transform(sequence(1, length(text) - 7),"
+            " i -> md5(substring(text, i, 8))))"
+        ).alias("winnow_hash"),
+    )
+
+
+# --- exact dedup on a normalized signature ------------------------------------
+@query(
+    "exact_dedup",
+    oracle="""
+    WITH k AS (
+        SELECT doc_id,
+               md5(list_aggregate(list_sort(list_distinct(string_split(text, ' '))),
+                                  'string_agg', '|')) AS sig
+        FROM documents
+    )
+    SELECT doc_id,
+           sig,
+           MIN(doc_id) OVER (PARTITION BY sig) AS canonical_doc_id,
+           COUNT(*) OVER (PARTITION BY sig) AS group_size,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY sig) AS is_duplicate
+    FROM k
+    """,
+    tags=("textops", "dedup-exact"),
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by hash-groupBy on a normalized signature (sorted
+    distinct token set): canonical row = min doc_id per group. One
+    shuffle on the 128-bit key; at 100 TB this is the standard
+    hash-partitioned exact-dedup pass."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(F.col("text")))), "|")).alias(
+            "sig"
+        ),
+    )
+    w = Window.partitionBy("sig")
+    return d.select(
+        "doc_id",
+        "sig",
+        F.min("doc_id").over(w).alias("canonical_doc_id"),
+        F.count("*").over(w).alias("group_size"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_duplicate"),
+    )
+
+
+# --- multimodal: binary payload + Arrow-batched decode stub -------------------
+@query(
+    "multimodal_features",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS byte_len,
+           ROUND(list_aggregate(list_transform(range(1, length(text) + 1),
+                                               i -> ascii(substr(text, i, 1))),
+                                'avg'), 4) AS mean_byte,
+           length(text) // {FRAME_BYTES} AS n_frames,
+           n_chars % 64 + 1 AS width,
+           n_chars % 48 + 1 AS height
+    FROM documents
+    """,
+    tags=("textops", "multimodal"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing end-to-end: attach an opaque payload +
+    typed metadata, then extract features via Arrow-batched mapInPandas
+    (STUB codec — byte stats in place of pixel decode; see
+    operators/multimodal.py). The oracle recomputes the same features
+    from the ASCII source, proving the binary round-trip is lossless."""
+    feats = decode_features(with_payload(_docs(spark, sf_dir)))
+    return feats.select(
+        "doc_id", "byte_len", r4(F.col("mean_byte")).alias("mean_byte"), "n_frames", "width", "height"
+    )

@@ -1,0 +1,88 @@
+"""Invariants for the training-data-pipeline block: LSH recall floors,
+candidate-set containment guarantees, dedup group sanity, multimodal
+plumbing determinism, and plan-quality gates for the pair generators."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from profitscout_engine_spark.queries import load_registry
+
+REGISTRY = load_registry()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        REGISTRY[name].fn(spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def test_minhash_catches_high_jaccard(spark, sf_dir):
+    """LSH guarantee on this fixture: every pair with true 3-gram Jaccard
+    ≥ 0.6 must surface as a MinHash band candidate (4 bands × 4 rows →
+    P(catch | J=0.6) ≈ 0.42 per band family; the planted near-dups are
+    J ≥ 0.6 and all must be caught)."""
+    jac = REGISTRY["ngram_jaccard_pairs"].fn(spark, sf_dir).toPandas()
+    cand = REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir).toPandas()
+    high = jac[jac.jaccard >= 0.6]
+    missed = set(zip(high.d1, high.d2)) - set(zip(cand.d1, cand.d2))
+    assert not missed, f"minhash LSH missed high-Jaccard pairs: {missed}"
+
+
+def test_lsh_topk_recall_floor(spark, sf_dir):
+    """Approximate ANN must keep a sane fraction of the true top-3."""
+    brute = REGISTRY["cosine_topk"].fn(spark, sf_dir).where("rank <= 3").toPandas()
+    lsh = REGISTRY["cosine_lsh_topk"].fn(spark, sf_dir).toPandas()
+    bset = set(zip(brute.a_id, brute.b_id))
+    recall = len(bset & set(zip(lsh.a_id, lsh.b_id))) / len(bset)
+    assert recall >= 0.35, f"LSH recall@3 collapsed: {recall:.3f}"
+
+
+def test_exact_dedup_group_invariants(spark, sf_dir):
+    df = REGISTRY["exact_dedup"].fn(spark, sf_dir).toPandas()
+    # exactly one canonical (non-duplicate) row per signature group
+    canon = df[~df.is_duplicate].groupby("sig").size()
+    assert (canon == 1).all()
+    assert set(df.groupby("sig").sig.count().index) == set(df.sig)
+    # the canonical row is the min doc_id of its group
+    assert (df.groupby("sig").doc_id.min() == df.groupby("sig").canonical_doc_id.first()).all()
+
+
+def test_multimodal_roundtrip_and_determinism(spark, sf_dir):
+    """Binary payload survives the scan→mapInPandas hop losslessly (ASCII
+    source ⇒ byte_len == n_chars) and the Arrow-batched decode is
+    deterministic run-over-run."""
+    a = REGISTRY["multimodal_features"].fn(spark, sf_dir).toPandas().sort_values("doc_id")
+    b = REGISTRY["multimodal_features"].fn(spark, sf_dir).toPandas().sort_values("doc_id")
+    assert (a.values == b.values).all()
+    from profitscout_engine_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents").selectExpr("doc_id", "length(text) AS L").toPandas()
+    merged = a.merge(docs, on="doc_id")
+    assert (merged.byte_len == merged.L).all()
+
+
+def test_pair_generators_are_equijoins(spark, sf_dir):
+    """The near-dup candidate generators must never cartesian-product the
+    corpus — candidates come from equi-joins on derived keys."""
+    for name in ("minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard_pairs"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_brute_force_cosine_is_broadcast(spark, sf_dir):
+    """The brute-force baseline must broadcast the small side rather than
+    shuffling the corpus."""
+    plan = _plan(spark, sf_dir, "cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_text_queries_stay_jvm_side(spark, sf_dir):
+    """Only the multimodal decode is allowed a Python hop."""
+    for name in ("token_stats", "text_quality", "lang_id_heuristic", "doc_fingerprint",
+                 "exact_dedup", "minhash_lsh_pairs", "simhash_pairs", "cosine_topk"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
