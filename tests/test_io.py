@@ -1,0 +1,146 @@
+"""Sources/sinks (SURVEY §2.1): round-trip and semantics tests for every
+read/write pattern — partition overwrite keeps sibling days, MERGE updates
+matched + inserts unmatched, schema evolution unions fields, keyed docs
+are last-write-wins, guards detect prior runs."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from profitscout_engine_spark.sources import io
+
+D1 = datetime.date(2024, 1, 2)
+D2 = datetime.date(2024, 1, 3)
+
+
+@pytest.fixture()
+def ledger(spark):
+    return spark.createDataFrame(
+        [
+            ("AAPL", D1, 6, None),
+            ("MSFT", D1, 7, None),
+            ("AAPL", D2, 8, None),
+        ],
+        "ticker string, scan_date date, score int, ret double",
+    )
+
+
+def test_partition_overwrite_keeps_other_days(spark, tmp_path, ledger):
+    path = str(tmp_path / "t")
+    io.write_partitioned(ledger, path, "scan_date", ["score", "ticker"])
+    # Re-run day D1 with different rows — D2 must survive untouched.
+    day1 = spark.createDataFrame(
+        [("NVDA", D1, 9, None)], "ticker string, scan_date date, score int, ret double"
+    )
+    io.overwrite_day_partition(day1, path, "scan_date")
+    out = spark.read.parquet(path)
+    assert out.where(F.col("scan_date") == D1).count() == 1
+    assert out.where(F.col("scan_date") == D1).first().ticker == "NVDA"
+    assert out.where(F.col("scan_date") == D2).count() == 1  # untouched
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path, ledger):
+    path = str(tmp_path / "t")
+    ledger.write.parquet(path)
+    updates = spark.createDataFrame(
+        [
+            ("AAPL", D1, None, 4.2),   # matched: sets ret, keeps score (null source col)
+            ("TSLA", D2, 5, -1.0),     # unmatched: inserted
+        ],
+        "ticker string, scan_date date, score int, ret double",
+    )
+    io.merge_upsert(spark, path, updates, keys=["ticker", "scan_date"])
+    out = {(r.ticker, r.scan_date): r for r in spark.read.parquet(path).collect()}
+    assert len(out) == 4
+    assert out[("AAPL", D1)].ret == 4.2 and out[("AAPL", D1)].score == 6
+    assert out[("MSFT", D1)].ret is None
+    assert out[("TSLA", D2)].score == 5
+
+
+def test_merge_upsert_partition_pruned(spark, tmp_path, ledger):
+    path = str(tmp_path / "t")
+    io.write_partitioned(ledger, path, "scan_date", ["ticker"])
+    updates = spark.createDataFrame(
+        [("AAPL", D2, 99, 1.5)], "ticker string, scan_date date, score int, ret double"
+    )
+    io.merge_upsert(spark, path, updates, keys=["ticker", "scan_date"], partition_col="scan_date")
+    out = spark.read.parquet(path)
+    assert out.where((F.col("ticker") == "AAPL") & (F.col("scan_date") == D2)).first().score == 99
+    assert out.where(F.col("scan_date") == D1).count() == 2  # day not rewritten
+
+
+def test_append_evolving_schema_union(spark, tmp_path):
+    path = str(tmp_path / "t")
+    io.append_rows(spark.createDataFrame([(1, "x")], "id long, a string"), path)
+    io.append_evolving(spark.createDataFrame([(2, 3.5)], "id long, b double"), path)
+    out = io.read_evolved(spark, path)
+    assert set(out.columns) == {"id", "a", "b"}
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].a == "x" and rows[1].b is None and rows[2].b == 3.5
+
+
+def test_truncate_load_and_ctas(spark, tmp_path, ledger):
+    path = str(tmp_path / "stage")
+    io.truncate_load(ledger, path)
+    io.truncate_load(ledger.limit(1), path)  # WRITE_TRUNCATE replaces
+    assert spark.read.parquet(path).count() == 1
+
+    io.read_table(spark, path, view="stage_v")
+    arch = io.ctas(spark, "SELECT ticker, score FROM stage_v", str(tmp_path / "arch"))
+    assert arch.columns == ["ticker", "score"]
+    assert spark.read.parquet(str(tmp_path / "arch")).count() == 1
+
+
+def test_universe_reader(spark, tmp_path):
+    p = tmp_path / "universe.txt"
+    p.write_text(" aapl \nMSFT\naapl\n\nnvda\n")
+    out = io.read_universe(spark, str(p))
+    assert sorted(r.ticker for r in out.collect()) == ["AAPL", "MSFT", "NVDA"]
+
+
+def test_json_flatten(spark, tmp_path):
+    p = tmp_path / "chain.json"
+    p.write_text(
+        '{"ticker":"AAPL","details":{"strike_price":190.0,"type":"call"},'
+        '"greeks":{"delta":0.55,"inner":{"gamma":0.1}}}\n'
+    )
+    out = io.read_json_flat(spark, str(p))
+    row = out.first()
+    assert row["details_strike_price"] == 190.0
+    assert row["greeks_inner_gamma"] == 0.1
+    assert row["ticker"] == "AAPL"
+
+
+def test_csv_round_trip(spark, tmp_path, ledger):
+    path = str(tmp_path / "csv")
+    io.write_csv(ledger.select("ticker", "score"), path)
+    back = io.read_csv(spark, path)
+    assert back.count() == 3 and set(back.columns) == {"ticker", "score"}
+
+
+def test_keyed_document_sink(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("2024-01-02", "AAPL", 1), ("2024-01-02", "AAPL", 2), ("2024-01-03", "MSFT", 3)],
+        "d string, ticker string, v int",
+    )
+    path = str(tmp_path / "docs")
+    io.write_keyed_documents(df, path, key_cols=["d", "ticker"])
+    out = spark.read.parquet(path)
+    assert out.count() == 2  # one doc per composite key
+    assert set(r.doc_id for r in out.collect()) == {"2024-01-02_AAPL", "2024-01-03_MSFT"}
+
+
+def test_verify_columns_and_guard(spark, tmp_path, ledger):
+    ok = io.verify_columns(ledger, {"ticker": "string", "score": "int"})
+    assert all(ok.values())
+    bad = io.verify_columns(ledger, {"missing": "string", "score": "double"})
+    assert not any(bad.values())
+
+    path = str(tmp_path / "t")
+    assert io.already_ran(spark, path, "scan_date", D1) is False  # no table yet
+    io.write_partitioned(ledger, path, "scan_date", ["ticker"])
+    assert io.already_ran(spark, path, "scan_date", D1) is True
+    assert io.already_ran(spark, path, "scan_date", datetime.date(2030, 1, 1)) is False
