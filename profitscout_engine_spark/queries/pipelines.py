@@ -156,17 +156,11 @@ def scanner_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "scanner_rank",
-    oracle=_SCANNER_ORACLE,
-    tags=("A1", "A2", "A3", "J1", "J2", "T1", "P2", "S1"),
-)
-def scanner_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: full scanner pipeline → boosted scores → top-10."""
+def scanner_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scanner frame (flow → score → dims → cluster boost), pre-rank."""
     scored = scanner_flow(spark, sf_dir)
     boosted = apply_cluster_boost(scored, ["nation", "direction"], score_col="score")
-    return (
-        boosted.select(
+    return boosted.select(
             "suppkey",
             "s_name",
             "nation",
@@ -181,10 +175,309 @@ def scanner_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("call_active_strikes").cast("long").alias("call_active_strikes"),
             F.col("put_active_strikes").cast("long").alias("put_active_strikes"),
         )
+
+
+@query(
+    "scanner_rank",
+    oracle=_SCANNER_ORACLE,
+    tags=("A1", "A2", "A3", "J1", "J2", "T1", "P2", "S1"),
+)
+def scanner_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full scanner pipeline → boosted scores → top-10."""
+    return (
+        scanner_boosted(spark, sf_dir)
         .orderBy(
             F.desc("score"),
             F.desc(F.col("call_dollar_vol") + F.col("put_dollar_vol")),
             F.asc("suppkey"),
         )
         .limit(10)
+    )
+
+
+# --- §3.2: enrichment pipeline — signals ⋈ technicals ⋈ news + derived fields -
+_SCANNER_BOOSTED_SQL = _SCANNER_ORACLE.rsplit("ORDER BY", 1)[0]
+
+_ENRICHMENT_ORACLE = f"""
+    WITH signals AS (
+        SELECT * FROM ({_SCANNER_BOOSTED_SQL}) WHERE score >= 3
+    ),
+    ordered AS (
+        SELECT l_suppkey,
+               l_extendedprice * (1 - l_discount) AS notional,
+               ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                  ORDER BY l_shipdate DESC, l_orderkey DESC,
+                                           l_linenumber DESC) AS rn
+        FROM lineitem
+    ),
+    tech AS (
+        SELECT l_suppkey,
+               ROUND(AVG(CASE WHEN rn <= 5 THEN notional END), 2) AS sma5,
+               ROUND(MAX(notional), 2) AS hi,
+               ROUND(MIN(notional), 2) AS lo,
+               ROUND(MAX(CASE WHEN rn = 1 THEN notional END), 2) AS last_px
+        FROM ordered GROUP BY l_suppkey
+    ),
+    news AS (
+        SELECT s_nationkey,
+               ROUND(AVG(s_acctbal), 2) AS nation_balance,
+               CASE WHEN AVG(s_acctbal) >= 5000 THEN 'positive'
+                    WHEN AVG(s_acctbal) >= 1000 THEN 'neutral'
+                    ELSE 'negative' END AS sentiment
+        FROM supplier GROUP BY s_nationkey
+    )
+    SELECT sig.suppkey, sig.direction, sig.score,
+           t.sma5, t.hi, t.lo, t.last_px,
+           n.sentiment, n.nation_balance,
+           ROUND(CASE WHEN sig.direction = 'BULLISH'
+                      THEN (t.hi - t.last_px) / GREATEST(t.last_px - t.lo, 1.0)
+                      ELSE (t.last_px - t.lo) / GREATEST(t.hi - t.last_px, 1.0)
+                 END, 4) AS risk_reward,
+           (sig.score >= 4 AND t.hi > t.sma5 * 1.5) AS is_premium,
+           (CASE WHEN t.sma5 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN n.sentiment = 'positive' THEN 1 ELSE 0 END
+            + CASE WHEN sig.score >= 4 THEN 1 ELSE 0 END
+            + CASE WHEN t.hi > t.sma5 * 1.5 THEN 1 ELSE 0 END) AS enrichment_quality
+    FROM signals sig
+    LEFT JOIN supplier s ON s.s_suppkey = sig.suppkey
+    LEFT JOIN tech t ON t.l_suppkey = sig.suppkey
+    LEFT JOIN news n ON n.s_nationkey = s.s_nationkey
+"""
+
+
+@query(
+    "enrichment_pipeline",
+    oracle=_ENRICHMENT_ORACLE,
+    tags=("J3", "J1", "P11", "W6", "pipeline-3.2"),
+)
+def enrichment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 enrichment composed end-to-end: scanner signals (score ≥ 3)
+    left-joined with a per-entity technical snapshot (ordered-window
+    last/SMA-5/extrema over lineitem) and a broadcast nation-sentiment
+    dim, then derived risk/reward + premium + quality-ladder fields —
+    the signals ⋈ technicals ⋈ news shape of enrichment-trigger/main.py
+    (join :629-637, risk fields :458-576, premium :579-614)."""
+    from pyspark.sql import Window
+
+    signals = scanner_boosted(spark, sf_dir).where(F.col("score") >= 3)
+
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("l_shipdate"), F.desc("l_orderkey"), F.desc("l_linenumber")
+    )
+    ordered = (
+        li.select(
+            "l_suppkey",
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("notional"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .select("l_suppkey", "notional", "rn")
+    )
+    tech = ordered.groupBy("l_suppkey").agg(
+        r2(F.avg(F.when(F.col("rn") <= 5, F.col("notional")))).alias("sma5"),
+        r2(F.max("notional")).alias("hi"),
+        r2(F.min("notional")).alias("lo"),
+        r2(F.max(F.when(F.col("rn") == 1, F.col("notional")))).alias("last_px"),
+    )
+
+    supp = t(spark, sf_dir, "supplier")
+    news = supp.groupBy("s_nationkey").agg(
+        r2(F.avg("s_acctbal")).alias("nation_balance"),
+        F.when(F.avg("s_acctbal") >= 5000, "positive")
+        .when(F.avg("s_acctbal") >= 1000, "neutral")
+        .otherwise("negative")
+        .alias("sentiment"),
+    )
+
+    from ..exprs import r4 as _r4
+
+    rr = F.when(
+        F.col("direction") == "BULLISH",
+        (F.col("hi") - F.col("last_px")) / F.greatest(F.col("last_px") - F.col("lo"), F.lit(1.0)),
+    ).otherwise(
+        (F.col("last_px") - F.col("lo")) / F.greatest(F.col("hi") - F.col("last_px"), F.lit(1.0))
+    )
+    premium = (F.col("score") >= 4) & (F.col("hi") > F.col("sma5") * 1.5)
+    quality = (
+        F.when(F.col("sma5").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("sentiment") == "positive", 1).otherwise(0)
+        + F.when(F.col("score") >= 4, 1).otherwise(0)
+        + F.when(F.col("hi") > F.col("sma5") * 1.5, 1).otherwise(0)
+    )
+    return (
+        signals.join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            F.col("suppkey") == F.col("s_suppkey"),
+            "left",
+        )
+        .join(tech, F.col("suppkey") == F.col("l_suppkey"), "left")
+        .join(F.broadcast(news), "s_nationkey", "left")
+        .select(
+            "suppkey",
+            "direction",
+            "score",
+            "sma5",
+            "hi",
+            "lo",
+            "last_px",
+            "sentiment",
+            "nation_balance",
+            _r4(rr).alias("risk_reward"),
+            premium.alias("is_premium"),
+            quality.alias("enrichment_quality"),
+        )
+    )
+
+
+# --- §3.3: trader pipeline — cohort gate → dedup → scenarios → exits → rollup -
+@query(
+    "trader_pipeline",
+    oracle="""
+    WITH trades0 AS (
+        SELECT event_id AS trade_id, user_id AS trade_user, ts AS entry_ts,
+               value + 10 AS entry_price,
+               (value + 10) * 1.05 AS target_price,
+               (value + 10) * 0.95 AS stop_price,
+               ts + INTERVAL 2 DAY AS timeout_ts
+        FROM events WHERE event_type = 'signup'
+    ),
+    cohort AS (
+        SELECT * FROM (
+            SELECT t.*,
+                   ROW_NUMBER() OVER (PARTITION BY trade_user, CAST(entry_ts AS DATE)
+                                      ORDER BY entry_price DESC, trade_id) AS rn
+            FROM trades0 t WHERE entry_price >= 11
+        ) WHERE rn = 1
+    ),
+    sc AS (
+        SELECT c.*, s.scenario,
+               c.entry_price * (1 + s.entry_slip) AS filled_entry,
+               c.target_price * (1 - s.exit_haircut) AS eff_target
+        FROM cohort c
+        CROSS JOIN (VALUES ('base', 0.02, 0.0), ('stress', 0.05, 0.05))
+             AS s(scenario, entry_slip, exit_haircut)
+    ),
+    agg AS (
+        SELECT sc.trade_id, sc.scenario,
+               MIN(CASE WHEN b.low <= sc.stop_price THEN b.ts END) AS stop_ts,
+               MIN(CASE WHEN b.high >= sc.eff_target THEN b.ts END) AS target_ts,
+               max_by(b.close, b.ts) AS last_close
+        FROM sc
+        LEFT JOIN (
+            SELECT user_id, ts,
+                   (value + 10) * 1.02 AS high,
+                   (value + 10) * 0.98 AS low,
+                   value + 10 AS close
+            FROM events
+        ) b ON b.user_id = sc.trade_user
+           AND b.ts > sc.entry_ts AND b.ts <= sc.timeout_ts
+        GROUP BY sc.trade_id, sc.scenario
+    ),
+    resolved AS (
+        SELECT sc.scenario,
+               CASE WHEN a.stop_ts IS NOT NULL
+                         AND (a.target_ts IS NULL OR a.stop_ts <= a.target_ts)
+                    THEN 'stop'
+                    WHEN a.target_ts IS NOT NULL THEN 'target'
+                    ELSE 'timeout' END AS exit_reason,
+               (CASE WHEN a.stop_ts IS NOT NULL
+                          AND (a.target_ts IS NULL OR a.stop_ts <= a.target_ts)
+                     THEN sc.stop_price
+                     WHEN a.target_ts IS NOT NULL THEN sc.eff_target
+                     ELSE COALESCE(a.last_close, sc.filled_entry) END
+                - sc.filled_entry) / sc.filled_entry * 100 AS ret
+        FROM sc JOIN agg a ON a.trade_id = sc.trade_id AND a.scenario = sc.scenario
+    )
+    SELECT scenario,
+           COUNT(*) AS n_trades,
+           ROUND(AVG(CASE WHEN exit_reason = 'target' THEN 1.0 ELSE 0.0 END), 4) AS win_rate,
+           ROUND(AVG(CASE WHEN exit_reason = 'stop' THEN 1.0 ELSE 0.0 END), 4) AS stop_rate,
+           ROUND(AVG(CASE WHEN exit_reason = 'timeout' THEN 1.0 ELSE 0.0 END), 4) AS timeout_rate,
+           ROUND(AVG(ret), 4) AS ev_pct,
+           ROUND(MEDIAN(ret), 4) AS median_pct
+    FROM resolved
+    GROUP BY scenario
+    """,
+    tags=("P3", "W12", "W13", "A15", "pipeline-3.3"),
+)
+def trader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 forward-paper-trader composed end-to-end: liquidity-gated
+    cohort (P2/P3) → dedup-rank one trade per entity-day (W12) →
+    scenario fan-out (UDTF shape) → relational bracket-exit resolution
+    with stop-first intrabar rule (W13) → per-scenario sweep rollup
+    (A15: n, win/stop/timeout rates, EV, median) — the
+    forward-paper-trader/main.py:139-337 / run_sweep.py:115-305 shape."""
+    from pyspark.sql import Window
+
+    from .execution import _price_bars, _trades
+
+    trades = _trades(spark, sf_dir).where(F.col("entry_price") >= 11)
+    w_dedup = Window.partitionBy("trade_user", F.col("entry_ts").cast("date")).orderBy(
+        F.desc("entry_price"), F.asc("trade_id")
+    )
+    cohort = (
+        trades.withColumn("rn", F.row_number().over(w_dedup)).where(F.col("rn") == 1).drop("rn")
+    )
+    scenarios = F.array(
+        F.struct(F.lit("base").alias("scenario"), F.lit(0.02).alias("entry_slip"), F.lit(0.0).alias("exit_haircut")),
+        F.struct(F.lit("stress").alias("scenario"), F.lit(0.05).alias("entry_slip"), F.lit(0.05).alias("exit_haircut")),
+    )
+    sc = (
+        cohort.withColumn("s", F.explode(scenarios))
+        .select(
+            "*",
+            F.col("s.scenario").alias("scenario"),
+            (F.col("entry_price") * (1 + F.col("s.entry_slip"))).alias("filled_entry"),
+            (F.col("target_price") * (1 - F.col("s.exit_haircut"))).alias("eff_target"),
+        )
+        .drop("s")
+    )
+    bars = _price_bars(spark, sf_dir)
+    joined = sc.join(
+        bars,
+        (bars["user_id"] == sc["trade_user"])
+        & (bars["ts"] > sc["entry_ts"])
+        & (bars["ts"] <= sc["timeout_ts"]),
+        "left",
+    )
+    agg = joined.groupBy("trade_id", "scenario").agg(
+        F.min(F.when(F.col("low") <= F.col("stop_price"), F.col("ts"))).alias("stop_ts"),
+        F.min(F.when(F.col("high") >= F.col("eff_target"), F.col("ts"))).alias("target_ts"),
+        F.expr("max_by(close, ts)").alias("last_close"),
+        F.first("filled_entry").alias("filled_entry"),
+        F.first("eff_target").alias("eff_target2"),
+        F.first("stop_price").alias("stop_price"),
+    )
+    stop_first = F.col("stop_ts").isNotNull() & (
+        F.col("target_ts").isNull() | (F.col("stop_ts") <= F.col("target_ts"))
+    )
+    exit_reason = (
+        F.when(stop_first, "stop")
+        .when(F.col("target_ts").isNotNull(), "target")
+        .otherwise("timeout")
+    )
+    exit_price = (
+        F.when(stop_first, F.col("stop_price"))
+        .when(F.col("target_ts").isNotNull(), F.col("eff_target2"))
+        .otherwise(F.coalesce(F.col("last_close"), F.col("filled_entry")))
+    )
+    resolved = agg.select(
+        "scenario",
+        exit_reason.alias("exit_reason"),
+        ((exit_price - F.col("filled_entry")) / F.col("filled_entry") * 100).alias("ret"),
+    )
+    from ..exprs import r4 as _r4
+
+    return resolved.groupBy("scenario").agg(
+        F.count("*").alias("n_trades"),
+        _r4(F.avg(F.when(F.col("exit_reason") == "target", 1.0).otherwise(0.0))).alias("win_rate"),
+        _r4(F.avg(F.when(F.col("exit_reason") == "stop", 1.0).otherwise(0.0))).alias("stop_rate"),
+        _r4(F.avg(F.when(F.col("exit_reason") == "timeout", 1.0).otherwise(0.0))).alias(
+            "timeout_rate"
+        ),
+        _r4(F.avg("ret")).alias("ev_pct"),
+        _r4(F.median("ret")).alias("median_pct"),
     )

@@ -451,3 +451,34 @@ def pct_change_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
             "guarded_unit_price"
         ),
     )
+
+
+# --- P10: JSON extraction from wrapped text -----------------------------------
+@query(
+    "json_extraction",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(
+               regexp_extract('```json' || chr(10) || props || chr(10) || '```',
+                              '\\{.*\\}', 0),
+               '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_direct
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    tags=("P10",),
+)
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-output JSON extraction (P10): wrap the payload in ``` fences the
+    way model output arrives, strip via bracket-bounded regexp_extract, then
+    from_json with an explicit schema; plus direct get_json_object. The
+    fence round-trip proves the cleanup path; both stay JVM-side
+    (enrichment-trigger/main.py:171-192; agent-arena/agents.py:182-210)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    fenced = F.concat(F.lit("```json\n"), F.col("props"), F.lit("\n```"))
+    cleaned = F.regexp_extract(fenced, r"\{.*\}", 0)
+    return ev.select(
+        "event_id",
+        F.from_json(cleaned, "k bigint").getField("k").alias("k"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_direct"),
+    )

@@ -125,6 +125,28 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- custom stateful streaming: incremental per-user totals -------------------
+@query(
+    "stateful_user_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState incremental aggregation driven to completion:
+    the final per-key GroupState must equal the batch groupBy — the
+    'process each row once' incremental-backfill contract, oracle-checked."""
+    from ..streaming.stateful import run_stateful_totals
+
+    out = run_stateful_totals(spark, sf_dir)
+    return out.select("user_id", "n_events", r2(F.col("total_value")).alias("total_value"))
+
+
 # --- streaming-window extension: session windows (30-min gap) -----------------
 @query(
     "session_windows",

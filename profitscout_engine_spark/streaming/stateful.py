@@ -1,0 +1,95 @@
+"""Custom stateful streaming operators (SURVEY §2.9 extensions).
+
+The reference's incremental patterns — `performance_updated IS NULL`
+state tracking (win-tracker/main.py:457-458), process-each-row-once
+backfills — become ``applyInPandasWithState``: per-key state that
+survives micro-batches, updated with Arrow-batched pandas.
+
+Scale: state lives in the state store partitioned by key (RocksDB/HDFS
+on a cluster); each micro-batch shuffles only new rows to their key's
+partition. The pandas hop touches one key-group per call.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def incremental_user_totals(events: DataFrame) -> DataFrame:
+    """Running per-user (n_events, total_value) maintained in GroupState.
+
+    Each micro-batch folds its rows into the key's persisted state and
+    emits the updated running totals — the streaming twin of an
+    incremental `groupBy(user).agg(count, sum)` that never reprocesses
+    old rows (the reference's performance_updated-IS-NULL pattern)."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def windowed_counts_append(events: DataFrame, width: str = "1 hour", late: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling counts in APPEND mode: a window only emits
+    once the watermark passes its end, and events older than the
+    watermark are dropped — the streaming form of the reference's
+    '>3-days-stale scan is skipped' policy."""
+    return (
+        events.withWatermark("ts", late)
+        .groupBy(F.window("ts", width).alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("window_start"), "n")
+    )
+
+
+def run_stateful_totals(spark, sf_dir: str) -> DataFrame:
+    """Drive :func:`incremental_user_totals` to completion (AvailableNow,
+    memory sink, update mode) and return the LAST emitted state per user
+    — after the final batch this equals the batch `groupBy` totals."""
+    import tempfile
+
+    from . import stream_events
+
+    events = stream_events(spark, sf_dir, with_watermark=None)
+    out = incremental_user_totals(events)
+    name = f"stateful_{next(tempfile._get_candidate_names())}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sink = spark.table(name)
+    # update-mode sink holds one row per (user, batch-it-changed-in);
+    # running totals are monotone in n_events → latest = max n_events.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )

@@ -1,0 +1,112 @@
+"""Stateful-streaming semantics: GroupState survives micro-batches,
+watermarks drop late data in append mode, and the stateful query's final
+state equals the batch aggregation (also oracle-checked in
+test_correctness via `stateful_user_totals`)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from profitscout_engine_spark.catalog import table
+from profitscout_engine_spark.streaming.stateful import (
+    incremental_user_totals,
+    windowed_counts_append,
+)
+
+
+def _run_stream(df, output_mode: str, name: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def _staged_files(spark, tmp_path, frames):
+    """Write each frame as one parquet file with increasing mtimes so the
+    file stream consumes them in order, one per micro-batch."""
+    root = str(tmp_path / "stream_src")
+    os.makedirs(root)
+    for i, df in enumerate(frames):
+        part = str(tmp_path / f"part{i}")
+        df.coalesce(1).write.parquet(part)
+        src = next(
+            os.path.join(part, f) for f in os.listdir(part) if f.endswith(".parquet")
+        )
+        dst = os.path.join(root, f"{i:04d}.parquet")
+        os.rename(src, dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+    return root
+
+
+def test_state_survives_micro_batches(spark, sf_dir, tmp_path):
+    """Split events into 3 chronological chunks → 3 micro-batches; the
+    final GroupState per user must equal the one-shot batch totals."""
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    chunks = [
+        ev.where(F.col("event_id") % 3 == i).withColumn("ts", F.col("ts").cast("timestamp"))
+        for i in range(3)
+    ]
+    root = _staged_files(spark, tmp_path, chunks)
+
+    stream = (
+        spark.readStream.schema(chunks[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+    )
+    _run_stream(incremental_user_totals(stream), "update", "state_batches")
+    sink = spark.table("state_batches")
+
+    # state grew across batches: users emitted in >1 batch have >1 row
+    multi = sink.groupBy("user_id").count().where("count > 1").count()
+    assert multi > 0, "expected per-user updates across multiple micro-batches"
+
+    final = (
+        sink.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    batch = ev.groupBy("user_id").agg(F.count("*").alias("n_b"))
+    diff = (
+        final.join(batch, "user_id")
+        .where(F.col("n_events") != F.col("n_b"))
+        .count()
+    )
+    assert diff == 0
+    assert final.count() == batch.count()
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """Append-mode guarantee: once the watermark finalizes a window (its
+    state is emitted + evicted), a straggler for that window is dropped —
+    the window appears exactly once, without the late row.
+
+    Batch timeline (1 file per micro-batch, watermark = max(ts) − 1 h of
+    PRIOR batches): after batch 2 the watermark is 12:30, finalizing
+    [10:00, 11:00) with ONE row; batch 3's 10:45 straggler arrives below
+    the watermark for an evicted window and must vanish."""
+    mk = lambda rows: spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
+    import datetime
+
+    T = lambda h, m=0: datetime.datetime(2024, 1, 1, h, m)
+    batch1 = mk([(T(10, 15), 1, 1.0), (T(12, 0), 2, 1.0)])
+    batch2 = mk([(T(13, 30), 3, 1.0)])           # wm 11:00 during → emits [10,11)
+    batch3 = mk([(T(10, 45), 4, 1.0), (T(15, 0), 5, 1.0)])  # straggler + flush
+    root = _staged_files(spark, tmp_path, [batch1, batch2, batch3])
+
+    stream = (
+        spark.readStream.schema(batch1.schema).option("maxFilesPerTrigger", 1).parquet(root)
+    )
+    _run_stream(windowed_counts_append(stream), "append", "late_data")
+    rows = spark.table("late_data").collect()
+    emitted = [(r.window_start, r.n) for r in rows]
+
+    # [10:00,11:00) finalized exactly once, WITHOUT the 10:45 straggler.
+    ten = [n for ws, n in emitted if ws == T(10)]
+    assert ten == [1], f"late row leaked into finalized window: {emitted}"
