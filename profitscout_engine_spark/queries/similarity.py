@@ -429,11 +429,17 @@ def ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("c_label"),
         F.expr("transform(centroid, x -> floor(x * 1e6 + 0.5) / 1e6)").alias("c"),
     )
+    # Fold-based L2 (not the unrolled form): only n_vec × n_centroid rows
+    # flow through it, so interpreted higher-order eval is cheap — and it
+    # keeps the 128-term expression out of Catalyst canonicalization.
+    l2 = F.sqrt(
+        F.expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (a, z) -> a + z)")
+    )
     d = e.crossJoin(F.broadcast(cents_r)).select(
         "vec_id",
         "label",
         "c_label",
-        r4(sim.l2_distance("v", "c")).alias("dist"),
+        r4(l2).alias("dist"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("c_label"))
     return (
