@@ -1,0 +1,91 @@
+"""Skew mitigation: salted aggregation and salted joins.
+
+At 100 TB the hot keys (SPY-sized tickers, stop-shingles, empty-string
+buckets) overwhelm single reducers. AQE's skew-join splitting handles
+sort-merge joins at runtime; salting is the portable, plan-level fix that
+also covers aggregations:
+
+- ``salted_aggregate``: two-phase decomposable aggregation — partials on
+  (key, salt), final re-combine on key. The hot key's rows spread over
+  ``buckets`` reducers in phase 1; phase 2 touches ``buckets`` rows per
+  key, not the raw row count.
+- ``salted_join``: the probe side is salted with a deterministic hash,
+  the (small, hot-key-heavy) build side is replicated once per salt
+  bucket; the equi-join on (key, salt) spreads each hot key across
+  ``buckets`` tasks. Result is row-for-row identical to the unsalted
+  join.
+
+Salts are ``xxhash64``-derived (never ``rand()``): task retries and
+partition changes reproduce the same assignment.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT = "_salt"
+
+
+def _salt_col(df: DataFrame, buckets: int) -> Column:
+    """Deterministic per-row salt: hash of the whole row (no RNG)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    sums: Sequence[str] = (),
+    count: str | None = None,
+    mins: Sequence[str] = (),
+    maxs: Sequence[str] = (),
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase SUM/COUNT/MIN/MAX aggregation immune to key skew.
+
+    Phase 1 groups on (keys…, salt) — partial per bucket; phase 2 folds
+    the ≤``buckets`` partials per key. Only decomposable aggregates are
+    offered because only they re-combine losslessly.
+    """
+    partial_aggs = (
+        [F.sum(c).alias(f"_s_{c}") for c in sums]
+        + ([F.count("*").alias("_cnt")] if count else [])
+        + [F.min(c).alias(f"_mn_{c}") for c in mins]
+        + [F.max(c).alias(f"_mx_{c}") for c in maxs]
+    )
+    final_aggs = (
+        [F.sum(f"_s_{c}").alias(f"sum_{c}") for c in sums]
+        + ([F.sum("_cnt").alias(count)] if count else [])
+        + [F.min(f"_mn_{c}").alias(f"min_{c}") for c in mins]
+        + [F.max(f"_mx_{c}").alias(f"max_{c}") for c in maxs]
+    )
+    partial = (
+        df.withColumn(SALT, _salt_col(df, buckets))
+        .groupBy(*keys, SALT)
+        .agg(*partial_aggs)
+    )
+    return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    how: str = "inner",
+    buckets: int = 8,
+) -> DataFrame:
+    """Equi-join with the probe's hot keys spread across salt buckets.
+
+    ``build`` (the smaller relation) is exploded ×``buckets``; ``probe``
+    rows get one deterministic salt each; joining on (key, salt) yields
+    exactly the unsalted join's rows while no reducer sees more than
+    ~1/``buckets`` of any key.
+    """
+    salted_probe = probe.withColumn(SALT, _salt_col(probe, buckets))
+    replicated = build.withColumn(
+        SALT, F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    joined = salted_probe.join(replicated, on=[on, SALT], how=how)
+    return joined.drop(SALT)

@@ -1,0 +1,82 @@
+"""Salting equivalence: the skew-mitigated plans must return exactly the
+rows/values of their naive forms (the whole point — same answer, spread
+reducers)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from profitscout_engine_spark.catalog import table
+from profitscout_engine_spark.operators.skew import salted_aggregate, salted_join
+
+
+def test_salted_aggregate_equals_plain(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    salted = (
+        salted_aggregate(
+            li.select("l_returnflag", "l_quantity", "l_extendedprice"),
+            keys=["l_returnflag"],
+            sums=["l_quantity"],
+            count="n",
+            mins=["l_extendedprice"],
+            maxs=["l_extendedprice"],
+            buckets=16,
+        )
+        .toPandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    plain = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum("l_quantity").alias("sum_l_quantity"),
+            F.count("*").alias("n"),
+            F.min("l_extendedprice").alias("min_l_extendedprice"),
+            F.max("l_extendedprice").alias("max_l_extendedprice"),
+        )
+        .toPandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    assert (salted["l_returnflag"] == plain["l_returnflag"]).all()
+    assert (salted["n"] == plain["n"]).all()
+    assert (salted["sum_l_quantity"] == plain["sum_l_quantity"]).all()  # integral → exact
+    assert (salted["min_l_extendedprice"] == plain["min_l_extendedprice"]).all()
+    assert (salted["max_l_extendedprice"] == plain["max_l_extendedprice"]).all()
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    supp = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    salted = (
+        salted_join(li, supp, on="l_suppkey", buckets=8)
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+        .toPandas()
+        .sort_values("l_suppkey")
+        .reset_index(drop=True)
+    )
+    plain = (
+        li.join(supp, "l_suppkey")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+        .toPandas()
+        .sort_values("l_suppkey")
+        .reset_index(drop=True)
+    )
+    assert (salted["n"] == plain["n"]).all()
+    assert (salted["q"] == plain["q"]).all()
+    assert len(salted) == len(plain)
+
+
+def test_salted_join_outer_semantics(spark):
+    """Left join: probe rows with no build match survive exactly once."""
+    probe = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    build = spark.createDataFrame([(1, "X")], "k int, w string")
+    out = salted_join(probe, build, on="k", how="left", buckets=4).toPandas()
+    assert len(out) == 3
+    matched = out[out.k == 1]
+    assert len(matched) == 1 and matched.iloc[0].w == "X"
+    assert out[out.k == 2].iloc[0].w is None
