@@ -36,7 +36,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
-    for name in sorted(registry):
+    for i, name in enumerate(sorted(registry)):
+        if i % 8 == 0:
+            # Long single-session suites degrade without this: unreferenced
+            # broadcasts/shuffles are only reclaimed when the DRIVER GCs
+            # (ContextCleaner is weak-ref driven), so block-manager state
+            # piles up and later queries pay for it. Forcing a JVM GC a few
+            # times keeps per-query numbers measuring the plan, not debris.
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
         fn = registry[name].fn
         t0 = time.time()
         # noop sink: executes the COMPLETE plan (scan → shuffle → every

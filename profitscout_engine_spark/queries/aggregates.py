@@ -517,3 +517,40 @@ def union_all_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- scale-path sketches: approximate distinct + quantiles --------------------
+# (SURVEY §2.4 notes the reference has no approximate aggregates; at 100 TB
+# the exact forms (sort-based percentile, full COUNT DISTINCT shuffle) are
+# the bottleneck, and the HLL/KLL sketches are the operators you actually
+# run. No cross-engine oracle — sketch internals differ — so the driver
+# records rows-only and pytest pins the error envelope vs the exact twins.)
+@query("approx_distinct_sketch", oracle=None, tags=("A19", "approx"))
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct parts per supplier (rsd 2%) — one pass, fixed
+    memory per group, vs the exact shuffle-dedup twin."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )
+
+
+@query("approx_quantile_sketch", oracle=None, tags=("A13", "approx"))
+def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (accuracy 10k) per return flag — mergeable
+    sketch, no per-group sort buffer."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)"
+            ).alias("q")
+        )
+        .select(
+            "l_returnflag",
+            r4(F.col("q")[0]).alias("q25"),
+            r4(F.col("q")[1]).alias("med"),
+            r4(F.col("q")[2]).alias("q75"),
+        )
+    )

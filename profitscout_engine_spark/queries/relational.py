@@ -482,3 +482,63 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_json(cleaned, "k bigint").getField("k").alias("k"),
         F.get_json_object("props", "$.k").cast("bigint").alias("k_direct"),
     )
+
+
+# --- T4: top-N per partition ---------------------------------------------------
+@query(
+    "top_n_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS total
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    )
+    WHERE rn <= 5
+    """,
+    tags=("T4",),
+)
+def top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 rows per partition (report generator's top-5-per-direction,
+    overnight-report-generator/main.py:147-149) — rank ties broken by key
+    so both engines pick identical rows."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("o_orderpriority", "o_orderkey", r2(F.col("o_totalprice")).alias("total"))
+    )
+
+
+# --- T3: two-key sort + limit --------------------------------------------------
+@query(
+    "two_key_sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_orderstatus,
+           ROUND(o_totalprice, 2) AS total
+    FROM orders
+    ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+    LIMIT 15
+    """,
+    tags=("T3",),
+)
+def two_key_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY two keys LIMIT n (arena's quality-then-score top-15,
+    agent-arena/main.py:65-67) — TakeOrderedAndProject, no full sort."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.asc("o_orderpriority"), F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(15)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_orderstatus",
+            r2(F.col("o_totalprice")).alias("total"),
+        )
+    )

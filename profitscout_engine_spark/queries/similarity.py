@@ -129,7 +129,7 @@ def _simhash_oracle() -> str:
     ),
     sig AS (SELECT doc_id, {build} AS simhash FROM bits)
     SELECT a.doc_id AS d1, b.doc_id AS d2,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_RADIUS}
     """
@@ -243,7 +243,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("d1"),
             F.col("b.doc_id").alias("d2"),
-            tx.hamming(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+            tx.hamming(F.col("a.simhash"), F.col("b.simhash")).cast("long").alias("hamming"),
         )
         .dropDuplicates(["d1", "d2"])
     )

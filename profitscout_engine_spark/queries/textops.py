@@ -32,7 +32,12 @@ LANG_STOPWORDS = {
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return t(spark, sf_dir, "documents")
+    """documents, fanned out to full parallelism: the fixture parquet is a
+    single split and every query here is CPU-heavy per row (md5 windows,
+    shingling, regex) — one round-robin shuffle of the small doc table
+    buys 32× map parallelism."""
+    par = spark.sparkContext.defaultParallelism
+    return t(spark, sf_dir, "documents").repartition(par)
 
 
 # --- token counting: whitespace + BPE-ish regex -------------------------------
