@@ -136,3 +136,58 @@ def simulate_paths_tiered(
     # CPU-bound Python sims onto one core (see indicators.py).
     par = spark.sparkContext.defaultParallelism
     return drawn.repartition(par, "sim_id").groupBy("sim_id").applyInPandas(walk, schema)
+
+
+def simulate_paths_pooled(
+    pool_df: DataFrame,
+    return_col: str,
+    order_col: str,
+    n_sims: int,
+    trades_per_sim: int,
+    capital0: float = 10_000.0,
+    bet_fraction: float = 0.075,
+    ruin_level: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Fixed-fraction Monte Carlo bootstrapping from a DISTRIBUTED pool.
+
+    Unlike :func:`simulate_paths` (literal-array pool), the empirical
+    return pool stays a DataFrame end-to-end — no ``collect`` anywhere:
+    the pool gets a dense draw index (row_number over a deterministic
+    order), the (sim × seq) grid derives its draw as
+    ``xxhash64 % pool_size`` (pool_size arrives via a 1-row cross join,
+    never the driver), and a broadcast equi-join resolves draws to
+    returns. At 100 TB the pool is a table; only the index join touches
+    it. Draws are partition-independent, so results are reproducible
+    regardless of cluster layout.
+    """
+    spark = pool_df.sparkSession
+    w_idx = Window.orderBy(order_col)
+    pool = pool_df.select(
+        (F.row_number().over(w_idx) - 1).alias("_idx"),
+        (F.col(return_col) / 100.0).alias("_ret"),
+    )
+    n_row = pool.agg(F.count("*").alias("_n"))
+
+    grid = (
+        spark.range(n_sims)
+        .withColumnRenamed("id", "sim_id")
+        .select("sim_id", F.explode(F.sequence(F.lit(1), F.lit(trades_per_sim))).alias("seq"))
+        .crossJoin(F.broadcast(n_row))
+    )
+    draw = F.pmod(F.xxhash64(F.col("sim_id"), F.col("seq"), F.lit(seed)), F.col("_n")).cast("int")
+    drawn = grid.withColumn("_idx", draw).join(F.broadcast(pool), "_idx")
+
+    w = Window.partitionBy("sim_id").orderBy("seq").rowsBetween(Window.unboundedPreceding, 0)
+    log_growth = F.log1p(F.lit(bet_fraction) * F.col("_ret"))
+    path = (
+        drawn.withColumn("capital", F.lit(capital0) * F.exp(F.sum(log_growth).over(w)))
+        .withColumn("peak", F.greatest(F.max("capital").over(w), F.lit(capital0)))
+        .withColumn("drawdown", (F.col("peak") - F.col("capital")) / F.col("peak"))
+    )
+    return path.groupBy("sim_id").agg(
+        F.max_by("capital", "seq").alias("final_capital"),
+        F.max("drawdown").alias("max_drawdown"),
+        F.min("capital").alias("min_capital"),
+        (F.min("capital") < capital0 * ruin_level).alias("ruined"),
+    )

@@ -19,7 +19,6 @@ from pyspark.sql import functions as F
 
 from ..exprs import r2, r4
 from ..operators.indicators import ewm_indicator_frame
-from ..operators.montecarlo import simulate_paths
 from . import query
 from ._util import t
 
@@ -78,20 +77,22 @@ def rsi_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- W14: Monte Carlo (seeded, partition-independent) -------------------------
 @query("monte_carlo_paths", oracle=None, tags=("W14",))
 def monte_carlo_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1,000 bootstrap lifetimes over the empirical bracket-exit return pool.
-    Deterministic via hash-based draws (xxhash64), so rows-only checks are
-    stable across runs/partitionings; reproducibility asserted in pytest."""
+    """1,000 bootstrap lifetimes over the empirical bracket-exit return
+    pool. The pool stays a DataFrame end-to-end (no collect — the sim
+    grid resolves hash-indexed draws via a broadcast join), and draws are
+    xxhash64-derived, so results are identical across runs AND partition
+    layouts; reproducibility asserted in pytest."""
+    from ..operators.montecarlo import simulate_paths_pooled
     from .execution import bracket_exit_scan
 
-    pool_rows = (
-        bracket_exit_scan(spark, sf_dir)
-        .select("realized_return_pct")
-        .limit(200)
-        .collect()
-    )
-    pool = [r["realized_return_pct"] for r in pool_rows] or [1.0, -1.0]
-    sims = simulate_paths(
-        spark, returns_pool=pool, n_sims=1000, trades_per_sim=40, seed=42
+    pool_df = bracket_exit_scan(spark, sf_dir).select("trade_id", "realized_return_pct")
+    sims = simulate_paths_pooled(
+        pool_df,
+        return_col="realized_return_pct",
+        order_col="trade_id",
+        n_sims=1000,
+        trades_per_sim=40,
+        seed=42,
     )
     return sims.select(
         "sim_id",

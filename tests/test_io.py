@@ -144,3 +144,20 @@ def test_verify_columns_and_guard(spark, tmp_path, ledger):
     io.write_partitioned(ledger, path, "scan_date", ["ticker"])
     assert io.already_ran(spark, path, "scan_date", D1) is True
     assert io.already_ran(spark, path, "scan_date", datetime.date(2030, 1, 1)) is False
+
+
+def test_partition_pruning_end_to_end(spark, tmp_path, ledger):
+    """The written day-partitioned layout must actually prune: a one-day
+    filter shows a PartitionFilters entry and touches a single partition
+    directory — the property that makes the daily pipeline O(day), not
+    O(history), at 100 TB."""
+    from profitscout_engine_spark.plans import explain_str
+
+    path = str(tmp_path / "t")
+    io.write_partitioned(ledger, path, "scan_date", ["score", "ticker"])
+    q = spark.read.parquet(path).where(F.col("scan_date") == D1)
+    plan = explain_str(q)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "scan_date" in pf
+    assert q.count() == 2

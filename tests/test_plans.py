@@ -58,3 +58,21 @@ def test_asof_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "asof_last_prior")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pipeline_plans_scale_clean(spark, sf_dir):
+    """The §3.2/§3.3 compositions keep their scale properties end-to-end:
+    dims broadcast, no cartesian blowup, no row-Python."""
+    for name in ("enrichment_pipeline", "trader_pipeline"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    assert "BroadcastHashJoin" in _plan(spark, sf_dir, "enrichment_pipeline")
+
+
+def test_monte_carlo_no_collect_plan(spark, sf_dir):
+    """The pooled Monte Carlo resolves draws via a broadcast join — the
+    pool must appear as a BroadcastExchange, never a driver collect (the
+    query function builds the whole dag lazily)."""
+    plan = _plan(spark, sf_dir, "monte_carlo_paths")
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan

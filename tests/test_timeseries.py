@@ -101,3 +101,21 @@ def test_stream_batch_parity(spark, sf_dir):
     assert len(streamed) == len(batch)
     assert (streamed["n"].values == batch["n"].values).all()
     assert (streamed["window_start"].values == batch["window_start"].values).all()
+
+
+def test_monte_carlo_pooled_partition_independent(spark, sf_dir):
+    """The distributed-pool variant must produce identical sims no matter
+    how the pool arrives partitioned (hash draws + deterministic index)."""
+    from profitscout_engine_spark.operators.montecarlo import simulate_paths_pooled
+    from profitscout_engine_spark.queries.execution import bracket_exit_scan
+
+    pool = bracket_exit_scan(spark, sf_dir).select("trade_id", "realized_return_pct")
+    a = simulate_paths_pooled(pool, "realized_return_pct", "trade_id", 100, 20).toPandas()
+    b = simulate_paths_pooled(
+        pool.repartition(7), "realized_return_pct", "trade_id", 100, 20
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("sim_id").reset_index(drop=True),
+        b.sort_values("sim_id").reset_index(drop=True),
+    )
+    assert a["final_capital"].std() > 0
