@@ -481,3 +481,103 @@ def trader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(F.avg("ret")).alias("ev_pct"),
         _r4(F.median("ret")).alias("median_pct"),
     )
+
+
+# --- win-tracker outcome pipeline: forward returns → peak → tier labels -------
+@query(
+    "wintracker_pipeline",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_totalprice, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ),
+    anchors AS (
+        SELECT o_custkey, d AS scan_date, o_totalprice AS entry_px
+        FROM ranked WHERE rn = 1
+    ),
+    future AS (
+        SELECT r.o_custkey, r.o_totalprice, r.d, r.o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY r.o_custkey
+                                  ORDER BY r.d, r.o_orderkey) AS k
+        FROM ranked r JOIN anchors a
+          ON a.o_custkey = r.o_custkey AND r.d > a.scan_date
+    ),
+    pcts AS (
+        SELECT a.o_custkey, a.scan_date,
+               MAX(CASE WHEN f.k = 1 THEN (f.o_totalprice - a.entry_px) / a.entry_px * 100 END) AS day1_pct,
+               MAX(CASE WHEN f.k = 2 THEN (f.o_totalprice - a.entry_px) / a.entry_px * 100 END) AS day2_pct,
+               MAX(CASE WHEN f.k = 3 THEN (f.o_totalprice - a.entry_px) / a.entry_px * 100 END) AS day3_pct,
+               MAX(CASE WHEN f.k <= 3 THEN (f.o_totalprice - a.entry_px) / a.entry_px * 100 END) AS peak_pct
+        FROM anchors a LEFT JOIN future f ON f.o_custkey = a.o_custkey
+        GROUP BY a.o_custkey, a.scan_date
+    )
+    SELECT o_custkey, scan_date,
+           ROUND(day1_pct, 4) AS day1_pct,
+           ROUND(day2_pct, 4) AS day2_pct,
+           ROUND(day3_pct, 4) AS day3_pct,
+           ROUND(peak_pct, 4) AS peak_pct,
+           CASE WHEN day3_pct IS NULL THEN 'incomplete'
+                WHEN peak_pct >= 40 THEN 'strong_win'
+                WHEN peak_pct >= 15 THEN 'solid_win'
+                WHEN peak_pct >= 0 THEN 'edge'
+                ELSE 'loss' END AS tier,
+           (peak_pct >= 15 AND day3_pct IS NOT NULL) AS is_win
+    FROM pcts
+    """,
+    tags=("J7", "W8", "W9", "A18", "P5", "pipeline-wintracker"),
+)
+def wintracker_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Win-tracker outcome labeling end-to-end (win-tracker/main.py:
+    forward rows :505-529, peak :161-164, tiers :91-111): per entity the
+    first order anchors the signal, the next three orders are the
+    forward panel (J7 temporal join + W8 lead rows), peak favorable
+    return (W9), and a tier CASE ladder with explicit 'incomplete' for
+    short histories — the rows a MERGE-upsert (sources.io.merge_upsert)
+    would write back."""
+    from pyspark.sql import Window
+
+    from ..exprs import r4 as _r4, tier_ladder as _tier
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    w_rn = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    ranked = o.withColumn("rn", F.row_number().over(w_rn))
+    anchors = ranked.where(F.col("rn") == 1).select(
+        "o_custkey", F.col("d").alias("scan_date"), F.col("o_totalprice").alias("entry_px")
+    )
+    future = (
+        ranked.join(anchors.select("o_custkey", "scan_date"), "o_custkey")
+        .where(F.col("d") > F.col("scan_date"))
+        .withColumn("k", F.row_number().over(w_rn))
+        .select("o_custkey", "k", "o_totalprice")
+    )
+    pct = (F.col("o_totalprice") - F.col("entry_px")) / F.col("entry_px") * 100
+    pcts = (
+        anchors.join(future, "o_custkey", "left")
+        .groupBy("o_custkey", "scan_date")
+        .agg(
+            F.max(F.when(F.col("k") == 1, pct)).alias("day1_pct"),
+            F.max(F.when(F.col("k") == 2, pct)).alias("day2_pct"),
+            F.max(F.when(F.col("k") == 3, pct)).alias("day3_pct"),
+            F.max(F.when(F.col("k") <= 3, pct)).alias("peak_pct"),
+        )
+    )
+    tier = F.when(F.col("day3_pct").isNull(), "incomplete").otherwise(
+        _tier(F.col("peak_pct"), [(40.0, "strong_win"), (15.0, "solid_win"), (0.0, "edge")], "loss")
+    )
+    return pcts.select(
+        "o_custkey",
+        "scan_date",
+        _r4(F.col("day1_pct")).alias("day1_pct"),
+        _r4(F.col("day2_pct")).alias("day2_pct"),
+        _r4(F.col("day3_pct")).alias("day3_pct"),
+        _r4(F.col("peak_pct")).alias("peak_pct"),
+        tier.alias("tier"),
+        ((F.col("peak_pct") >= 15) & F.col("day3_pct").isNotNull()).alias("is_win"),
+    )
