@@ -542,3 +542,65 @@ def two_key_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.col("o_totalprice")).alias("total"),
         )
     )
+
+
+# --- §2.7: INTERSECT / EXCEPT --------------------------------------------------
+@query(
+    "set_ops_intersect_except",
+    oracle="""
+    WITH big_buyers AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice >= 150000
+    ),
+    urgent_buyers AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT o_custkey, 'both' AS cohort FROM (
+        SELECT o_custkey FROM big_buyers INTERSECT SELECT o_custkey FROM urgent_buyers
+    )
+    UNION ALL
+    SELECT o_custkey, 'big_only' AS cohort FROM (
+        SELECT o_custkey FROM big_buyers EXCEPT SELECT o_custkey FROM urgent_buyers
+    )
+    """,
+    tags=("U-intersect", "U-except"),
+)
+def set_ops_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT cohort algebra (SURVEY §2.7 notes the reference
+    never needed them; the engine gets them natively as hash anti/semi
+    plans, no manual set() round-trips)."""
+    o = t(spark, sf_dir, "orders")
+    big = o.where(F.col("o_totalprice") >= 150000).select("o_custkey").distinct()
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    both = big.intersect(urgent).select("o_custkey", F.lit("both").alias("cohort"))
+    big_only = big.exceptAll(urgent).select("o_custkey", F.lit("big_only").alias("cohort"))
+    return both.unionByName(big_only)
+
+
+# --- §2.4: ROLLUP (grouping-sets family) ---------------------------------------
+@query(
+    "rollup_totals",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("A-rollup",),
+)
+def rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotal hierarchy (status → status×priority → grand total)
+    — the multi-granularity daily summary the reference computes with
+    separate queries, in one pass of grouping sets."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), r2(F.sum("o_totalprice")).alias("total"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
