@@ -93,3 +93,55 @@ def run_stateful_totals(spark, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "n_events", "total_value")
     )
+
+
+def stream_to_keyed_sink(
+    events: DataFrame, path: str, key_cols: list[str], checkpoint: str
+) -> None:
+    """S14's streaming twin: mirror a stream into a keyed-document table
+    via foreachBatch — each micro-batch upserts its rows by composite doc
+    id (last-write-wins), the Firestore-mirror pattern as an idempotent
+    batch sink (enrichment-trigger/main.py:798-904 behaviorally)."""
+    from pyspark.sql import Window
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        keyed = (
+            batch_df.withColumn(
+                "doc_id", F.concat_ws("_", *[F.col(c).cast("string") for c in key_cols])
+            )
+            .dropDuplicates(["doc_id"])
+            .withColumn("_pri", F.lit(batch_id).cast("long"))
+        )
+        try:
+            merged = keyed.unionByName(spark.read.parquet(path))
+        except Exception:
+            merged = keyed
+        # deterministic last-write-wins: highest batch id per doc id
+        w = Window.partitionBy("doc_id").orderBy(F.desc("_pri"))
+        final = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint()  # cut lineage off the path being replaced
+        )
+        final.write.mode("overwrite").parquet(path)
+
+    q = (
+        events.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def streaming_dedup(events: DataFrame, key: str, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact-dedup: keep the first occurrence of each key,
+    with state bounded by the event-time watermark
+    (dropDuplicatesWithinWatermark) — the streaming form of the
+    training-pipeline exact-dedup pass: infinite streams need bounded
+    dedup state, and the watermark is the retention contract."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])

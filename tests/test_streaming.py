@@ -110,3 +110,45 @@ def test_watermark_drops_late_event(spark, tmp_path):
     # [10:00,11:00) finalized exactly once, WITHOUT the 10:45 straggler.
     ten = [n for ws, n in emitted if ws == T(10)]
     assert ten == [1], f"late row leaked into finalized window: {emitted}"
+
+
+def test_foreachbatch_keyed_sink(spark, tmp_path):
+    """Each micro-batch upserts into the keyed table; re-keyed rows from
+    later batches win (last-write-wins), earlier keys survive."""
+    from profitscout_engine_spark.streaming.stateful import stream_to_keyed_sink
+
+    mk = lambda rows: spark.createDataFrame(rows, "d string, ticker string, v int")
+    b1 = mk([("2024-01-02", "AAPL", 1), ("2024-01-02", "MSFT", 2)])
+    b2 = mk([("2024-01-02", "AAPL", 99), ("2024-01-03", "NVDA", 3)])
+    root = _staged_files(spark, tmp_path, [b1, b2])
+
+    out_path = str(tmp_path / "keyed")
+    stream = spark.readStream.schema(b1.schema).option("maxFilesPerTrigger", 1).parquet(root)
+    stream_to_keyed_sink(
+        stream, out_path, key_cols=["d", "ticker"], checkpoint=str(tmp_path / "ckpt")
+    )
+    rows = {r.doc_id: r.v for r in spark.read.parquet(out_path).collect()}
+    assert rows["2024-01-02_AAPL"] == 99  # batch 2 overwrote
+    assert rows["2024-01-02_MSFT"] == 2   # batch 1 survived
+    assert rows["2024-01-03_NVDA"] == 3
+    assert len(rows) == 3
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per key across
+    micro-batches while the key is inside the watermark horizon."""
+    import datetime
+
+    from profitscout_engine_spark.streaming.stateful import streaming_dedup
+
+    T = lambda h, m=0: datetime.datetime(2024, 1, 1, h, m)
+    mk = lambda rows: spark.createDataFrame(rows, "ts timestamp, k string, v double")
+    b1 = mk([(T(10), "a", 1.0), (T(10, 5), "a", 2.0), (T(10, 10), "b", 3.0)])
+    b2 = mk([(T(10, 20), "a", 4.0), (T(10, 30), "c", 5.0)])
+    root = _staged_files(spark, tmp_path, [b1, b2])
+
+    stream = spark.readStream.schema(b1.schema).option("maxFilesPerTrigger", 1).parquet(root)
+    _run_stream(streaming_dedup(stream, "k"), "append", "stream_dedup")
+    out = spark.table("stream_dedup").toPandas()
+    assert sorted(out.k) == ["a", "b", "c"]  # one row per key
+    assert float(out[out.k == "a"].v.iloc[0]) == 1.0  # first occurrence won
