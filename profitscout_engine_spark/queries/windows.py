@@ -337,3 +337,76 @@ def dedup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.row_number().over(w).cast("int").alias("rn"),
     ).withColumn("is_duplicate", F.col("rn") > 1)
+
+
+# --- sequential funnel: signup → click → purchase ------------------------------
+@query(
+    "funnel_stages",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, ts, event_type,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_signup
+        FROM events
+    ),
+    s2 AS (
+        SELECT user_id, ts, event_type, t_signup,
+               MIN(CASE WHEN event_type = 'click' AND ts > t_signup THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_click
+        FROM s1
+    ),
+    s3 AS (
+        SELECT DISTINCT user_id, t_signup, t_click,
+               MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_purchase
+        FROM s2
+    )
+    SELECT CASE WHEN t_purchase IS NOT NULL THEN 3
+                WHEN t_click IS NOT NULL THEN 2
+                WHEN t_signup IS NOT NULL THEN 1
+                ELSE 0 END AS stage,
+           COUNT(*) AS n_users,
+           ROUND(AVG(date_diff('second', t_signup, t_click)) / 3600.0, 2) AS avg_hours_to_click,
+           ROUND(AVG(date_diff('second', t_click, t_purchase)) / 3600.0, 2) AS avg_hours_to_purchase
+    FROM s3
+    GROUP BY 1
+    """,
+    tags=("W-funnel", "streaming"),
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (signup → later click → later purchase):
+    chained per-entity window minima — each stage's anchor conditions the
+    next stage's conditional MIN, all in one shuffle on user_id. The
+    event-analytics counterpart of the reference's stage-gated pipeline
+    (scan → enrich → trade each conditions the next day's stage)."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t_signup", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t_signup")), F.col("ts"))
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")), F.col("ts")
+            )
+        ).over(w),
+    ).select("user_id", "t_signup", "t_click", "t_purchase").distinct()
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_signup").isNotNull(), 1)
+        .otherwise(0)
+    )
+    secs = lambda a, b: F.col(b).cast("long") - F.col(a).cast("long")
+    return s3.groupBy(stage.alias("stage")).agg(
+        F.count("*").alias("n_users"),
+        r2(F.avg(secs("t_signup", "t_click")) / 3600.0).alias("avg_hours_to_click"),
+        r2(F.avg(secs("t_click", "t_purchase")) / 3600.0).alias("avg_hours_to_purchase"),
+    )
