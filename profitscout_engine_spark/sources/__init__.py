@@ -16,6 +16,7 @@ from .io import (  # noqa: F401
     truncate_load,
     verify_columns,
     write_csv,
+    write_bucketed,
     write_keyed_documents,
     write_partitioned,
 )

@@ -224,3 +224,21 @@ def already_ran(spark: SparkSession, path: str, partition_col: str, value) -> bo
     except Exception:
         return False
     return len(df.where(F.col(partition_col) == F.lit(value)).limit(1).collect()) > 0
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, buckets: int, sort: bool = True
+) -> None:
+    """S13+ (scale layout): hash-bucketed, bucket-sorted managed table.
+
+    Both sides of a recurring equi-join written with the SAME bucket
+    count on the join key join WITHOUT a shuffle (and without the sort,
+    when bucket-sorted) — the co-located-join layout that amortizes one
+    write-time shuffle across every subsequent join at 100 TB. The
+    clustered-table idea of the reference's BigQuery DDL
+    (overnight_scanner.py:722-726), taken to its Spark conclusion.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)

@@ -161,3 +161,31 @@ def test_partition_pruning_end_to_end(spark, tmp_path, ledger):
     pf = plan.split("PartitionFilters:")[1].split("\n")[0]
     assert "scan_date" in pf
     assert q.count() == 2
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with ZERO exchanges (the write-time shuffle is amortized across
+    every later join) — and bucket-sorted buckets also skip the sort."""
+    from profitscout_engine_spark.catalog import table as fixture
+    from profitscout_engine_spark.plans import explain_str
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdemo LOCATION '{tmp_path}/wh'")
+    li = fixture(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = fixture(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    try:
+        io.write_bucketed(li, "bucketdemo.li_b", "l_orderkey", 8)
+        io.write_bucketed(
+            o.withColumnRenamed("o_orderkey", "l_orderkey"), "bucketdemo.o_b", "l_orderkey", 8
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("bucketdemo.li_b").join(spark.table("bucketdemo.o_b"), "l_orderkey")
+            plan = explain_str(j)
+            assert "Exchange" not in plan, "bucketed join still shuffles"
+            assert j.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bucketdemo CASCADE")
