@@ -57,31 +57,38 @@ def with_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB decode: byte-level stats in place of a real image/audio codec.
-
-    Real version would do e.g. ``PIL.Image.open(io.BytesIO(payload))``
-    per row inside the same batch loop; everything else is unchanged.
-    """
-    import numpy as np
-
-    for pdf in batches:
-        rows = []
-        for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
-            buf = np.frombuffer(payload, dtype=np.uint8)
-            rows.append(
-                (
-                    doc_id,
-                    int(buf.size),
-                    float(buf.mean()) if buf.size else 0.0,
-                    int(buf.size // FRAME_BYTES),
-                    int(meta["width"]),
-                    int(meta["height"]),
-                )
-            )
-        yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
-
-
 def decode_features(payloads: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over (doc_id, payload, meta)."""
-    return payloads.mapInPandas(_decode_batch, schema=FEATURE_SCHEMA)
+    """Arrow-batched feature extraction over (doc_id, payload, meta).
+
+    The decode fn is defined as a CLOSURE (not module-level) so
+    cloudpickle ships it by value — executor Python workers don't share
+    the driver's sys.path, and a by-reference pickle of a module
+    function would make every worker re-import this package.
+    """
+    frame_bytes = FRAME_BYTES
+    columns = [f.name for f in FEATURE_SCHEMA.fields]
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """STUB decode: byte-level stats in place of a real image/audio
+        codec. Real version would do e.g.
+        ``PIL.Image.open(io.BytesIO(payload))`` per row inside the same
+        batch loop; everything else is unchanged."""
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                rows.append(
+                    (
+                        doc_id,
+                        int(buf.size),
+                        float(buf.mean()) if buf.size else 0.0,
+                        int(buf.size // frame_bytes),
+                        int(meta["width"]),
+                        int(meta["height"]),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=columns)
+
+    return payloads.mapInPandas(decode_batch, schema=FEATURE_SCHEMA)
