@@ -423,6 +423,10 @@ def ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     components rounded to kill float-sum order nondeterminism), then
     nearest-centroid assignment via a broadcast cross join (10 centroids
     — the IVF 'coarse list' every vector is routed to at scale)."""
+    return _ivf_assignments(spark, sf_dir)
+
+
+def _ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vecs(spark, sf_dir)
     cents = sim.label_centroids(t(spark, sf_dir, "embeddings"))
     cents_r = cents.select(
@@ -446,4 +450,84 @@ def ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("vec_id", "label", F.col("c_label").alias("assigned_label"), "dist")
+    )
+
+
+# ---- IVF search: route query to its coarse list, search only there -----------
+_IVF_ASSIGN_CTES = """
+    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    comp AS (
+        SELECT label, i AS pos, ROUND(AVG(v[i]), 6) AS m
+        FROM e, UNNEST(range(1, 65)) AS u(i)
+        GROUP BY 1, 2
+    ),
+    cent AS (SELECT label AS c_label, list(m ORDER BY pos) AS c FROM comp GROUP BY 1),
+    d AS (
+        SELECT e.vec_id, cent.c_label,
+               ROUND(sqrt(list_aggregate(list_transform(range(1, 65),
+                          i -> (e.v[i] - cent.c[i]) * (e.v[i] - cent.c[i])), 'sum')),
+                     4) AS dist
+        FROM e CROSS JOIN cent
+    ),
+    assign AS (
+        SELECT vec_id, c_label FROM (
+            SELECT vec_id, c_label,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+            FROM d
+        ) WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "ivf_search_topk",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_CTES},
+    cand AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM assign a JOIN assign b
+          ON a.c_label = b.c_label AND a.vec_id <> b.vec_id
+    ),
+    sims AS (
+        SELECT c.a_id, c.b_id,
+               ROUND({_cosine_sql('ea.v', 'eb.v')}, 6) AS sim
+        FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id
+    ),
+    rankedq AS (
+        SELECT a_id, b_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rank
+        FROM sims
+    )
+    SELECT a_id, b_id, rank, sim FROM rankedq WHERE rank <= {LSH_TOPK}
+    """,
+    tags=("similarity", "ivf-search"),
+)
+def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search path (completes `ivf_centroid_assign`'s build path):
+    each query routes to its nearest coarse centroid and scores ONLY
+    that inverted list — candidates shrink by ~n_lists× vs brute force,
+    the standard first stage of billion-scale ANN. Exact cosine on the
+    candidate set; oracle-exact because routing uses rounded centroid
+    components and rounded distances."""
+    assign = _ivf_assignments(spark, sf_dir).select("vec_id", "assigned_label")
+    a = assign.select(F.col("vec_id").alias("a_id"), F.col("assigned_label").alias("la"))
+    b = assign.select(F.col("vec_id").alias("b_id"), F.col("assigned_label").alias("lb"))
+    cand = a.join(b, (F.col("la") == F.col("lb")) & (F.col("a_id") != F.col("b_id"))).select(
+        "a_id", "b_id"
+    )
+    ea, eb = _scalar_sides(spark, sf_dir)
+    scored = (
+        cand.join(F.broadcast(ea), "a_id")
+        .join(F.broadcast(eb), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            r6(sim.scalar_dot("xa", "xb") / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= LSH_TOPK)
+        .select("a_id", "b_id", "rank", "sim")
     )

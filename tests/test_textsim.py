@@ -86,3 +86,14 @@ def test_text_queries_stay_jvm_side(spark, sf_dir):
                  "exact_dedup", "minhash_lsh_pairs", "simhash_pairs", "cosine_topk"):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_ivf_search_recall_floor(spark, sf_dir):
+    """Single-probe IVF search keeps a sane fraction of true top-3 (the
+    recall lever at scale is nprobe — searching the p nearest lists —
+    which multiplies candidates linearly; single-probe is the floor)."""
+    brute = REGISTRY["cosine_topk"].fn(spark, sf_dir).where("rank <= 3").toPandas()
+    ivf = REGISTRY["ivf_search_topk"].fn(spark, sf_dir).toPandas()
+    bset = set(zip(brute.a_id, brute.b_id))
+    recall = len(bset & set(zip(ivf.a_id, ivf.b_id))) / len(bset)
+    assert recall >= 0.15, f"IVF recall collapsed: {recall:.3f}"
