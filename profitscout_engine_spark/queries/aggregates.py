@@ -554,3 +554,54 @@ def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("q")[2]).alias("q75"),
         )
     )
+
+
+# --- §2.8: regime-switched weighted composite score ---------------------------
+@query(
+    "regime_weighted_score",
+    oracle="""
+    WITH m AS (
+        SELECT l_suppkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS notional,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_discount) * 100, 4) AS avg_disc_pct,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    vix AS (SELECT ROUND(AVG(value), 4) AS vix_proxy FROM events)
+    SELECT m.l_suppkey,
+           CASE WHEN v.vix_proxy >= 10 THEN 'high_vol' ELSE 'calm' END AS regime,
+           ROUND(CASE WHEN v.vix_proxy >= 10
+                      THEN 0.2 * m.avg_qty + 0.5 * m.avg_disc_pct + 0.3 * LN(m.notional + 1)
+                      ELSE 0.5 * m.avg_qty + 0.2 * m.avg_disc_pct + 0.3 * LN(m.notional + 1)
+                 END, 4) AS composite_score
+    FROM m CROSS JOIN vix v
+    """,
+    tags=("scalar-weighted", "A9"),
+)
+def regime_weighted_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regime-switched weighted composite (the reference's regime weight
+    sets, src/enrichment/core/config.py:39-58 + enrichment-trigger
+    main.py:539-545): a market-level scalar (global agg, broadcast as a
+    1-row cross join) selects which weight vector scores every entity —
+    weights as literals, the switch as one CASE, all codegen."""
+    li = t(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_suppkey").agg(
+        r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("notional"),
+        r4(F.avg("l_quantity")).alias("avg_qty"),
+        r4(F.avg("l_discount") * 100).alias("avg_disc_pct"),
+        F.count("*").alias("n"),
+    )
+    vix = t(spark, sf_dir, "events").agg(r4(F.avg("value")).alias("vix_proxy"))
+    high = F.col("vix_proxy") >= 10
+    score = F.when(
+        high,
+        0.2 * F.col("avg_qty") + 0.5 * F.col("avg_disc_pct") + 0.3 * F.log(F.col("notional") + 1),
+    ).otherwise(
+        0.5 * F.col("avg_qty") + 0.2 * F.col("avg_disc_pct") + 0.3 * F.log(F.col("notional") + 1)
+    )
+    return m.crossJoin(F.broadcast(vix)).select(
+        "l_suppkey",
+        F.when(high, "high_vol").otherwise("calm").alias("regime"),
+        r4(score).alias("composite_score"),
+    )
