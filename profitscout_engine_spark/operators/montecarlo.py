@@ -56,7 +56,12 @@ def simulate_paths(
         .withColumnRenamed("id", "sim_id")
         .select("sim_id", F.explode(F.sequence(F.lit(1), F.lit(trades_per_sim))).alias("seq"))
     )
-    draw = F.floor(hash_uniform(F.col("sim_id"), F.col("seq"), seed=seed) * n_pool).cast("int")
+    # Clamp: xxhash64 values within ~512 ULPs of 2^63 round to u==1.0 when
+    # cast to double, which would index one past the pool (~2^-54 per draw).
+    draw = F.least(
+        F.floor(hash_uniform(F.col("sim_id"), F.col("seq"), seed=seed) * n_pool).cast("int"),
+        F.lit(n_pool - 1),
+    )
     ret = F.element_at(pool, draw + 1) / 100.0  # pool is in pct
 
     w = Window.partitionBy("sim_id").orderBy("seq").rowsBetween(Window.unboundedPreceding, 0)
@@ -96,9 +101,12 @@ def simulate_paths_tiered(
         .withColumnRenamed("id", "sim_id")
         .select("sim_id", F.explode(F.sequence(F.lit(1), F.lit(trades_per_sim))).alias("seq"))
     )
-    draw = F.floor(
-        hash_uniform(F.col("sim_id"), F.col("seq"), seed=seed) * len(returns_pool)
-    ).cast("int")
+    draw = F.least(
+        F.floor(
+            hash_uniform(F.col("sim_id"), F.col("seq"), seed=seed) * len(returns_pool)
+        ).cast("int"),
+        F.lit(len(returns_pool) - 1),
+    )
     pool = F.array(*[F.lit(float(r)) for r in returns_pool])
     drawn = grid.withColumn("ret_pct", F.element_at(pool, draw + 1))
 

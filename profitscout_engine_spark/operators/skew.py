@@ -13,7 +13,9 @@ also covers aggregations:
   the (small, hot-key-heavy) build side is replicated once per salt
   bucket; the equi-join on (key, salt) spreads each hot key across
   ``buckets`` tasks. Result is row-for-row identical to the unsalted
-  join.
+  join for inner/left joins only — for right/full/anti joins every
+  unmatched build replica would survive once per bucket, so those
+  shapes are rejected.
 
 Salts are ``xxhash64``-derived (never ``rand()``): task retries and
 partition changes reproduce the same assignment.
@@ -82,7 +84,16 @@ def salted_join(
     rows get one deterministic salt each; joining on (key, salt) yields
     exactly the unsalted join's rows while no reducer sees more than
     ~1/``buckets`` of any key.
+
+    Only ``inner``/``left`` are row-identical to the unsalted join: an
+    unmatched build row exists ``buckets`` times after replication, so a
+    right/full outer (or anti) join would emit it once per salt bucket.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left only (got {how!r}): replicated "
+            "unmatched build rows would duplicate under right/full/anti joins"
+        )
     salted_probe = probe.withColumn(SALT, _salt_col(probe, buckets))
     replicated = build.withColumn(
         SALT, F.explode(F.array(*[F.lit(i) for i in range(buckets)]))

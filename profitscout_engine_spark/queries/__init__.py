@@ -88,15 +88,20 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+# Registration order is a driver contract: the correctness harness verifies the
+# FIRST 50 registered queries each round. Round 1 verified relational/aggregates/
+# windows (+3 execution) — those stay pinned by tests/test_correctness.py — so
+# round 2 front-loads the families that had no driver row yet (similarity,
+# textops, pipelines, timeseries, the rest of execution).
 _MODULES = (
-    "relational",
-    "aggregates",
-    "windows",
-    "execution",
-    "timeseries",
-    "textops",
     "similarity",
+    "textops",
     "pipelines",
+    "timeseries",
+    "execution",
+    "windows",
+    "aggregates",
+    "relational",
 )
 
 

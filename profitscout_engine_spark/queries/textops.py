@@ -183,8 +183,10 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            md5(text) AS content_hash,
-           list_min(list_transform(range(1, length(text) - 6),
-                                   i -> md5(substr(text, i, 8)))) AS winnow_hash
+           CASE WHEN length(text) >= 8 THEN
+               list_min(list_transform(range(1, length(text) - 6),
+                                       i -> md5(substr(text, i, 8))))
+           END AS winnow_hash
     FROM documents
     """,
     tags=("textops", "fingerprint"),
@@ -192,13 +194,19 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-content md5 plus a winnowing-style fingerprint: the minimum
     md5 over all 8-char sliding windows (rolling-hash family; one array
-    expression, no shuffle, no Python)."""
+    expression, no shuffle, no Python). Texts under 8 chars have no
+    window and fingerprint NULL — guarded explicitly because Spark's
+    ``sequence(1, length-7)`` would otherwise count DOWN through
+    negative substring indices while DuckDB's ``range`` is simply empty."""
     return _docs(spark, sf_dir).select(
         "doc_id",
         F.md5("text").alias("content_hash"),
-        F.expr(
-            "array_min(transform(sequence(1, length(text) - 7),"
-            " i -> md5(substring(text, i, 8))))"
+        F.when(
+            F.length("text") >= 8,
+            F.expr(
+                "array_min(transform(sequence(1, length(text) - 7),"
+                " i -> md5(substring(text, i, 8))))"
+            ),
         ).alias("winnow_hash"),
     )
 

@@ -115,9 +115,16 @@ def stream_to_keyed_sink(
             .dropDuplicates(["doc_id"])
             .withColumn("_pri", F.lit(batch_id).cast("long"))
         )
+        # Only a genuinely-absent sink means "first batch"; any other read
+        # failure (corrupt footer, transient FS error) must propagate rather
+        # than silently overwriting the sink with just this batch's rows.
+        from pyspark.errors import AnalysisException
+
         try:
             merged = keyed.unionByName(spark.read.parquet(path))
-        except Exception:
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
             merged = keyed
         # deterministic last-write-wins: highest batch id per doc id
         w = Window.partitionBy("doc_id").orderBy(F.desc("_pri"))
