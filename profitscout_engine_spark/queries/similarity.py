@@ -66,6 +66,51 @@ def _scalar_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     return a, b
 
 
+def _packed_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(a, b) sides in the packed layout for candidate-set scoring.
+
+    Rows stay (id, vector, norm) — no 64-scalar widening — so the
+    candidate joins shuffle narrow rows and the per-pair dot runs in the
+    Arrow-vectorized :func:`sim.seq_dot_udf`. Norms are a once-per-row
+    sequential fold (bit-identical to the oracle's). This is the
+    scale path: plain shuffle joins on the ids, never a corpus broadcast.
+    """
+    u = _vecs(spark, sf_dir).select("vec_id", "v", sim.fold_norm("v").alias("nrm"))
+    par = spark.sparkContext.defaultParallelism
+    a = u.repartition(par, "vec_id").select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = u.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return a, b
+
+
+def _score_candidates(
+    cand: DataFrame, a: DataFrame, b: DataFrame, rounder, topk: int
+) -> DataFrame:
+    """Exact cosine + top-k over a candidate-pair set, scale-safe form:
+    shuffle equi-joins resolve ids to packed vectors (AQE may still elect
+    a broadcast when a side is genuinely small — the point is we never
+    FORCE the corpus into one), Arrow-batched sequential-fold dot."""
+    dot = sim.seq_dot_udf()
+    scored = (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            rounder(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("a_id", "b_id", "rank", "sim")
+    )
+
+
 # ---- shared oracle fragments (generated from the same constants the Spark
 # ---- side uses, so the two formulations cannot drift) ------------------------
 
@@ -326,7 +371,9 @@ def cosine_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates from an equi-join on (table, bucket), exact cosine only on
     candidates. Sign matrix is md5-derived (no RNG), so the bucket
     assignment — and therefore the whole result — is oracle-exact.
-    Recall vs the brute-force baseline is pinned in pytest.
+    Recall vs the brute-force baseline is pinned in pytest. Scoring is
+    the packed-vector shuffle-join path (no corpus broadcast — the
+    round-1 form OOMs an executor once the corpus outgrows one).
     """.format(k=LSH_TOPK, L=sim.LSH_TABLES, P=sim.LSH_PLANES)
     e = _vecs(spark, sf_dir).select("vec_id", "v")
     buckets = sim.lsh_buckets(e)
@@ -341,22 +388,8 @@ def cosine_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    ea, eb = _scalar_sides(spark, sf_dir)
-    scored = (
-        cand.join(F.broadcast(ea), "a_id")
-        .join(F.broadcast(eb), "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            r6(sim.scalar_dot("xa", "xb") / (F.col("na") * F.col("nb"))).alias("sim"),
-        )
-    )
-    w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= LSH_TOPK)
-        .select("a_id", "b_id", "rank", "sim")
-    )
+    ea, eb = _packed_sides(spark, sf_dir)
+    return _score_candidates(cand, ea, eb, r6, LSH_TOPK)
 
 
 # ---- embedding-cosine near-dup pairs -----------------------------------------
@@ -423,10 +456,15 @@ def ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     components rounded to kill float-sum order nondeterminism), then
     nearest-centroid assignment via a broadcast cross join (10 centroids
     — the IVF 'coarse list' every vector is routed to at scale)."""
-    return _ivf_assignments(spark, sf_dir)
+    ranked = _ivf_ranked(spark, sf_dir)
+    return ranked.where(F.col("rn") == 1).select(
+        "vec_id", "label", F.col("c_label").alias("assigned_label"), "dist"
+    )
 
 
-def _ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid distances ranked per vector: rn=1 is the assignment
+    (build side), rn<=p the multi-probe routing (search side)."""
     e = _vecs(spark, sf_dir)
     cents = sim.label_centroids(t(spark, sf_dir, "embeddings"))
     cents_r = cents.select(
@@ -446,10 +484,12 @@ def _ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(l2).alias("dist"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("c_label"))
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "label", F.col("c_label").alias("assigned_label"), "dist")
+    return d.withColumn("rn", F.row_number().over(w))
+
+
+def _ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_ranked(spark, sf_dir).where(F.col("rn") == 1).select(
+        "vec_id", "label", F.col("c_label").alias("assigned_label"), "dist"
     )
 
 
@@ -469,13 +509,12 @@ _IVF_ASSIGN_CTES = """
                      4) AS dist
         FROM e CROSS JOIN cent
     ),
-    assign AS (
-        SELECT vec_id, c_label FROM (
-            SELECT vec_id, c_label,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
-            FROM d
-        ) WHERE rn = 1
-    )
+    rankedc AS (
+        SELECT vec_id, c_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+        FROM d
+    ),
+    assign AS (SELECT vec_id, c_label FROM rankedc WHERE rn = 1)
 """
 
 
@@ -515,19 +554,58 @@ def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = a.join(b, (F.col("la") == F.col("lb")) & (F.col("a_id") != F.col("b_id"))).select(
         "a_id", "b_id"
     )
-    ea, eb = _scalar_sides(spark, sf_dir)
-    scored = (
-        cand.join(F.broadcast(ea), "a_id")
-        .join(F.broadcast(eb), "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            r6(sim.scalar_dot("xa", "xb") / (F.col("na") * F.col("nb"))).alias("sim"),
-        )
+    ea, eb = _packed_sides(spark, sf_dir)
+    return _score_candidates(cand, ea, eb, r6, LSH_TOPK)
+
+
+# ---- IVF multi-probe: search the p nearest lists, the recall lever -----------
+NPROBE = 2
+
+
+@query(
+    "ivf_search_nprobe",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_CTES},
+    probe AS (SELECT vec_id, c_label FROM rankedc WHERE rn <= {NPROBE}),
+    cand AS (
+        SELECT p.vec_id AS a_id, b.vec_id AS b_id
+        FROM probe p JOIN assign b
+          ON p.c_label = b.c_label AND p.vec_id <> b.vec_id
+    ),
+    sims AS (
+        SELECT c.a_id, c.b_id,
+               ROUND({_cosine_sql('ea.v', 'eb.v')}, 6) AS sim
+        FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id
+    ),
+    rankedq AS (
+        SELECT a_id, b_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rank
+        FROM sims
     )
-    w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= LSH_TOPK)
-        .select("a_id", "b_id", "rank", "sim")
+    SELECT a_id, b_id, rank, sim FROM rankedq WHERE rank <= {LSH_TOPK}
+    """,
+    tags=("similarity", "ivf-multiprobe"),
+)
+def ivf_search_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with multi-probe routing: each query scans its
+    {p} nearest coarse lists instead of one — the standard recall/cost
+    dial of IVF indexes (recall floor vs single-probe pinned in pytest).
+    Each corpus vector still lives in exactly one list (rn=1), so every
+    candidate pair arises from at most one probed list — no dedup needed.
+    Routing stays oracle-exact (rounded centroids + rounded distances);
+    scoring is the packed shuffle-join path.
+    """.format(p=NPROBE)
+    ranked = _ivf_ranked(spark, sf_dir)
+    probe = ranked.where(F.col("rn") <= NPROBE).select(
+        F.col("vec_id").alias("a_id"), F.col("c_label").alias("lst")
     )
+    build = ranked.where(F.col("rn") == 1).select(
+        F.col("vec_id").alias("b_id"), F.col("c_label").alias("lst")
+    )
+    cand = (
+        probe.join(build, "lst")
+        .where(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+    ea, eb = _packed_sides(spark, sf_dir)
+    return _score_candidates(cand, ea, eb, r6, LSH_TOPK)

@@ -97,3 +97,33 @@ def test_ivf_search_recall_floor(spark, sf_dir):
     bset = set(zip(brute.a_id, brute.b_id))
     recall = len(bset & set(zip(ivf.a_id, ivf.b_id))) / len(bset)
     assert recall >= 0.15, f"IVF recall collapsed: {recall:.3f}"
+
+
+def test_ivf_multiprobe_beats_single_probe(spark, sf_dir):
+    """nprobe=2 must dominate single-probe recall: its candidate set is a
+    strict superset (every rn=1 list is also an rn<=2 list), so top-3
+    recall can only go up — the whole point of the multi-probe dial."""
+    brute = REGISTRY["cosine_topk"].fn(spark, sf_dir).where("rank <= 3").toPandas()
+    bset = set(zip(brute.a_id, brute.b_id))
+    one = REGISTRY["ivf_search_topk"].fn(spark, sf_dir).toPandas()
+    two = REGISTRY["ivf_search_nprobe"].fn(spark, sf_dir).toPandas()
+    r1 = len(bset & set(zip(one.a_id, one.b_id))) / len(bset)
+    r2 = len(bset & set(zip(two.a_id, two.b_id))) / len(bset)
+    assert r2 >= r1, f"multi-probe recall {r2:.3f} below single-probe {r1:.3f}"
+    assert r2 >= 0.25, f"nprobe=2 recall floor broken: {r2:.3f}"
+
+
+def test_candidate_scoring_never_forces_corpus_broadcast(spark, sf_dir):
+    """The LSH/IVF scoring joins must leave join-strategy choice to the
+    planner (AQE may broadcast a genuinely small side at runtime) — the
+    scoring helper itself must not hint any side into a broadcast. The
+    only ResolvedHints allowed in the full queries are the genuinely
+    tiny sides (10 centroids, the L×P×dim hyperplane matrix)."""
+    from profitscout_engine_spark.queries.similarity import _packed_sides, _score_candidates
+    from profitscout_engine_spark.exprs import r6
+
+    a, b = _packed_sides(spark, sf_dir)
+    cand = a.select("a_id").crossJoin(b.select("b_id")).limit(10)
+    scored = _score_candidates(cand, a, b, r6, 3)
+    logical = scored._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical
