@@ -89,7 +89,7 @@ def salted_join(
     unmatched build row exists ``buckets`` times after replication, so a
     right/full outer (or anti) join would emit it once per salt bucket.
     """
-    if how not in ("inner", "left", "left_outer", "leftouter"):
+    if how not in ("inner", "left", "left_outer", "leftouter"):  # see docstring
         raise ValueError(
             f"salted_join supports inner/left only (got {how!r}): replicated "
             "unmatched build rows would duplicate under right/full/anti joins"
@@ -100,3 +100,51 @@ def salted_join(
     )
     joined = salted_probe.join(replicated, on=[on, SALT], how=how)
     return joined.drop(SALT)
+
+
+def skewsafe_pair_gen(
+    posting: DataFrame,
+    key: str,
+    id_col: str,
+    hot_df: int = 64,
+    buckets: int = 8,
+) -> DataFrame:
+    """Inverted-index self-pair generation immune to hot-key skew.
+
+    Input: a posting list (key, id), set-semantics. Output: one (d1, d2)
+    row per key the pair shares, d1 < d2 — exactly the rows of the naive
+    ``a JOIN b ON a.key = b.key AND a.id < b.id`` self-join, so a
+    downstream ``groupBy(d1, d2).count()`` yields intersection sizes.
+
+    Differential salting: keys are first tagged with their document
+    frequency (one extra shuffle — the same key-shuffle the join needs
+    anyway). Keys at or below ``hot_df`` join plainly; hotter keys join
+    on (key, salt) with the probe side salted by id-hash and the build
+    side replicated ×``buckets``, so a stop-shingle's quadratic pair
+    fan-out spreads over ``buckets`` reducers instead of melting one.
+    Inner-join-only by construction, hence row-identical to the naive
+    form for any input.
+    """
+    df_counts = posting.groupBy(key).agg(F.count("*").alias("_df"))
+    tagged = posting.join(df_counts, key)
+    a = tagged.select(key, "_df", F.col(id_col).alias("d1"))
+    b = tagged.select(key, "_df", F.col(id_col).alias("d2"))
+    lt = F.col("d1") < F.col("d2")
+    cold = (
+        a.where(F.col("_df") <= hot_df)
+        .drop("_df")
+        .join(b.where(F.col("_df") <= hot_df).drop("_df"), key)
+        .where(lt)
+    )
+    hot_a = (
+        a.where(F.col("_df") > hot_df)
+        .drop("_df")
+        .withColumn(SALT, F.pmod(F.xxhash64("d1"), F.lit(buckets)))
+    )
+    hot_b = (
+        b.where(F.col("_df") > hot_df)
+        .drop("_df")
+        .withColumn(SALT, F.explode(F.array(*[F.lit(i) for i in range(buckets)])))
+    )
+    hot = hot_a.join(hot_b, [key, SALT]).where(lt).drop(SALT)
+    return cold.select("d1", "d2").unionByName(hot.select("d1", "d2"))

@@ -23,6 +23,7 @@ from ._util import t
 TOPK = 5
 LSH_TOPK = 3
 JACCARD_MIN = 0.1
+HOT_SHINGLE_DF = 64  # shingle doc-frequency above which pair-gen salts the join
 COSINE_NEARDUP_MIN = 0.4
 SIMHASH_RADIUS = 3  # ≤ 3 → 4-byte banding is exact (pigeonhole)
 
@@ -244,16 +245,21 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "ngram-jaccard"),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard ≥ {thr} via an inverted-index self-join
-    (shuffle on shingle; hot shingles are AQE skew-join territory at
-    scale — the principled fix is doc-frequency-capped shingles).
+    """Exact word-3-gram Jaccard ≥ {thr} via an inverted-index self-join.
+
+    Pair generation goes through :func:`skew.skewsafe_pair_gen`: shingles
+    above the document-frequency threshold join on (shingle, salt) — a
+    stop-shingle's quadratic fan-out spreads over salt buckets instead of
+    melting one reducer — while the cold long tail joins plainly. Output
+    is row-identical to the naive self-join, so the oracle is unchanged.
     """.format(thr=JACCARD_MIN)
+    from ..operators.skew import skewsafe_pair_gen
+
     sh = tx.shingle_frame(_docs(spark, sf_dir), distinct=True)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        skewsafe_pair_gen(sh, key="shingle", id_col="doc_id", hot_df=HOT_SHINGLE_DF)
+        .groupBy("d1", "d2")
         .agg(F.count("*").alias("c"))
     )
     j = F.col("c") / (F.col("ca.n") + F.col("cb.n") - F.col("c"))

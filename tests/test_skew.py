@@ -114,3 +114,59 @@ def test_approx_sketches_within_tolerance(spark, sf_dir):
         got = [aq.loc[flag, c] for c in ("q25", "med", "q75")]
         for g, e in zip(got, exact_q):
             assert abs(g - e) / abs(e) <= 0.01, (flag, g, e)
+
+
+def test_salted_join_rejects_outer_shapes(spark, sf_dir):
+    import pytest
+
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey")
+    for how in ("right", "full", "left_anti"):
+        with pytest.raises(ValueError):
+            salted_join(li, supp.withColumnRenamed("s_suppkey", "l_suppkey"), "l_suppkey", how=how)
+
+
+def test_skewsafe_pair_gen_hot_shingle(spark, tmp_path):
+    """One stop-shingle shared by 150 docs (far past the hot_df threshold):
+    the salted pair generator must (a) return exactly the naive self-join's
+    rows, (b) actually route the hot key through the salted branch with its
+    probe rows spread across salt buckets."""
+    import pandas as pd
+
+    from profitscout_engine_spark.operators.skew import skewsafe_pair_gen
+    from profitscout_engine_spark.queries.similarity import HOT_SHINGLE_DF
+
+    n_hot = 150
+    assert n_hot > HOT_SHINGLE_DF
+    rows = [(i, "the quick brown fox%d jumps" % i) for i in range(n_hot)]
+    rows += [(1000 + i, "totally unrelated text block %d variant" % i) for i in range(20)]
+    posting = []
+    for doc_id, text in rows:
+        tk = text.split()
+        for j in range(len(tk) - 2):
+            posting.append((doc_id, " ".join(tk[j : j + 3])))
+    sh = spark.createDataFrame(
+        pd.DataFrame(posting, columns=["doc_id", "shingle"])
+    ).dropDuplicates(["doc_id", "shingle"])
+
+    got = (
+        skewsafe_pair_gen(sh, key="shingle", id_col="doc_id", hot_df=HOT_SHINGLE_DF, buckets=8)
+        .groupBy("d1", "d2").count().toPandas()
+        .sort_values(["d1", "d2"]).reset_index(drop=True)
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    naive = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .count().toPandas().sort_values(["d1", "d2"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, naive)
+
+    # the hot branch really fires and its probe rows spread over buckets
+    hot_probe = (
+        sh.groupBy("shingle").count().where(F.col("count") > HOT_SHINGLE_DF).join(sh, "shingle")
+        .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(8)))
+    )
+    n_salts = hot_probe.select("salt").distinct().count()
+    assert hot_probe.count() >= n_hot
+    assert n_salts >= 6, f"hot rows collapsed onto {n_salts} salt buckets"
