@@ -86,32 +86,71 @@ def ema_weighted_sum(
     order_id: str = "event_id",
     close: str = "close",
     span: int = 21,
+    segment: int = 1000,
 ) -> DataFrame:
-    """Closed-form EMA (adjust=True) as pure window algebra — no Python.
+    """Segment-rescaled closed-form EMA (adjust=True) — pure window algebra,
+    numerically valid at ANY series length (no Python in the row path).
 
-    ``ema_t = Σ_i x_i·(1-α)^(t-i) / Σ_i (1-α)^(t-i)`` factorizes into two
-    running sums of ``x_i·(1-α)^(-i)`` terms, so the whole indicator is two
-    window SUMs + a ratio, entirely inside codegen. Valid while
-    ``(1-α)^(-row_index)`` stays finite (~10k rows/entity at span 21);
-    beyond that use :func:`ewm_indicator_frame`.
+    The naive factorization ``ema_t = Σ x_i·d^(t-i) / Σ d^(t-i)`` with
+    running sums of ``x_i·d^(-i)`` overflows once ``d^(-i)`` exceeds double
+    range (~10k rows at span 21). Rescaled form: rows are cut into
+    ``segment``-row blocks per entity, so within-block exponents stay
+    ≤ ``segment`` (bounded); each block's tail influence is folded across
+    blocks SEQUENTIALLY with the recurrence ``N_s = d^len_s·(T_s + N_{s-1})``
+    over the per-entity block array — an ``aggregate()`` lambda on ~n/1000
+    rows of state, no overflow at any depth, still zero Python. The
+    denominator collapses to the exact closed form ``(1-d^t)/(1-d)``.
 
-    This form is also the oracle-SQL twin used for correctness checks.
+    Attenuation floor: a term ``segment`` rows back is weighted d^1000
+    (~1e-41 at span 21) — far below double epsilon relative to recent
+    terms, so the rescaled sum agrees with pandas ``ewm(span, adjust=True)``
+    to ~1e-12 relative at any length (property-tested at 50k rows).
+    NULL closes are not supported (weights would still advance).
     """
     from pyspark.sql.window import Window
 
     alpha = 2.0 / (span + 1.0)
-    decay = 1.0 - alpha
+    d = 1.0 - alpha
     w_order = Window.partitionBy(key).orderBy(ts, order_id)
-    w_run = w_order.rowsBetween(Window.unboundedPreceding, 0)
-    rn = F.row_number().over(w_order)
-    up = F.pow(F.lit(decay), -F.col("_rn"))
+    rows = (
+        bars.withColumn("_rn", F.row_number().over(w_order))
+        .withColumn("_seg", ((F.col("_rn") - 1) / segment).cast("int"))
+        .withColumn("_m", F.col("_rn") - F.col("_seg") * segment)  # 1..segment
+        .withColumn("_term", F.col(close) * F.pow(F.lit(d), -F.col("_m")))
+    )
+    # Within-block running numerator: d^m · Σ_{i≤m} x_i·d^(-i)
+    w_seg = (
+        Window.partitionBy(key, "_seg")
+        .orderBy(ts, order_id)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rows = rows.withColumn(
+        "_local_num", F.pow(F.lit(d), F.col("_m")) * F.sum("_term").over(w_seg)
+    )
+    # Cross-block carry: N_{s-1} = fold over blocks 0..s-1 of
+    # N = d^len · (T + N_prev); per-entity block array is tiny (n/segment).
+    segs = rows.groupBy(key, "_seg").agg(
+        F.sum("_term").alias("_t"), F.count("*").alias("_len")
+    )
+    seg_arr = segs.groupBy(key).agg(
+        F.array_sort(F.collect_list(F.struct("_seg", "_t", "_len"))).alias("_arr")
+    )
+    carries = seg_arr.select(
+        key,
+        F.explode(
+            F.expr(
+                f"transform(_arr, (e, j) -> struct(e._seg AS _seg, "
+                f"aggregate(slice(_arr, 1, j), 0D, "
+                f"(acc, p) -> pow({d!r}D, p._len) * (p._t + acc)) AS _carry))"
+            )
+        ).alias("_c"),
+    ).select(key, F.col("_c._seg").alias("_seg"), F.col("_c._carry").alias("_carry"))
+    den = (1.0 - F.pow(F.lit(d), F.col("_rn"))) / alpha
     return (
-        bars.withColumn("_rn", rn)
-        .withColumn("_num", F.col(close) * up)
-        .withColumn("_den", up)
+        rows.join(carries, [key, "_seg"])
         .withColumn(
             "ema",
-            (F.sum("_num").over(w_run) / F.sum("_den").over(w_run)),
+            (F.col("_local_num") + F.pow(F.lit(d), F.col("_m")) * F.col("_carry")) / den,
         )
-        .drop("_rn", "_num", "_den")
+        .drop("_rn", "_seg", "_m", "_term", "_local_num", "_carry")
     )

@@ -119,3 +119,36 @@ def test_monte_carlo_pooled_partition_independent(spark, sf_dir):
         b.sort_values("sim_id").reset_index(drop=True),
     )
     assert a["final_capital"].std() > 0
+
+
+def test_ema_weighted_sum_50k_rows_matches_pandas(spark):
+    """The segment-rescaled closed form must hold at depths where the naive
+    d^(-rn) factorization overflowed (~10k rows at span 21): 50k rows per
+    entity, machine-precision agreement with pandas ewm(span, adjust=True)."""
+    import numpy as np
+    import pandas as pd
+
+    from profitscout_engine_spark.operators.indicators import ema_weighted_sum
+
+    rng = np.random.default_rng(7)
+    n = 50_000
+    pdf = pd.DataFrame(
+        {
+            "user_id": np.repeat([1, 2], n),
+            "ts": np.tile(np.arange(n), 2),
+            "event_id": np.arange(2 * n),
+            "close": rng.normal(100, 15, 2 * n),
+        }
+    )
+    got = (
+        ema_weighted_sum(spark.createDataFrame(pdf), key="user_id", ts="ts",
+                         order_id="event_id", close="close")
+        .toPandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
+    )
+    exp = (
+        pdf.groupby("user_id", group_keys=False)
+        .apply(lambda g: g.assign(ema=g["close"].ewm(span=21, adjust=True).mean()))
+        .sort_values(["user_id", "ts"]).reset_index(drop=True)
+    )
+    assert np.isfinite(got["ema"].to_numpy()).all()
+    np.testing.assert_allclose(got["ema"].to_numpy(), exp["ema"].to_numpy(), rtol=1e-9)
