@@ -2,14 +2,17 @@
 metadata, with feature extraction as an Arrow-batched ``mapInPandas``
 (SURVEY §7.2 Phase 5 — the image/audio/video pattern at 100 TB).
 
-The Spark-side plumbing is real: a ``binary`` payload column rides the
-scan/shuffle like any other column, metadata is a typed struct, and the
-decode step is a ``mapInPandas`` over Arrow batches (one Python hop per
-batch, never per row). The *codec* itself is a STUB: real image/audio
-libraries are not in this container, so ``decode_features`` computes
-deterministic byte-level features (length, mean byte value, frame count)
-instead of pixels. Swapping in a real decoder changes ONE function —
-the schema, batching, and partitioning contract stay identical.
+The pipeline is a REAL encode→decode round trip on a standard raster
+format: each document is rendered into a P6 PPM image (binary magic,
+ASCII header, packed RGB bytes — the simplest format every image stack
+reads), the payload rides the scan/shuffle as an opaque ``binary``
+column, and the decode step PARSES the header and reshapes the pixel
+buffer inside the Arrow batch loop — geometry (width/height) comes from
+the decoded header, never from the metadata struct, and the per-row
+pixel features depend on the reshape being right. Heavy codecs
+(JPEG/PNG/audio) aren't in this container; swapping one in changes only
+the body of ``decode_batch`` — schema, batching, and partitioning are
+already exactly what a real codec needs.
 """
 
 from __future__ import annotations
@@ -26,13 +29,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
-FRAME_BYTES = 64  # fake "frame" stride for the frame-sample feature
+FRAME_BYTES = 64  # "frame" stride for the frame-sample feature
 
 FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("byte_len", LongType()),
-        StructField("mean_byte", DoubleType()),
+        StructField("mean_pixel", DoubleType()),
+        StructField("row0_mean", DoubleType()),
         StructField("n_frames", LongType()),
         StructField("width", LongType()),
         StructField("height", LongType()),
@@ -41,24 +45,46 @@ FEATURE_SCHEMA = StructType(
 
 
 def with_payload(docs: DataFrame) -> DataFrame:
-    """Attach an opaque binary payload + typed metadata struct.
+    """Encode each document as a P6 PPM image payload + typed metadata.
 
-    Payload = UTF-8 bytes of ``text`` (deterministic stand-in for an
-    image blob); metadata mirrors what an ingest service would attach.
+    Geometry derives from ``n_chars``; the RGB plane is the document's
+    ASCII bytes tiled to width×height×3 — all pure Column algebra, so the
+    payload is deterministic and the oracle can re-derive every decoded
+    feature from the text. The fixture is ASCII (length==n_chars), so
+    string ops count bytes exactly.
     """
-    return docs.select(
-        "doc_id",
-        F.encode("text", "UTF-8").alias("payload"),
-        F.struct(
-            F.lit("fake/raw-bytes").alias("format"),
-            (F.col("n_chars") % 64 + 1).cast("long").alias("width"),
-            (F.col("n_chars") % 48 + 1).cast("long").alias("height"),
-        ).alias("meta"),
+    w = (F.col("n_chars") % 64 + 1).cast("long")
+    h = (F.col("n_chars") % 48 + 1).cast("long")
+    needed = w * h * F.lit(3)
+    reps = ((needed + F.col("n_chars") - 1) / F.col("n_chars")).cast("int")
+    header = F.concat_ws(
+        "", F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n")
+    )
+    body = F.expr("substring(repeat(text, _reps), 1, _needed)")
+    return (
+        docs.withColumn("_reps", reps)
+        .withColumn("_needed", needed.cast("int"))
+        .select(
+            "doc_id",
+            F.encode(F.concat(header, body), "UTF-8").alias("payload"),
+            F.struct(
+                F.lit("image/x-portable-pixmap").alias("format"),
+                w.alias("width"),
+                h.alias("height"),
+            ).alias("meta"),
+        )
     )
 
 
 def decode_features(payloads: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over (doc_id, payload, meta).
+    """Arrow-batched PPM decode over (doc_id, payload, meta).
+
+    Parses the P6 header out of the raw bytes, reshapes the pixel buffer
+    to (height, width, 3), and extracts pixel-plane features — a real
+    decode, not byte stats: ``width``/``height`` come from the parsed
+    header and ``row0_mean`` depends on the reshape geometry. Pixel sums
+    are exact int64 sums, so the float means are bit-identical to the
+    oracle's integer-average arithmetic.
 
     The decode fn is defined as a CLOSURE (not module-level) so
     cloudpickle ships it by value — executor Python workers don't share
@@ -69,24 +95,36 @@ def decode_features(payloads: DataFrame) -> DataFrame:
     columns = [f.name for f in FEATURE_SCHEMA.fields]
 
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        """STUB decode: byte-level stats in place of a real image/audio
-        codec. Real version would do e.g.
-        ``PIL.Image.open(io.BytesIO(payload))`` per row inside the same
-        batch loop; everything else is unchanged."""
         import numpy as np
 
         for pdf in batches:
             rows = []
-            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
-                buf = np.frombuffer(payload, dtype=np.uint8)
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:3] != b"P6\n":
+                    raise ValueError(f"doc {doc_id}: not a P6 PPM payload")
+                nl_dims = buf.index(b"\n", 3)
+                w_s, h_s = buf[3:nl_dims].split()
+                w, h = int(w_s), int(h_s)
+                nl_max = buf.index(b"\n", nl_dims + 1)
+                maxval = int(buf[nl_dims + 1 : nl_max])
+                if maxval != 255:
+                    raise ValueError(f"doc {doc_id}: unsupported maxval {maxval}")
+                pix = np.frombuffer(buf, dtype=np.uint8, offset=nl_max + 1)
+                if pix.size != w * h * 3:
+                    raise ValueError(
+                        f"doc {doc_id}: pixel plane {pix.size} != {w}x{h}x3"
+                    )
+                img = pix.reshape(h, w, 3)
                 rows.append(
                     (
                         doc_id,
-                        int(buf.size),
-                        float(buf.mean()) if buf.size else 0.0,
-                        int(buf.size // frame_bytes),
-                        int(meta["width"]),
-                        int(meta["height"]),
+                        len(buf),
+                        float(img.sum(dtype=np.int64)) / img.size,
+                        float(img[0].sum(dtype=np.int64)) / img[0].size,
+                        len(buf) // frame_bytes,
+                        w,
+                        h,
                     )
                 )
             yield pd.DataFrame(rows, columns=columns)

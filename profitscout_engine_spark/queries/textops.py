@@ -251,29 +251,55 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- multimodal: binary payload + Arrow-batched decode stub -------------------
+# --- multimodal: PPM payload encode → binary column → Arrow-batched decode ----
 @query(
     "multimodal_features",
     oracle=f"""
+    WITH p AS (
+        SELECT doc_id, n_chars, text,
+               n_chars % 64 + 1 AS width,
+               n_chars % 48 + 1 AS height,
+               (n_chars % 64 + 1) * (n_chars % 48 + 1) * 3 AS needed
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, width, height, needed,
+               length('P6' || chr(10) || width || ' ' || height || chr(10) || '255'
+                      || chr(10)) AS header_len,
+               substr(repeat(text, CAST((needed + n_chars - 1) // n_chars AS INT)),
+                      1, needed) AS body
+        FROM p
+    )
     SELECT doc_id,
-           length(text) AS byte_len,
-           ROUND(list_aggregate(list_transform(range(1, length(text) + 1),
-                                               i -> ascii(substr(text, i, 1))),
-                                'avg'), 4) AS mean_byte,
-           length(text) // {FRAME_BYTES} AS n_frames,
-           n_chars % 64 + 1 AS width,
-           n_chars % 48 + 1 AS height
-    FROM documents
+           header_len + needed AS byte_len,
+           ROUND(list_aggregate(list_transform(range(1, needed + 1),
+                                               i -> ascii(substr(body, i, 1))),
+                                'avg'), 4) AS mean_pixel,
+           ROUND(list_aggregate(list_transform(range(1, width * 3 + 1),
+                                               i -> ascii(substr(body, i, 1))),
+                                'avg'), 4) AS row0_mean,
+           (header_len + needed) // {FRAME_BYTES} AS n_frames,
+           width, height
+    FROM b
     """,
     tags=("textops", "multimodal"),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column plumbing end-to-end: attach an opaque payload +
-    typed metadata, then extract features via Arrow-batched mapInPandas
-    (STUB codec — byte stats in place of pixel decode; see
-    operators/multimodal.py). The oracle recomputes the same features
-    from the ASCII source, proving the binary round-trip is lossless."""
+    """Binary-column plumbing end-to-end with a REAL codec round trip:
+    each document is rendered to a P6 PPM image (Column algebra), the
+    payload rides as an opaque binary column, and the Arrow-batched
+    mapInPandas decode parses the header and reshapes the pixel plane
+    (see operators/multimodal.py). The oracle re-derives the decoded
+    features from the ASCII source: byte_len/width/height prove header
+    round-trip, mean_pixel/row0_mean prove the pixel buffer and reshape
+    geometry are right."""
     feats = decode_features(with_payload(_docs(spark, sf_dir)))
     return feats.select(
-        "doc_id", "byte_len", r4(F.col("mean_byte")).alias("mean_byte"), "n_frames", "width", "height"
+        "doc_id",
+        "byte_len",
+        r4(F.col("mean_pixel")).alias("mean_pixel"),
+        r4(F.col("row0_mean")).alias("row0_mean"),
+        "n_frames",
+        "width",
+        "height",
     )

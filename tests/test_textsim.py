@@ -51,17 +51,44 @@ def test_exact_dedup_group_invariants(spark, sf_dir):
 
 
 def test_multimodal_roundtrip_and_determinism(spark, sf_dir):
-    """Binary payload survives the scan→mapInPandas hop losslessly (ASCII
-    source ⇒ byte_len == n_chars) and the Arrow-batched decode is
-    deterministic run-over-run."""
+    """The PPM payload survives the scan→mapInPandas hop losslessly and
+    the Arrow-batched decode is deterministic run-over-run. Decoded
+    geometry must equal the encode-side geometry (header round trip) and
+    byte_len must equal header + w·h·3 exactly."""
     a = REGISTRY["multimodal_features"].fn(spark, sf_dir).toPandas().sort_values("doc_id")
     b = REGISTRY["multimodal_features"].fn(spark, sf_dir).toPandas().sort_values("doc_id")
     assert (a.values == b.values).all()
     from profitscout_engine_spark.catalog import table
 
-    docs = table(spark, sf_dir, "documents").selectExpr("doc_id", "length(text) AS L").toPandas()
-    merged = a.merge(docs, on="doc_id")
-    assert (merged.byte_len == merged.L).all()
+    docs = table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "n_chars % 64 + 1 AS w", "n_chars % 48 + 1 AS h"
+    ).toPandas()
+    m = a.merge(docs, on="doc_id")
+    assert (m.width == m.w).all() and (m.height == m.h).all()
+    header_len = 3 + m.w.astype(str).str.len() + 1 + m.h.astype(str).str.len() + 5
+    assert (m.byte_len == header_len + m.w * m.h * 3).all()
+    assert ((m.mean_pixel >= 0) & (m.mean_pixel <= 255)).all()
+
+
+def test_multimodal_decode_rejects_corrupt_payloads(spark):
+    """The decode is a real parser: a payload that isn't P6, or whose
+    pixel plane disagrees with its header, must raise — not silently
+    produce byte stats."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from profitscout_engine_spark.operators.multimodal import decode_features
+
+    bad_magic = spark.createDataFrame([(1, b"JFIF....")], "doc_id long, payload binary").withColumn(
+        "meta", F.struct(F.lit("x").alias("format"))
+    )
+    with pytest.raises(Exception, match="P6"):
+        decode_features(bad_magic).collect()
+    short_plane = spark.createDataFrame(
+        [(2, b"P6\n4 4\n255\n" + b"\x01" * 10)], "doc_id long, payload binary"
+    ).withColumn("meta", F.struct(F.lit("x").alias("format")))
+    with pytest.raises(Exception, match="pixel plane"):
+        decode_features(short_plane).collect()
 
 
 def test_pair_generators_are_equijoins(spark, sf_dir):
