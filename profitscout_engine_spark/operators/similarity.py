@@ -164,14 +164,23 @@ def lsh_buckets(vecs: DataFrame, vec_col: str = "v", dim: int = DIM) -> DataFram
     embeddings — the DuckDB oracle's sequential dots agree.
     """
     spark = vecs.sparkSession
-    matrix = spark.createDataFrame(
-        [
-            (t, p, j, float(hyperplane_sign(t, p, j)))
-            for t in range(LSH_TABLES)
-            for p in range(LSH_PLANES)
-            for j in range(dim)
-        ],
-        "table_id int, plane int, pos int, sign double",
+    # The ±1 matrix is derived IN SPARK from the same md5 formula as
+    # hyperplane_sign (and the oracle's literal signs) — a range() plus
+    # column algebra, not a driver-local collection: createDataFrame of
+    # local rows costs a driver→JVM round trip and extra local-relation
+    # jobs per query call, and wouldn't scale past toy matrix sizes.
+    tp = F.col("id")
+    table_id = (tp / (LSH_PLANES * dim)).cast("int")
+    plane = ((tp / dim).cast("long") % LSH_PLANES).cast("int")
+    pos = (tp % dim).cast("int")
+    hexpair = F.substring(
+        F.md5(F.concat_ws(",", table_id.cast("string"), plane.cast("string"), pos.cast("string"))),
+        1,
+        2,
+    )
+    sign = F.when(F.conv(hexpair, 16, 10).cast("int") % 2 == 1, 1.0).otherwise(-1.0)
+    matrix = spark.range(LSH_TABLES * LSH_PLANES * dim).select(
+        table_id.alias("table_id"), plane.alias("plane"), pos.alias("pos"), sign.alias("sign")
     )
     flat = vecs.select("vec_id", F.posexplode(F.col(vec_col)).alias("pos", "x"))
     dots = (

@@ -76,7 +76,9 @@ def _packed_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     sequential fold (bit-identical to the oracle's). This is the
     scale path: plain shuffle joins on the ids, never a corpus broadcast.
     """
-    u = _vecs(spark, sf_dir).select("vec_id", "v", sim.fold_norm("v").alias("nrm"))
+    # persist: a and b are two sides of one self-join — caching makes the
+    # scan+norm subtree materialize once and both sides read the cache.
+    u = _vecs(spark, sf_dir).select("vec_id", "v", sim.fold_norm("v").alias("nrm")).persist()
     par = spark.sparkContext.defaultParallelism
     a = u.repartition(par, "vec_id").select(
         F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("nrm").alias("na")
@@ -88,13 +90,25 @@ def _packed_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
 
 
 def _score_candidates(
-    cand: DataFrame, a: DataFrame, b: DataFrame, rounder, topk: int
+    cand: DataFrame, a: DataFrame, b: DataFrame, rounder, topk: int, repartition: bool = True
 ) -> DataFrame:
     """Exact cosine + top-k over a candidate-pair set, scale-safe form:
     shuffle equi-joins resolve ids to packed vectors (AQE may still elect
     a broadcast when a side is genuinely small — the point is we never
     FORCE the corpus into one), Arrow-batched sequential-fold dot."""
     dot = sim.seq_dot_udf()
+    # The hash repartition on the NARROW candidate set is a CPU-parallelism
+    # fix, not a data-layout one: candidate pairs are tiny by bytes, so AQE
+    # would coalesce the scoring stage down to a few partitions and
+    # serialize the Arrow dot-product workers onto a few cores. A
+    # user-specified repartition is exempt from coalescing and happens
+    # BEFORE the rows widen with vectors — when the planner broadcasts the
+    # (small here) vector sides, the joins and the dot projection all stay
+    # in this full-width stage; at corpus scale the same repartition feeds
+    # the a_id shuffle join directly.
+    par = cand.sparkSession.sparkContext.defaultParallelism
+    if repartition:
+        cand = cand.repartition(par, "a_id")
     scored = (
         cand.join(a, "a_id")
         .join(b, "b_id")
@@ -382,6 +396,10 @@ def cosine_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-1 form OOMs an executor once the corpus outgrows one).
     """.format(k=LSH_TOPK, L=sim.LSH_TABLES, P=sim.LSH_PLANES)
     e = _vecs(spark, sf_dir).select("vec_id", "v")
+    # Deliberately NOT persisted: recomputing the cheap bucket pipeline
+    # for the self-join's second side costs ~1 s, while cache
+    # materialization under a cold session showed 5-10× first-run
+    # regressions (cache-lock contention between the two sides).
     buckets = sim.lsh_buckets(e)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
@@ -392,10 +410,14 @@ def cosine_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
         .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        # user repartition on the dedup keys: one full-width shuffle that
+        # the dropDuplicates reuses (no second exchange) and AQE cannot
+        # coalesce — keeps the downstream scoring stage wide.
+        .repartition(spark.sparkContext.defaultParallelism, "a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
     ea, eb = _packed_sides(spark, sf_dir)
-    return _score_candidates(cand, ea, eb, r6, LSH_TOPK)
+    return _score_candidates(cand, ea, eb, r6, LSH_TOPK, repartition=False)
 
 
 # ---- embedding-cosine near-dup pairs -----------------------------------------
@@ -490,7 +512,9 @@ def _ivf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(l2).alias("dist"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("c_label"))
-    return d.withColumn("rn", F.row_number().over(w))
+    # persist: n_vec × n_centroid rows; probe and build branches (and the
+    # search self-joins) all re-filter this one small ranked table.
+    return d.withColumn("rn", F.row_number().over(w)).persist()
 
 
 def _ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
