@@ -1,4 +1,6 @@
-"""Sources & sinks layer (SURVEY §2.1). See :mod:`.io`."""
+"""Sources & sinks layer (SURVEY §2.1). See :mod:`.io` and :mod:`.paginated`."""
+
+from .paginated import read_paged_json, register_paged_json  # noqa: F401
 
 from .io import (  # noqa: F401
     already_ran,

@@ -189,3 +189,51 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP DATABASE IF EXISTS bucketdemo CASCADE")
+
+
+def test_paged_json_datasource_follows_cursor_chain(spark, tmp_path):
+    """S2: the paged_json format walks a results/next_url cursor chain
+    (the reference's REST pagination protocol) and plans one partition
+    per chain so independent chains scan in parallel."""
+    import json
+
+    from profitscout_engine_spark.sources.paginated import read_paged_json
+
+    def write_chain(prefix, rows, page_size):
+        pages = [rows[i : i + page_size] for i in range(0, len(rows), page_size)] or [[]]
+        uris = [str(tmp_path / f"{prefix}_{i}.json") for i in range(len(pages))]
+        for i, (uri, page) in enumerate(zip(uris, pages)):
+            doc = {"results": page}
+            if i + 1 < len(uris):
+                doc["next_url"] = uris[i + 1]
+            with open(uri, "w") as fh:
+                json.dump(doc, fh)
+        return uris[0]
+
+    rows_a = [{"sym": f"A{i}", "px": float(i), "vol": i * 10} for i in range(7)]
+    rows_b = [{"sym": f"B{i}", "px": 100.0 + i, "vol": i} for i in range(5)]
+    start_a = write_chain("a", rows_a, page_size=3)  # 3 pages
+    start_b = write_chain("b", rows_b, page_size=2)  # 3 pages
+
+    df = read_paged_json(spark, [start_a, start_b])
+    assert df.rdd.getNumPartitions() == 2  # one partition per chain
+    got = sorted((r.sym, r.px, r.vol) for r in df.collect())
+    exp = sorted((r["sym"], r["px"], r["vol"]) for r in rows_a + rows_b)
+    assert got == exp
+    assert [f.name for f in df.schema.fields] == ["sym", "px", "vol"]
+
+
+def test_paged_json_runaway_cursor_guard(spark, tmp_path):
+    """A cursor chain longer than max_pages must fail loudly, not loop."""
+    import json
+
+    import pytest
+
+    from profitscout_engine_spark.sources.paginated import read_paged_json
+
+    # self-referential page: infinite chain
+    uri = str(tmp_path / "loop.json")
+    with open(uri, "w") as fh:
+        json.dump({"results": [{"x": 1}], "next_url": uri}, fh)
+    with pytest.raises(Exception, match="max_pages"):
+        read_paged_json(spark, [uri], max_pages=5).collect()
