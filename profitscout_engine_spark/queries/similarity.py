@@ -451,6 +451,74 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neardup_lsh_oracle() -> str:
+    bucket_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT vec_id, {t_} AS table_id, {_lsh_bucket_sql('v', t_)} AS bucket FROM e"
+        for t_ in range(sim.LSH_TABLES)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    buckets AS (
+        {bucket_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+        FROM buckets a JOIN buckets b
+          ON a.table_id = b.table_id AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
+    )
+    SELECT c.d1, c.d2,
+           ROUND({_cosine_sql('ea.v', 'eb.v')}, 4) AS sim
+    FROM cand c JOIN e ea ON ea.vec_id = c.d1 JOIN e eb ON eb.vec_id = c.d2
+    WHERE ROUND({_cosine_sql('ea.v', 'eb.v')}, 4) >= {COSINE_NEARDUP_MIN}
+    """
+
+
+@query(
+    "embedding_neardup_lsh",
+    oracle=_neardup_lsh_oracle(),
+    tags=("dedup", "embedding-cosine-lsh"),
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, SCALE form: candidates from the
+    hyperplane-LSH bucket equi-join (never all pairs), exact cosine
+    ≥ {thr} only on candidates. The md5-derived bucket protocol makes
+    even the approximate candidate set oracle-exact; recall vs the
+    brute-force `embedding_neardup_pairs` is pinned in pytest. This is
+    the plan that survives a corpus that doesn't fit one executor —
+    the brute-force sibling stays as the correctness yardstick.
+    """.format(thr=COSINE_NEARDUP_MIN)
+    e = _vecs(spark, sf_dir).select("vec_id", "v")
+    buckets = sim.lsh_buckets(e)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    par = spark.sparkContext.defaultParallelism
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
+        .repartition(par, "d1", "d2")
+        .dropDuplicates(["d1", "d2"])
+    )
+    ea, eb = _packed_sides(spark, sf_dir)
+    ea = ea.select(F.col("a_id").alias("d1"), "va", "na")
+    eb = eb.select(F.col("b_id").alias("d2"), "vb", "nb")
+    dot = sim.seq_dot_udf()
+    return (
+        cand.join(ea, "d1")
+        .join(eb, "d2")
+        .select(
+            "d1",
+            "d2",
+            r4(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
+        .where(F.col("sim") >= COSINE_NEARDUP_MIN)
+    )
+
+
 # ---- IVF-style nearest-centroid assignment -----------------------------------
 @query(
     "ivf_centroid_assign",

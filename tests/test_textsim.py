@@ -154,3 +154,20 @@ def test_candidate_scoring_never_forces_corpus_broadcast(spark, sf_dir):
     scored = _score_candidates(cand, a, b, r6, 3)
     logical = scored._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in logical
+
+
+def test_neardup_lsh_subset_of_brute_force(spark, sf_dir):
+    """The LSH near-dup pass may only MISS pairs, never invent them: its
+    result must be a subset of the brute-force threshold scan, and it
+    must keep a sane fraction of the high-similarity pairs (>= 0.6
+    cosine — the band the near-dup use case actually cares about)."""
+    brute = REGISTRY["embedding_neardup_pairs"].fn(spark, sf_dir).toPandas()
+    lsh = REGISTRY["embedding_neardup_lsh"].fn(spark, sf_dir).toPandas()
+    bset = set(zip(brute.d1, brute.d2))
+    lset = set(zip(lsh.d1, lsh.d2))
+    assert lset <= bset, f"LSH invented pairs: {sorted(lset - bset)[:5]}"
+    high = brute[brute.sim >= 0.6]
+    hset = set(zip(high.d1, high.d2))
+    if hset:
+        recall = len(hset & lset) / len(hset)
+        assert recall >= 0.5, f"near-dup recall@0.6 collapsed: {recall:.3f}"
