@@ -259,14 +259,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "ngram-jaccard"),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard ≥ {thr} via an inverted-index self-join.
+    """Exact word-3-gram Jaccard >= JACCARD_MIN via an inverted-index self-join.
 
     Pair generation goes through :func:`skew.skewsafe_pair_gen`: shingles
     above the document-frequency threshold join on (shingle, salt) — a
     stop-shingle's quadratic fan-out spreads over salt buckets instead of
     melting one reducer — while the cold long tail joins plainly. Output
     is row-identical to the naive self-join, so the oracle is unchanged.
-    """.format(thr=JACCARD_MIN)
+    """
     from ..operators.skew import skewsafe_pair_gen
 
     sh = tx.shingle_frame(_docs(spark, sf_dir), distinct=True)
@@ -335,10 +335,10 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann-brute"),
 )
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-{k} per vector: broadcast nested-loop
+    """Brute-force cosine top-TOPK per vector: broadcast nested-loop
     self-join with per-row precomputed norms (dot fold is the only
     per-pair work). The yardstick the LSH variant is measured against.
-    """.format(k=TOPK)
+    """
     a, b = _scalar_sides(spark, sf_dir)
     pairs = a.join(F.broadcast(b), F.col("a_id") != F.col("b_id"))
     scored = pairs.select(
@@ -387,14 +387,14 @@ def _lsh_oracle() -> str:
 
 @query("cosine_lsh_topk", oracle=_lsh_oracle(), tags=("similarity", "ann-lsh"))
 def cosine_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-{k}: {L} hash tables × {P} planes,
+    """Hyperplane-LSH approximate top-k: LSH_TABLES hash tables x LSH_PLANES planes,
     candidates from an equi-join on (table, bucket), exact cosine only on
     candidates. Sign matrix is md5-derived (no RNG), so the bucket
     assignment — and therefore the whole result — is oracle-exact.
     Recall vs the brute-force baseline is pinned in pytest. Scoring is
     the packed-vector shuffle-join path (no corpus broadcast — the
     round-1 form OOMs an executor once the corpus outgrows one).
-    """.format(k=LSH_TOPK, L=sim.LSH_TABLES, P=sim.LSH_PLANES)
+    """
     e = _vecs(spark, sf_dir).select("vec_id", "v")
     # Deliberately NOT persisted: recomputing the cheap bucket pipeline
     # for the self-join's second side costs ~1 s, while cache
@@ -433,10 +433,10 @@ def cosine_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "embedding-cosine"),
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ {thr} over undirected pairs.
+    """Embedding near-dup pairs: cosine >= COSINE_NEARDUP_MIN over undirected pairs.
     Brute-force form here (threshold filter after broadcast NL join); at
     corpus scale the LSH bucketing above is the candidate generator.
-    """.format(thr=COSINE_NEARDUP_MIN)
+    """
     a, b = _scalar_sides(spark, sf_dir)
     a = a.withColumnRenamed("a_id", "d1")
     b = b.withColumnRenamed("b_id", "d2")
@@ -482,12 +482,13 @@ def _neardup_lsh_oracle() -> str:
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, SCALE form: candidates from the
     hyperplane-LSH bucket equi-join (never all pairs), exact cosine
-    ≥ {thr} only on candidates. The md5-derived bucket protocol makes
+    >= COSINE_NEARDUP_MIN only on candidates. The md5-derived bucket protocol makes
     even the approximate candidate set oracle-exact; recall vs the
-    brute-force `embedding_neardup_pairs` is pinned in pytest. This is
+    brute-force `embedding_neardup_pairs` is pinned in pytest. Scoring
+    runs through the packed-vector joins (Arrow-batched dot). This is
     the plan that survives a corpus that doesn't fit one executor —
     the brute-force sibling stays as the correctness yardstick.
-    """.format(thr=COSINE_NEARDUP_MIN)
+    """
     e = _vecs(spark, sf_dir).select("vec_id", "v")
     buckets = sim.lsh_buckets(e)
     a, b = buckets.alias("a"), buckets.alias("b")
@@ -644,7 +645,8 @@ def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     each query routes to its nearest coarse centroid and scores ONLY
     that inverted list — candidates shrink by ~n_lists× vs brute force,
     the standard first stage of billion-scale ANN. Exact cosine on the
-    candidate set; oracle-exact because routing uses rounded centroid
+    candidate set via the packed-vector shuffle-join scorer (Arrow-
+    batched dot); oracle-exact because routing uses rounded centroid
     components and rounded distances."""
     assign = _ivf_assignments(spark, sf_dir).select("vec_id", "assigned_label")
     a = assign.select(F.col("vec_id").alias("a_id"), F.col("assigned_label").alias("la"))
@@ -686,13 +688,13 @@ NPROBE = 2
 )
 def ivf_search_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search with multi-probe routing: each query scans its
-    {p} nearest coarse lists instead of one — the standard recall/cost
+    NPROBE nearest coarse lists instead of one — the standard recall/cost
     dial of IVF indexes (recall floor vs single-probe pinned in pytest).
     Each corpus vector still lives in exactly one list (rn=1), so every
     candidate pair arises from at most one probed list — no dedup needed.
     Routing stays oracle-exact (rounded centroids + rounded distances);
     scoring is the packed shuffle-join path.
-    """.format(p=NPROBE)
+    """
     ranked = _ivf_ranked(spark, sf_dir)
     probe = ranked.where(F.col("rn") <= NPROBE).select(
         F.col("vec_id").alias("a_id"), F.col("c_label").alias("lst")

@@ -76,3 +76,50 @@ def test_monte_carlo_no_collect_plan(spark, sf_dir):
     query function builds the whole dag lazily)."""
     plan = _plan(spark, sf_dir, "monte_carlo_paths")
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+# Queries whose documented design legitimately uses a nested-loop join:
+# the brute-force similarity yardsticks (broadcast NL by design) and the
+# 1-row cross joins (pool-size scalar, centroid matrix routing).
+_NL_JOIN_OK = {
+    "cosine_topk",
+    "embedding_neardup_pairs",
+    "ivf_centroid_assign",
+    "ivf_search_topk",
+    "ivf_search_nprobe",
+    "monte_carlo_paths",
+    "scenario_explode",
+    # non-equi join against a broadcast trading-calendar dim (J9)
+    "trading_day_offsets",
+    # 1-row global-scalar cross join (regime selector)
+    "regime_weighted_score",
+}
+
+
+def test_every_registered_plan_is_scale_hygienic(spark, sf_dir):
+    """Full-registry sweep of the 100 TB design rules, on every plan:
+
+    - no row-at-a-time Python eval anywhere (BatchEvalPython);
+    - no unbounded CartesianProduct;
+    - nested-loop joins only in the explicitly documented yardsticks /
+      scalar-broadcast shapes (_NL_JOIN_OK);
+    - Arrow Python hops only in queries that declare a Python kernel.
+    """
+    arrow_ok_markers = ("FlatMapGroupsInPandas", "MapInPandas", "ArrowEvalPython",
+                       "FlatMapGroupsInPandasWithState")
+    failures = []
+    for name in REGISTRY:
+        plan = _plan(spark, sf_dir, name)
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-at-a-time Python UDF")
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in _NL_JOIN_OK:
+            failures.append(f"{name}: undocumented BroadcastNestedLoopJoin")
+        if any(m in plan for m in arrow_ok_markers):
+            # Arrow hops are fine but must be intentional: the query (or its
+            # operator module) declares a Python kernel in its docstring.
+            doc = (REGISTRY[name].fn.__doc__ or "").lower()
+            if not any(k in doc for k in ("pandas", "arrow", "python", "decode", "dot", "packed")):
+                failures.append(f"{name}: undeclared Arrow Python hop")
+    assert not failures, "\n".join(failures)
