@@ -6,6 +6,7 @@ from .io import (  # noqa: F401
     already_ran,
     append_evolving,
     append_rows,
+    compact_parquet,
     ctas,
     flatten_structs,
     merge_upsert,

@@ -242,3 +242,47 @@ def write_bucketed(
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    order_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet table root into files of
+    ~``target_file_mb`` each, returning the new file count.
+
+    Streaming/micro-batch sinks (S7/S14) accrete thousands of tiny files;
+    at 100 TB that means metadata-bound planning and per-file open cost
+    dominating scans. The file count derives from the table's actual
+    on-disk bytes (driver-side directory listing — metadata, not data),
+    then one round-robin (or range, when ``order_cols`` given) shuffle
+    rewrites to a staging dir which is atomically swapped in — readers
+    see the old files or the new, never a mix.
+    """
+    import os
+    import shutil
+    import uuid
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_files = max(1, round(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    shaped = (
+        df.repartitionByRange(n_files, *order_cols)
+        if order_cols
+        else df.repartition(n_files)
+    )
+    staging = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    shaped.write.mode("overwrite").parquet(staging)
+    backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return n_files

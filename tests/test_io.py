@@ -237,3 +237,30 @@ def test_paged_json_runaway_cursor_guard(spark, tmp_path):
         json.dump({"results": [{"x": 1}], "next_url": uri}, fh)
     with pytest.raises(Exception, match="max_pages"):
         read_paged_json(spark, [uri], max_pages=5).collect()
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    """Compaction rewrites a many-tiny-file table into the byte-derived
+    target count without changing its contents."""
+    import os
+
+    from profitscout_engine_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "fragmented")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    li.repartition(40).write.parquet(path)  # simulate micro-batch accretion
+    before_files = sum(f.endswith(".parquet") for f in os.listdir(path))
+    before = li.toPandas().sort_values(["l_orderkey", "l_partkey", "l_quantity"]).reset_index(drop=True)
+
+    n = compact_parquet(spark, path, target_file_mb=128, order_cols=["l_orderkey"])
+    after_files = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert after_files == n < before_files
+    after = (
+        spark.read.parquet(path).toPandas()
+        .sort_values(["l_orderkey", "l_partkey", "l_quantity"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(before, after)
