@@ -260,6 +260,11 @@ def compact_parquet(
     then one round-robin (or range, when ``order_cols`` given) shuffle
     rewrites to a staging dir which is atomically swapped in — readers
     see the old files or the new, never a mix.
+
+    The swap uses posix rename, i.e. assumes a local/posix-rename store;
+    on an object store the same protocol runs through the Hadoop
+    FileSystem API (or a lakehouse format's REPLACE), with the listing
+    served by `fs.listFiles`.
     """
     import os
     import shutil

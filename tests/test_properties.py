@@ -124,3 +124,54 @@ def test_peak_return_dominates_daily(spark, sf_dir):
     for c in ("day1_value", "day2_value", "day3_value"):
         sub = df.dropna(subset=[c, "peak_value"])
         assert (sub["peak_value"] >= sub[c] - 1e-9).all(), c
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 9)),  # (doc_id, shingle_idx)
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(1, 6),  # hot_df threshold — small, so salting actually fires
+)
+def test_skewsafe_pair_gen_equals_naive_join(spark, posting_rows, hot_df):
+    """For ANY posting list and ANY threshold, the salted pair generator is
+    row-identical (with multiplicity) to the naive inverted-index
+    self-join — the equivalence that keeps the oracle valid."""
+    from profitscout_engine_spark.operators.skew import skewsafe_pair_gen
+
+    rows = sorted({(d, f"s{k}") for d, k in posting_rows})
+    sh = spark.createDataFrame(rows, "doc_id int, shingle string")
+    got = sorted(
+        map(tuple, skewsafe_pair_gen(sh, "shingle", "doc_id", hot_df=hot_df, buckets=4)
+            .groupBy("d1", "d2").count().collect())
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    exp = sorted(
+        map(tuple,
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+            .count().collect())
+    )
+    assert got == exp
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.lists(finite, min_size=4, max_size=4), min_size=1, max_size=25))
+def test_seq_dot_udf_matches_sequential_fold(spark, vectors):
+    """The Arrow dot kernel must equal the left-associated sequential sum
+    BIT-FOR-BIT for any doubles (the property its oracle exactness
+    rests on)."""
+    from profitscout_engine_spark.operators.similarity import seq_dot_udf
+
+    rows = [(i, [float(x) for x in v], [float(x) for x in reversed(v)])
+            for i, v in enumerate(vectors)]
+    df = spark.createDataFrame(rows, "id int, va array<double>, vb array<double>")
+    dot = seq_dot_udf()
+    got = {r.id: r.d for r in df.select("id", dot("va", "vb").alias("d")).collect()}
+    for i, v in enumerate(vectors):
+        acc = 0.0
+        for x, y in zip(v, list(reversed(v))):
+            acc = acc + x * y
+        assert got[i] == acc, (i, got[i], acc)
