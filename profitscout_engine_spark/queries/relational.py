@@ -419,7 +419,9 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month(d).cast("int").alias("order_month"),
         F.quarter(d).cast("int").alias("order_quarter"),
         F.dayofweek(d).cast("int").alias("order_dow"),
-        F.datediff(F.lit("2001-12-31").cast("date"), d.cast("date")).alias("days_to_ref"),
+        F.datediff(F.lit("2001-12-31").cast("date"), d.cast("date"))
+        .cast("long")
+        .alias("days_to_ref"),
         F.date_sub(d.cast("date"), 5).alias("minus_5d"),
         F.date_format(d, "yyMMdd").alias("yymmdd"),
     )

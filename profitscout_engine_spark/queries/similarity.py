@@ -120,7 +120,7 @@ def _score_candidates(
     )
     w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= topk)
         .select("a_id", "b_id", "rank", "sim")
     )
@@ -348,7 +348,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= TOPK)
         .select("a_id", "b_id", "rank", "sim")
     )

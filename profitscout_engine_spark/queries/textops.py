@@ -62,13 +62,13 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size("tk")
     return d.select(
         "doc_id",
-        n.alias("n_tokens"),
-        F.size(F.array_distinct("tk")).alias("n_distinct"),
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).cast("long").alias("n_distinct"),
         r4(F.size(F.array_distinct("tk")) / n).alias("ttr"),
         r4(F.length(F.regexp_replace("text", " ", "")) / n).alias("avg_token_len"),
-        F.expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").alias(
-            "n_bpe_tokens"
-        ),
+        F.expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+        .cast("long")
+        .alias("n_bpe_tokens"),
     )
 
 
@@ -115,7 +115,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        n.alias("n_tokens"),
+        n.cast("long").alias("n_tokens"),
         r4(stop_ratio).alias("stopword_ratio"),
         score.alias("quality_score"),
         F.when(score >= 0.75, "high")
@@ -174,7 +174,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         cond = F.col(f"hits_{lang}") == gmax
         guess = F.when(cond, lang) if guess is None else guess.when(cond, lang)
     guess = guess.otherwise("und")
-    return h.select("doc_id", "lang", guess.alias("lang_guess"), "hits_en")
+    return h.select("doc_id", "lang", guess.alias("lang_guess"), F.col("hits_en").cast("long").alias("hits_en"))
 
 
 # --- document fingerprinting (content hash + rolling min-hash) ----------------

@@ -297,7 +297,7 @@ def chrono_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the median date once (percentile agg) and splits by comparison.
     Kept as ntile here because the oracle needs identical tie semantics."""
     o = t(spark, sf_dir, "orders")
-    half = F.ntile(2).over(Window.orderBy("o_orderdate", "o_orderkey"))
+    half = F.ntile(2).over(Window.orderBy("o_orderdate", "o_orderkey")).cast("long")
     return (
         o.withColumn("half", half)
         .groupBy("half")
