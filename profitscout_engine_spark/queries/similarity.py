@@ -139,7 +139,8 @@ _SHINGLES_CTE = """
 """
 
 
-def _minhash_oracle() -> str:
+def _minhash_bands_ctes() -> str:
+    """Shared CTE text: shingles → MinHash signature → band rows."""
     mins = ",\n               ".join(
         f"MIN(md5('{s}|' || shingle)) AS h{s}" for s in range(tx.MINHASH_K)
     )
@@ -152,8 +153,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(tx.MINHASH_BANDS)
     )
-    return f"""
-    WITH {_SHINGLES_CTE},
+    return f"""{_SHINGLES_CTE},
     sig AS (
         SELECT doc_id,
                {mins}
@@ -161,7 +161,12 @@ def _minhash_oracle() -> str:
     ),
     bands AS (
         {band_rows}
-    )
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_bands_ctes()}
     SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared_bands
     FROM bands a JOIN bands b
       ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
@@ -235,6 +240,68 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+# ---- near-dup CLUSTERING: connected components over the pair graph ----------
+def _components_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_bands_ctes()},
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    ),
+    sym AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach AS (
+        SELECT node AS d, node AS m FROM nodes
+        UNION
+        SELECT r.d, s.b FROM reach r JOIN sym s ON s.a = r.m
+    ),
+    comp AS (SELECT d AS doc_id, MIN(m) AS component FROM reach GROUP BY d)
+    SELECT doc_id, component,
+           COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+           doc_id = component AS is_canonical
+    FROM comp
+    """
+
+
+@query("neardup_components", oracle=_components_oracle(), tags=("dedup", "clustering"))
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the MinHash/LSH pair
+    graph, canonical = min doc_id per component — the keep-one-per-cluster
+    stage a dedup pipeline actually executes after pair generation.
+
+    Spark side runs hash-min label propagation (operators/graph.py):
+    rounds = component diameter (shallow for dedup graphs), each round
+    two narrow shuffles, driver loop carries only a convergence bit.
+    The oracle walks reachability with a recursive CTE; both sides label
+    a component by its min member, so the result is exactly comparable.
+    """
+    from ..operators.graph import connected_components
+
+    sh = tx.shingle_frame(_docs(spark, sf_dir), distinct=True)
+    bands = tx.minhash_bands(tx.minhash_signature(sh))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    cc = connected_components(pairs)
+    w = Window.partitionBy("comp")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("component"),
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("node") == F.col("comp")).alias("is_canonical"),
     )
 
 

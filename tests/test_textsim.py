@@ -171,3 +171,25 @@ def test_neardup_lsh_subset_of_brute_force(spark, sf_dir):
     if hset:
         recall = len(hset & lset) / len(hset)
         assert recall >= 0.5, f"near-dup recall@0.6 collapsed: {recall:.3f}"
+
+
+def test_connected_components_chain_and_forest(spark):
+    """Hash-min CC on a known graph: a 6-node chain (diameter 5 — several
+    propagation rounds), a triangle, and an isolated pair; every node
+    labeled by its component's min id."""
+    from profitscout_engine_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),     # chain
+         (10, 11), (11, 12), (10, 12),               # triangle
+         (20, 21)],                                   # pair
+        "d1 int, d2 int",
+    )
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(edges, max_iters=1)
