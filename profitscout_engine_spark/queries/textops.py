@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..exprs import r4
 from ..operators.multimodal import FRAME_BYTES, decode_features, with_payload
-from ..operators.text import tokens
+from ..operators.text import tokens, word_shingles
 from . import query
 from ._util import t
 
@@ -248,6 +248,187 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").over(w).alias("canonical_doc_id"),
         F.count("*").over(w).alias("group_size"),
         (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_duplicate"),
+    )
+
+
+# --- Gopher-style repetition metrics (training-data quality filters) ----------
+@query(
+    "repetition_metrics",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    tri AS (
+        SELECT doc_id, tk,
+               list_transform(range(1, greatest(len(tk) - 1, 1)),
+                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS tg
+        FROM tk
+    )
+    SELECT doc_id,
+           ROUND(list_max(list_transform(list_distinct(tk),
+                                         x -> len(list_filter(tk, y -> y = x))))
+                 * 1.0 / len(tk), 4) AS top_token_frac,
+           CASE WHEN len(tg) > 0 THEN
+               ROUND(1.0 - len(list_distinct(tg)) * 1.0 / len(tg), 4)
+           END AS dup_3gram_frac,
+           CAST(len(list_filter(tk, (x, i) -> i > 1 AND tk[i-1] = x)) AS BIGINT)
+               AS n_consec_repeat
+    FROM tri
+    """,
+    tags=("textops", "repetition"),
+)
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: fraction of tokens taken by the
+    most frequent token, fraction of duplicate word-3-grams, and the
+    count of immediately-repeated tokens ("the the"). All three are pure
+    per-row array algebra — zero shuffle, whole-stage codegen — which is
+    exactly why these filters stay cheap at 100 TB: they ride the scan.
+
+    NOTE on index bases: Spark's ``filter`` lambda index is 0-based and
+    ``tk[i]`` 0-based; DuckDB's are both 1-based — the two predicates
+    below are the same condition expressed in each engine's base.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", tokens(F.col("text")).alias("tk"))
+    n = F.size("tk")
+    top_cnt = F.expr(
+        "array_max(transform(array_distinct(tk), x -> size(filter(tk, y -> y = x))))"
+    )
+    d = d.withColumn("tg", word_shingles(3))
+    tg_n = F.size("tg")
+    return d.select(
+        "doc_id",
+        r4(top_cnt / n).alias("top_token_frac"),
+        F.when(
+            tg_n > 0, r4(F.lit(1.0) - F.size(F.array_distinct("tg")) / tg_n)
+        ).alias("dup_3gram_frac"),
+        F.expr("size(filter(tk, (x, i) -> i > 0 AND tk[i-1] = x))")
+        .cast("long")
+        .alias("n_consec_repeat"),
+    )
+
+
+# --- deterministic hash split (train/val/test curation) -----------------------
+@query(
+    "hash_split",
+    oracle="""
+    SELECT doc_id, lang,
+           substr(md5(doc_id::VARCHAR), 1, 1) AS bucket_hex,
+           CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) IN ('c', 'd') THEN 'val'
+                WHEN substr(md5(doc_id::VARCHAR), 1, 1) IN ('e', 'f') THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+    tags=("textops", "hash-split"),
+)
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test assignment by the first
+    hex digit of md5(doc_id) — the split a curation pipeline must make
+    reproducible across reruns and engines (no RNG, no sampling state;
+    the assignment is a pure function of the row key, so late-arriving
+    data lands in a stable split). Embarrassingly parallel: rides the
+    scan with zero shuffle.
+    """
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        digit.alias("bucket_hex"),
+        F.when(digit.isin("c", "d"), "val")
+        .when(digit.isin("e", "f"), "test")
+        .otherwise("train")
+        .alias("split"),
+    )
+
+
+# --- tf-idf top terms per document --------------------------------------------
+TFIDF_TOPK = 3
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    s AS (
+        SELECT doc_id, term, tf,
+               ROUND((tf * n_docs) * 1.0 / df, 4) AS tfidf
+        FROM tf JOIN dfq USING (term) CROSS JOIN n
+    ),
+    r AS (
+        SELECT doc_id, term, tf, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        FROM s
+    )
+    SELECT doc_id, term, tf, tfidf, rank FROM r WHERE rank <= {TFIDF_TOPK}
+    """,
+    tags=("textops", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TFIDF_TOPK distinguishing terms per document by tf-idf with a
+    division idf (``tf * n_docs / df``) instead of the log form: integer
+    multiply + one IEEE division is bit-deterministic across engines,
+    while ``ln`` implementations may differ in the last ulp and flip a
+    rounding or a rank. Ordering uses the ROUNDED score (identical both
+    sides) with the term as tie-break, so top-k selection is exact.
+
+    Plan shape: explode → (doc,term) count → term doc-frequency — two
+    shuffles on keys that scale with corpus vocabulary, plus a broadcast
+    scalar for n_docs. The df table is vocabulary-sized (small relative
+    to the corpus), so AQE broadcasts it back onto the tf table.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = d.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = _docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))
+    s = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            r4((F.col("tf") * F.col("n_docs")) * F.lit(1.0) / F.col("df")).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+    )
+
+
+# --- deterministic per-group sample (curation / eval-set drawing) -------------
+SAMPLE_PER_LANG = 5
+
+
+@query(
+    "per_lang_sample",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang, rn FROM r WHERE rn <= {SAMPLE_PER_LANG}
+    """,
+    tags=("textops", "sampling"),
+)
+def per_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform-ish sample of SAMPLE_PER_LANG docs per language:
+    rank by md5(doc_id) within each group and keep the head. The hash
+    order is a reproducible shuffle — the standard trick for drawing
+    stable eval subsets from a growing corpus (a new doc displaces at
+    most one sampled row, and reruns agree bit-for-bit). One shuffle on
+    the group key; the per-group sort is bounded by the group, and at
+    scale the rank-head form pushes into a partial top-k per mapper.
+    """
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", F.row_number().over(w).cast("long").alias("rn"))
+        .where(F.col("rn") <= SAMPLE_PER_LANG)
     )
 
 
