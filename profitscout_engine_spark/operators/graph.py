@@ -39,6 +39,11 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
+    # Materialize the (narrow) symmetrized edge list once: every round's
+    # neighborhood join re-reads it, and without the checkpoint each round
+    # would re-execute the upstream pair GENERATION (for near-dup input,
+    # the whole shingle→minhash→band pipeline) diameter-many times.
+    sym = sym.localCheckpoint()
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "comp", F.col("node")
     )
@@ -56,19 +61,15 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce(F.col("neigh_min"), F.col("comp"))
                 ).alias("comp"),
+                F.col("comp").alias("_old"),
             )
         )
         # localCheckpoint: truncate lineage so round N's plan doesn't nest
-        # all prior rounds; also materializes, making `changed` cheap.
+        # all prior rounds; also materializes, so the convergence probe
+        # below reads the checkpoint instead of re-running the round.
         new_labels = new_labels.localCheckpoint()
-        changed = (
-            labels.withColumnRenamed("comp", "old")
-            .join(new_labels, "node")
-            .where(F.col("old") != F.col("comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("_old") != F.col("comp")).limit(1).count()
+        labels = new_labels.drop("_old")
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components: no fixpoint in {max_iters} rounds")

@@ -56,6 +56,10 @@ def _apply_runtime_confs(spark: SparkSession) -> None:
     """Session-scoped confs that must hold regardless of who built the session."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Serve bare MIN/MAX/COUNT aggregations from parquet footer statistics
+    # instead of scanning data pages (off by default; pure win for the
+    # idempotency-guard / catalog-introspection style probes).
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     # Idempotent daily re-runs overwrite only the partitions present in the
     # written frame (reference: DELETE-partition-then-append daily pattern).
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -244,6 +244,73 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = 8,
+) -> None:
+    """Z-order (Morton-curve) file layout for multi-dimensional data skipping.
+
+    A range/linear sort concentrates ONE column's values per file, so
+    parquet min/max footer stats prune scans filtered on that column but
+    no other. Interleaving the bits of every clustering column's bucket
+    rank gives each file a tight bounding box in ALL of them — a filter
+    on any subset of ``cols`` skips most files. This is the layout trick
+    lakehouse OPTIMIZE ZORDER applies; here it is pure DataFrame algebra:
+
+    1. one agg computes each column's (min, max) — a footer-served probe;
+    2. each value maps to a ``bits``-bit equal-width bucket rank
+       (``width_bucket`` over the min-max span, codegen'd);
+    3. ranks interleave into the Morton key (bit shifts — no UDF);
+    4. ``repartitionByRange`` on the key (sampled range boundaries →
+       balanced files even for skewed keys) + in-partition sort, so each
+       output file covers one compact curve segment.
+
+    Equal-width buckets are deliberate: rank-based (quantile) bucketing
+    would need a global sort or sketch pass; min/max come from footers.
+    Skewed dimensions degrade toward fewer effective bits — acceptable
+    for the file-skipping use, and the range partitioner keeps file
+    SIZES balanced regardless.
+    """
+    stats = df.agg(
+        *[F.min(c).alias(f"_mn_{c}") for c in cols],
+        *[F.max(c).alias(f"_mx_{c}") for c in cols],
+    ).collect()[0]
+    n_buckets = 1 << bits
+    ncols = len(cols)
+    ranks = []
+    for c in cols:
+        mn, mx = float(stats[f"_mn_{c}"]), float(stats[f"_mx_{c}"])
+        if mx <= mn:  # constant column — contributes nothing to the curve
+            ranks.append(F.lit(0))
+            continue
+        ranks.append(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.expr(
+                    f"width_bucket(CAST(`{c}` AS DOUBLE), {mn!r}, {mx!r}, {n_buckets})"
+                )
+                - F.lit(1),
+            ).cast("long")
+        )
+    zkey = F.lit(0).cast("long")
+    for ci, rank in enumerate(ranks):
+        for b in range(bits):
+            zkey = zkey + F.shiftleft(
+                F.shiftright(rank, b).bitwiseAND(F.lit(1)), b * ncols + ci
+            ).cast("long")
+    (
+        df.withColumn("_zkey", zkey)
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

@@ -264,3 +264,50 @@ def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(before, after)
+
+
+def test_zorder_layout_skips_files_on_secondary_column(spark, tmp_path):
+    """Z-order vs linear layout: for a filter on the SECOND clustering
+    column, per-file parquet min/max stats must prune most z-ordered
+    files while a linear sort on the first column prunes none."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from profitscout_engine_spark.sources.io import write_zorder
+
+    n_files = 16
+    df = spark.range(20_000).select(
+        (F.col("id") % 1000).cast("double").alias("x"),
+        ((F.col("id") * 7919) % 1000).cast("double").alias("y"),
+    )
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "linear")
+    write_zorder(df, zpath, ["x", "y"], n_files=n_files)
+    df.repartitionByRange(n_files, "x").sortWithinPartitions("x").write.parquet(lpath)
+
+    def files_touched(path: str, lo: float, hi: float) -> tuple[int, int]:
+        touched, total = 0, 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            total += 1
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["y"]
+            mins = min(md.row_group(g).column(col_idx).statistics.min for g in range(md.num_row_groups))
+            maxs = max(md.row_group(g).column(col_idx).statistics.max for g in range(md.num_row_groups))
+            if maxs >= lo and mins <= hi:
+                touched += 1
+        return touched, total
+
+    z_touched, z_total = files_touched(zpath, 100.0, 150.0)
+    l_touched, l_total = files_touched(lpath, 100.0, 150.0)
+    assert z_total == n_files and l_total == n_files
+    assert l_touched == n_files  # linear layout: y spans every file
+    assert z_touched <= n_files // 2  # curve layout bounds y per file
+
+    # content round-trip: layout changes bytes on disk, never the rows
+    a = df.toPandas().sort_values(["x", "y"]).reset_index(drop=True)
+    b = spark.read.parquet(zpath).select("x", "y").toPandas().sort_values(["x", "y"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
