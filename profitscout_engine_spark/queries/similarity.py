@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..exprs import r4, r6
+from ..exprs import r4, r6, stable_round
 from ..operators import text as tx
 from ..operators import similarity as sim
 from . import query
@@ -305,6 +305,123 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- dedup END-TO-END: cluster, score, keep the best doc per cluster ---------
+_QUALITY_CTES = """
+    tkq AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tk FROM documents),
+    mq AS (
+        SELECT doc_id, n_chars,
+               len(list_filter(tk, x -> list_contains(
+                   ['the','a','and','of','to','in','is','on','for','with'], x)))
+                   * 1.0 / len(tk) AS stop_ratio,
+               len(list_distinct(tk)) * 1.0 / len(tk) AS ttr
+        FROM tkq
+    ),
+    qs AS (
+        SELECT doc_id,
+               ROUND(0.4 * least(n_chars / 400.0, 1.0) + 0.3 * (1.0 - stop_ratio)
+                     + 0.3 * ttr, 4) AS quality_score
+        FROM mq
+    )
+"""
+
+
+def _keep_best_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_bands_ctes()},
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    ),
+    sym AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach AS (
+        SELECT node AS d, node AS m FROM nodes
+        UNION
+        SELECT r.d, s.b FROM reach r JOIN sym s ON s.a = r.m
+    ),
+    comp AS (SELECT d AS doc_id, MIN(m) AS component FROM reach GROUP BY d),
+    {_QUALITY_CTES},
+    fulljoin AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, qs.quality_score
+        FROM documents d
+        LEFT JOIN comp c ON c.doc_id = d.doc_id
+        JOIN qs ON qs.doc_id = d.doc_id
+    ),
+    rk AS (
+        SELECT doc_id, component, quality_score,
+               COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+               ROW_NUMBER() OVER (PARTITION BY component
+                                  ORDER BY quality_score DESC, doc_id) AS rn
+        FROM fulljoin
+    )
+    SELECT doc_id, component, cluster_size, quality_score, rn = 1 AS is_kept
+    FROM rk
+    """
+
+
+@query("dedup_keep_best", oracle=_keep_best_oracle(), tags=("dedup", "keep-best"))
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup stage a curation pipeline actually ships: cluster near-dups
+    (MinHash/LSH pairs → connected components), score every document
+    (the text_quality formula), keep the HIGHEST-quality doc per cluster
+    — not the arbitrary min-id one. Singletons form their own cluster and
+    are always kept, so the output covers the whole corpus row-for-row.
+
+    Selection orders by the ROUNDED score (bit-identical across engines)
+    with doc_id as tie-break, making keep/drop decisions oracle-exact.
+    """
+    from ..operators.graph import connected_components
+    from .textops import LANG_STOPWORDS
+
+    docs = _docs(spark, sf_dir)
+    sh = tx.shingle_frame(docs, distinct=True)
+    bands = tx.minhash_bands(tx.minhash_signature(sh))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    cc = connected_components(pairs)
+
+    stop_list = ",".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    tk = docs.select("doc_id", "n_chars", tx.tokens(F.col("text")).alias("tk"))
+    n = F.size("tk")
+    stop_ratio = F.expr(f"size(filter(tk, x -> array_contains(array({stop_list}), x)))") / n
+    ttr = F.size(F.array_distinct("tk")) / n
+    score = r4(
+        F.lit(0.4) * F.least(F.col("n_chars") / F.lit(400.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.3) * ttr
+    )
+    qs = tk.select("doc_id", score.alias("quality_score"))
+
+    full = (
+        qs.join(cc, qs["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("component"),
+            "quality_score",
+        )
+    )
+    wc = Window.partitionBy("component")
+    wr = Window.partitionBy("component").orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    return full.select(
+        "doc_id",
+        "component",
+        F.count("*").over(wc).alias("cluster_size"),
+        "quality_score",
+        (F.row_number().over(wr) == 1).alias("is_kept"),
+    )
+
+
 # ---- exact n-gram Jaccard over inverted-index candidates ---------------------
 @query(
     "ngram_jaccard_pairs",
@@ -584,6 +701,68 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim"),
         )
         .where(F.col("sim") >= COSINE_NEARDUP_MIN)
+    )
+
+
+# ---- int8 scalar quantization (embedding storage compression) ----------------
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS mx
+        FROM e
+    ),
+    q AS (
+        SELECT vec_id, v, mx,
+               CASE WHEN mx > 0 THEN 127.0 / mx END AS scale,
+               CASE WHEN mx > 0 THEN
+                   list_transform(v, x -> floor(x * (127.0 / mx) + 0.5))
+               ELSE list_transform(v, x -> 0.0) END AS qv
+        FROM s
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+           CAST(list_aggregate(list_transform(qv, y -> abs(y)), 'sum') AS BIGINT) AS q_l1,
+           CAST(len(list_filter(qv, y -> abs(y) = 127)) AS BIGINT) AS n_saturated,
+           ROUND(list_aggregate(list_transform(range(1, 65),
+                     i -> (v[i] - qv[i] / (127.0 / mx)) * (v[i] - qv[i] / (127.0 / mx))),
+                 'sum') / 64.0, 8) AS mse
+    FROM q WHERE mx > 0
+    """,
+    tags=("similarity", "quantization"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    4× storage/bandwidth compression a 100 TB vector store applies before
+    ANN serving. Per vector: scale = 127/max|x|, q_i = half-up(x_i*scale),
+    plus reconstruction MSE and saturation count as the quality audit.
+    Pure per-row array algebra (zero shuffle, rides the scan); half-up
+    rounding is the engine-stable floor(x+0.5) form, and every exposed
+    stat is either integer-exact (q_sum/q_l1/n_saturated — checksums of
+    the full quantized vector) or a deterministically-ordered IEEE fold.
+    """
+    e = _vecs(spark, sf_dir).select("vec_id", "v")
+    mx = F.expr("array_max(transform(v, x -> abs(x)))")
+    q = e.select("vec_id", "v", mx.alias("mx")).where(F.col("mx") > 0)
+    scale = F.lit(127.0) / F.col("mx")
+    q = q.withColumn("qv", F.expr("transform(v, x -> floor(x * (127.0 / mx) + 0.5))"))
+    mse = (
+        F.expr(
+            "aggregate(zip_with(v, qv, (x, y) -> (x - y / (127.0 / mx)) * (x - y / (127.0 / mx))),"
+            " 0D, (a, z) -> a + z)"
+        )
+        / F.lit(64.0)
+    )
+    return q.select(
+        "vec_id",
+        r6(scale).alias("scale"),
+        F.expr("aggregate(qv, 0D, (a, z) -> a + z)").cast("long").alias("q_sum"),
+        F.expr("aggregate(qv, 0D, (a, z) -> a + abs(z))").cast("long").alias("q_l1"),
+        F.expr("size(filter(qv, y -> abs(y) = 127))").cast("long").alias("n_saturated"),
+        stable_round(mse, 8).alias("mse"),
     )
 
 
