@@ -126,7 +126,10 @@ def skewsafe_pair_gen(
     form for any input.
     """
     df_counts = posting.groupBy(key).agg(F.count("*").alias("_df"))
-    tagged = posting.join(df_counts, key)
+    # persist: the tagged posting list feeds FOUR join branches (a/b ×
+    # cold/hot); without it each branch re-executes the posting-list
+    # producer (for shingle input: the whole tokenize+explode pipeline).
+    tagged = posting.join(df_counts, key).persist()
     a = tagged.select(key, "_df", F.col(id_col).alias("d1"))
     b = tagged.select(key, "_df", F.col(id_col).alias("d2"))
     lt = F.col("d1") < F.col("d2")

@@ -453,7 +453,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.skew import skewsafe_pair_gen
 
-    sh = tx.shingle_frame(_docs(spark, sf_dir), distinct=True)
+    # persist: the distinct-shingle frame feeds the pair generator AND the
+    # per-doc size aggregation — one tokenize+explode+dedup pass, not two.
+    sh = tx.shingle_frame(_docs(spark, sf_dir), distinct=True).persist()
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     common = (
         skewsafe_pair_gen(sh, key="shingle", id_col="doc_id", hot_df=HOT_SHINGLE_DF)
