@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -28,22 +29,35 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table as a DataFrame.
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Coerce ``events.ts`` to a microsecond TimestampType regardless of how
+    the fixture generator encoded it.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects. We read it as raw nanos (legacy conf) and
-    floor-divide to a microsecond TimestampType — bit-identical to DuckDB's
-    own ns→µs truncation, so oracle comparisons stay exact.
+    Generators have shipped the column as parquet TIMESTAMP(NANOS) (read as
+    raw int64 under the legacy conf) and as TIMESTAMP(MICROS) without the
+    UTC-adjusted flag (read as TIMESTAMP_NTZ). Both normalize to the same
+    session-UTC TimestampType DuckDB sees as its naive TIMESTAMP, so oracle
+    comparisons stay exact either way.
     """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        # Integer division: ns values (~1.7e18) exceed double's exact range,
+        # so a float divide here silently shifts timestamps by up to ~1 µs.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        # Session tz is pinned to UTC, so this cast preserves wall-clock.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # Integer division: ns values (~1.7e18) exceed double's exact range,
-        # so a float divide here silently shifts timestamps by up to ~1 µs.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

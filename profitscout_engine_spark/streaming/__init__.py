@@ -25,9 +25,11 @@ from pyspark.sql import functions as F
 def stream_events(spark: SparkSession, sf_dir: str, with_watermark: str | None = "1 hour") -> DataFrame:
     """events as an unbounded stream (file source, one-file micro-batch).
 
-    The ns-timestamp shim mirrors catalog.table('events'): read raw nanos,
-    integer-divide to µs.
+    The ts shim mirrors catalog.normalize_event_ts: whatever physical type
+    the fixture encodes, the stream carries a µs TimestampType.
     """
+    from ..catalog import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     # The file source requires a directory; stage a symlink dir (the fixture
@@ -40,11 +42,10 @@ def stream_events(spark: SparkSession, sf_dir: str, with_watermark: str | None =
     link = f"{stage}/events.parquet"
     if not os.path.exists(link):
         os.symlink(f"{sf_dir}/events.parquet", link)
-    stream = (
+    stream = normalize_event_ts(
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     if with_watermark:
         stream = stream.withWatermark("ts", with_watermark)
