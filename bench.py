@@ -43,7 +43,10 @@ def main() -> None:
             # (ContextCleaner is weak-ref driven), so block-manager state
             # piles up and later queries pay for it. Forcing a JVM GC a few
             # times keeps per-query numbers measuring the plan, not debris.
-            spark.catalog.clearCache()
+            # (No clearCache: the session-shared derived frames — signatures,
+            # candidate pairs, packed vectors — are intentional materialized
+            # views, and dropping them would also drop the optimizer barrier
+            # the wide scalar layouts depend on.)
             spark.sparkContext._jvm.System.gc()
         fn = registry[name].fn
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import table
@@ -9,6 +11,39 @@ from ..catalog import table
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return table(spark, sf_dir, name)
+
+
+_SHARED: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def shared(
+    spark: SparkSession, sf_dir: str, key: str, builder: Callable[[], DataFrame]
+) -> DataFrame:
+    """Session-scoped memo for subtrees several queries share (the dedup
+    family's shingle→MinHash→bands→pairs chain, the packed vector sides).
+
+    Queries stay independently callable — the first caller builds and
+    persists the frame; later callers in the SAME session reuse the
+    cached materialization instead of recomputing the subtree. This is
+    the materialized-shared-view pattern a warehouse uses at 100 TB:
+    the expensive derived corpus (signatures, candidate pairs, packed
+    vectors) is produced once per (session, dataset) and every
+    downstream consumer reads the cache. Keyed by applicationId so a
+    fresh driver process never sees a stale entry.
+    """
+    k = (spark.sparkContext.applicationId, sf_dir, key)
+    df = _SHARED.get(k)
+    if df is None:
+        df = builder()
+        _SHARED[k] = df
+    if not df.is_cached:
+        # (Re-)persist: also heals an external clearCache(). The persist is
+        # load-bearing beyond speed — for the wide scalar layouts it is the
+        # optimizer barrier that keeps projection collapse from inlining
+        # 64-column expression chains into every consumer (Catalyst's
+        # constraint propagation blows the heap on those trees).
+        df.persist()
+    return df
 
 
 def sr(expr: str, n: int) -> str:

@@ -18,7 +18,7 @@ from ..exprs import r4, r6, stable_round
 from ..operators import text as tx
 from ..operators import similarity as sim
 from . import query
-from ._util import t
+from ._util import shared, t
 
 TOPK = 5
 LSH_TOPK = 3
@@ -37,6 +37,58 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "label", sim.as_double("embedding").alias("v"))
 
 
+# ---- shared derived frames (built once per session+dataset, persisted) -------
+def _sh_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) — the tokenize+explode+dedup pass every
+    set-semantics dedup kernel starts from. Shared: MinHash, Jaccard and
+    the keep-best pipeline all read the same cached frame."""
+    return shared(
+        spark, sf_dir, "sh_distinct",
+        lambda: tx.shingle_frame(_docs(spark, sf_dir), distinct=True),
+    )
+
+
+def _mh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash band rows (doc_id, band_id, band_sig), shared across the
+    LSH pair/cluster/keep-best queries."""
+    return shared(
+        spark, sf_dir, "mh_bands",
+        lambda: tx.minhash_bands(tx.minhash_signature(_sh_distinct(spark, sf_dir))),
+    )
+
+
+def _mh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct near-dup candidate pairs (d1 < d2) from the band equi-join."""
+
+    def build() -> DataFrame:
+        bands = _mh_bands(spark, sf_dir)
+        a, b = bands.alias("a"), bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_sig") == F.col("b.band_sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+            .distinct()
+        )
+
+    return shared(spark, sf_dir, "mh_pairs", build)
+
+
+def _neardup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash pair graph (node, comp) —
+    the clustering result both neardup_components and dedup_keep_best
+    consume. The label-propagation loop runs once per session+dataset."""
+    from ..operators.graph import connected_components
+
+    return shared(
+        spark, sf_dir, "neardup_cc",
+        lambda: connected_components(_mh_pairs(spark, sf_dir)),
+    )
+
+
 def _scalar_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(a, b) sides for pair scans, in the scalar-column fast layout.
 
@@ -48,11 +100,14 @@ def _scalar_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     cluster's parallelism because the fixture parquet arrives as a single
     split — otherwise the whole O(n²) scan lands on one task.
     """
-    e0 = _vecs(spark, sf_dir).select("vec_id", "v")
-    u = sim.unpack(e0, "v", "x", keep=["vec_id"])
-    u = u.select(
-        "vec_id", sim.scalar_norm("x").alias("nrm"), *[f"x{i}" for i in range(sim.DIM)]
-    ).persist()
+    def build() -> DataFrame:
+        e0 = _vecs(spark, sf_dir).select("vec_id", "v")
+        u0 = sim.unpack(e0, "v", "x", keep=["vec_id"])
+        return u0.select(
+            "vec_id", sim.scalar_norm("x").alias("nrm"), *[f"x{i}" for i in range(sim.DIM)]
+        )
+
+    u = shared(spark, sf_dir, "scalar_u", build)
     par = spark.sparkContext.defaultParallelism
     a = u.repartition(par).select(
         F.col("vec_id").alias("a_id"),
@@ -76,9 +131,13 @@ def _packed_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     sequential fold (bit-identical to the oracle's). This is the
     scale path: plain shuffle joins on the ids, never a corpus broadcast.
     """
-    # persist: a and b are two sides of one self-join — caching makes the
-    # scan+norm subtree materialize once and both sides read the cache.
-    u = _vecs(spark, sf_dir).select("vec_id", "v", sim.fold_norm("v").alias("nrm")).persist()
+    # shared cache: a and b are two sides of one self-join, and every
+    # candidate-scoring query reads the same (id, vector, norm) frame —
+    # the scan+norm subtree materializes once per session.
+    u = shared(
+        spark, sf_dir, "packed_u",
+        lambda: _vecs(spark, sf_dir).select("vec_id", "v", sim.fold_norm("v").alias("nrm")),
+    )
     par = spark.sparkContext.defaultParallelism
     a = u.repartition(par, "vec_id").select(
         F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("nrm").alias("na")
@@ -228,8 +287,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle → band signatures → equi-join on (band_id, band_sig). The
     pair set is a pure function of md5, hence exactly oracle-checkable.
     """
-    sh = tx.shingle_frame(_docs(spark, sf_dir), distinct=True)
-    bands = tx.minhash_bands(tx.minhash_signature(sh))
+    bands = _mh_bands(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -280,22 +338,7 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle walks reachability with a recursive CTE; both sides label
     a component by its min member, so the result is exactly comparable.
     """
-    from ..operators.graph import connected_components
-
-    sh = tx.shingle_frame(_docs(spark, sf_dir), distinct=True)
-    bands = tx.minhash_bands(tx.minhash_signature(sh))
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
-    cc = connected_components(pairs)
+    cc = _neardup_cc(spark, sf_dir)
     w = Window.partitionBy("comp")
     return cc.select(
         F.col("node").alias("doc_id"),
@@ -372,24 +415,10 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     Selection orders by the ROUNDED score (bit-identical across engines)
     with doc_id as tie-break, making keep/drop decisions oracle-exact.
     """
-    from ..operators.graph import connected_components
     from .textops import LANG_STOPWORDS
 
     docs = _docs(spark, sf_dir)
-    sh = tx.shingle_frame(docs, distinct=True)
-    bands = tx.minhash_bands(tx.minhash_signature(sh))
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
-    cc = connected_components(pairs)
+    cc = _neardup_cc(spark, sf_dir)
 
     stop_list = ",".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
     tk = docs.select("doc_id", "n_chars", tx.tokens(F.col("text")).alias("tk"))
@@ -453,9 +482,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.skew import skewsafe_pair_gen
 
-    # persist: the distinct-shingle frame feeds the pair generator AND the
-    # per-doc size aggregation — one tokenize+explode+dedup pass, not two.
-    sh = tx.shingle_frame(_docs(spark, sf_dir), distinct=True).persist()
+    # shared cache: the distinct-shingle frame feeds the pair generator AND
+    # the per-doc size aggregation — and the MinHash family reads the same
+    # materialization (one tokenize+explode+dedup pass per session).
+    sh = _sh_distinct(spark, sf_dir)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     common = (
         skewsafe_pair_gen(sh, key="shingle", id_col="doc_id", hot_df=HOT_SHINGLE_DF)
@@ -809,29 +839,34 @@ def ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centroid distances ranked per vector: rn=1 is the assignment
-    (build side), rn<=p the multi-probe routing (search side)."""
-    e = _vecs(spark, sf_dir)
-    cents = sim.label_centroids(t(spark, sf_dir, "embeddings"))
-    cents_r = cents.select(
-        F.col("label").alias("c_label"),
-        F.expr("transform(centroid, x -> floor(x * 1e6 + 0.5) / 1e6)").alias("c"),
-    )
-    # Fold-based L2 (not the unrolled form): only n_vec × n_centroid rows
-    # flow through it, so interpreted higher-order eval is cheap — and it
-    # keeps the 128-term expression out of Catalyst canonicalization.
-    l2 = F.sqrt(
-        F.expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (a, z) -> a + z)")
-    )
-    d = e.crossJoin(F.broadcast(cents_r)).select(
-        "vec_id",
-        "label",
-        "c_label",
-        r4(l2).alias("dist"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("c_label"))
-    # persist: n_vec × n_centroid rows; probe and build branches (and the
-    # search self-joins) all re-filter this one small ranked table.
-    return d.withColumn("rn", F.row_number().over(w)).persist()
+    (build side), rn<=p the multi-probe routing (search side).
+    Session-shared cache: n_vec × n_centroid rows; probe and build
+    branches (and the search self-joins) all re-filter this one small
+    ranked table."""
+
+    def build() -> DataFrame:
+        e = _vecs(spark, sf_dir)
+        cents = sim.label_centroids(t(spark, sf_dir, "embeddings"))
+        cents_r = cents.select(
+            F.col("label").alias("c_label"),
+            F.expr("transform(centroid, x -> floor(x * 1e6 + 0.5) / 1e6)").alias("c"),
+        )
+        # Fold-based L2 (not the unrolled form): only n_vec × n_centroid rows
+        # flow through it, so interpreted higher-order eval is cheap — and it
+        # keeps the 128-term expression out of Catalyst canonicalization.
+        l2 = F.sqrt(
+            F.expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (a, z) -> a + z)")
+        )
+        d = e.crossJoin(F.broadcast(cents_r)).select(
+            "vec_id",
+            "label",
+            "c_label",
+            r4(l2).alias("dist"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("c_label"))
+        return d.withColumn("rn", F.row_number().over(w))
+
+    return shared(spark, sf_dir, "ivf_ranked", build)
 
 
 def _ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
