@@ -96,6 +96,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 _MODULES = (
     "similarity",
     "textops",
+    "curation",
     "pipelines",
     "timeseries",
     "execution",

@@ -1,0 +1,449 @@
+"""Training-data curation queries — the operators a pretraining pipeline
+runs between raw corpus and tokenizer: sequence packing, context chunking,
+benchmark-contamination checks, PII scrubbing, frequency-based quality,
+random projection, domain-mix rebalancing, vocabulary coverage.
+
+Scale stance: every query is declarative Column algebra riding the scan
+(zero Python), with shuffles only on natural keys (term, source, lang).
+Global scalars (corpus totals) flow through 1-row broadcast cross joins —
+never a driver collect. Cross-engine determinism follows the house rules:
+md5 for pseudo-randomness, integer arithmetic until the final division,
+ROUND only on single-operation IEEE results.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..exprs import r4, r6
+from ..operators.text import tokens
+from . import query
+from ._util import t
+
+PACK_BUDGET = 512  # tokens per packed training sequence bin
+CHUNK_TOKENS = 64  # context-window chunk size
+CONTAM_NGRAM_MIN = 3  # shared shingles at/above which a doc is contaminated
+VOCAB_TOPK = 100
+RP_DIM = 16  # random-projection output dimensionality
+EMB_DIM = 64
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    par = spark.sparkContext.defaultParallelism
+    return t(spark, sf_dir, "documents").repartition(par)
+
+
+# --- sequence packing: greedy token-budget bins per language shard ------------
+@query(
+    "seq_packing",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, lang, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM tk
+    )
+    SELECT lang, cum_before // {PACK_BUDGET} AS bin_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS bin_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc,
+           ROUND(SUM(n_tokens) * 1.0 / {PACK_BUDGET}, 4) AS fill_ratio
+    FROM cum
+    GROUP BY 1, 2
+    """,
+    tags=("curation", "seq-packing"),
+)
+def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into PACK_BUDGET-token training-sequence bins, greedy
+    in doc_id order within each language shard: a doc's bin is its
+    exclusive prefix token count // budget. Per-shard packing is the
+    100 TB form — the cumulative sum is a window inside the lang
+    partition, so shards pack in parallel and bin ids are reproducible
+    across reruns (pure function of the ordered shard). Integer
+    arithmetic end-to-end; the only float is the final fill ratio.
+    """
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    cum = d.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (
+        cum.withColumn("bin_id", F.expr(f"cum_before div {PACK_BUDGET}"))
+        .groupBy("lang", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            r4(F.sum("n_tokens") * F.lit(1.0) / F.lit(PACK_BUDGET)).alias("fill_ratio"),
+        )
+    )
+
+
+# --- context chunking: split each doc into fixed-token chunks ------------------
+@query(
+    "chunk_split",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id, string_split(text, ' ') AS tk, len(string_split(text, ' ')) AS n
+        FROM documents
+    )
+    SELECT doc_id, c AS chunk_id,
+           least({CHUNK_TOKENS}, n - c * {CHUNK_TOKENS}) AS chunk_len,
+           md5(list_aggregate(
+               tk[c * {CHUNK_TOKENS} + 1 :
+                  c * {CHUNK_TOKENS} + least({CHUNK_TOKENS}, n - c * {CHUNK_TOKENS})],
+               'string_agg', ' ')) AS chunk_hash
+    FROM tk, UNNEST(range(0, (n + {CHUNK_TOKENS} - 1) // {CHUNK_TOKENS})) AS u(c)
+    """,
+    tags=("curation", "chunking"),
+)
+def chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-CHUNK_TOKENS context chunking: each document explodes into
+    ceil(n/CHUNK) chunks; the md5 over each chunk's exact token slice
+    proves content alignment (off-by-one slicing would flip the hash).
+    Pure explode over the scan — the chunker a tokenization pipeline
+    runs as its map stage, no shuffle at any corpus size.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", tokens(F.col("text")).alias("tk"))
+    d = d.withColumn("n", F.size("tk").cast("long"))
+    d = d.select(
+        "doc_id",
+        "tk",
+        "n",
+        F.explode(F.expr(f"sequence(0, (n + {CHUNK_TOKENS} - 1) div {CHUNK_TOKENS} - 1)")).alias(
+            "chunk_id"
+        ),
+    )
+    chunk_len = F.least(F.lit(CHUNK_TOKENS).cast("long"), F.col("n") - F.col("chunk_id") * CHUNK_TOKENS)
+    return d.select(
+        "doc_id",
+        "chunk_id",
+        chunk_len.alias("chunk_len"),
+        F.md5(
+            F.array_join(
+                F.expr(f"slice(tk, chunk_id * {CHUNK_TOKENS} + 1, "
+                       f"least({CHUNK_TOKENS}, n - chunk_id * {CHUNK_TOKENS}))"),
+                " ",
+            )
+        ).alias("chunk_hash"),
+    )
+
+
+# --- benchmark contamination: train docs sharing n-grams with the test split --
+@query(
+    "contamination_check",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id,
+               CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) IN ('e', 'f')
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh_all AS (
+        SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        FROM toks, UNNEST(range(1, greatest(len(tk) - 1, 1))) AS u(i)
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh_all),
+    test_sh AS (
+        SELECT DISTINCT shingle FROM sh JOIN split USING (doc_id)
+        WHERE split = 'test'
+    ),
+    overlap AS (
+        SELECT sh.doc_id, COUNT(*) AS n_shared
+        FROM sh JOIN split USING (doc_id) JOIN test_sh USING (shingle)
+        WHERE split = 'train'
+        GROUP BY 1
+    )
+    SELECT s.doc_id,
+           COALESCE(o.n_shared, 0) AS n_shared_ngrams,
+           COALESCE(o.n_shared, 0) >= {CONTAM_NGRAM_MIN} AS contaminated
+    FROM split s LEFT JOIN overlap o ON o.doc_id = s.doc_id
+    WHERE s.split = 'train'
+    """,
+    tags=("curation", "contamination"),
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination scan: for every TRAIN document, the count
+    of distinct word-3-grams it shares with ANY test-split document
+    (split = deterministic md5 bucketing, the hash_split contract).
+    The test n-gram set is small relative to the corpus, so the semi
+    structure is a shuffle join the optimizer can broadcast; the shared
+    shingle frame is the session-cached dedup materialization — at
+    100 TB this is the decontamination pass every eval suite requires.
+    """
+    from .similarity import _sh_distinct
+
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = _docs(spark, sf_dir).select(
+        "doc_id", F.when(digit.isin("e", "f"), "test").otherwise("train").alias("split")
+    )
+    sh = _sh_distinct(spark, sf_dir)
+    sh_split = sh.join(split, "doc_id")
+    test_sh = sh_split.where(F.col("split") == "test").select("shingle").distinct()
+    overlap = (
+        sh_split.where(F.col("split") == "train")
+        .join(test_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        split.where(F.col("split") == "train")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared_ngrams"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) >= CONTAM_NGRAM_MIN).alias("contaminated"),
+        )
+    )
+
+
+# --- PII scrubbing: pattern counts + redaction over customer contact text -----
+_PHONE_RE = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_LONGNUM_RE = "[0-9]{5,}"
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_custkey,
+               c_name || ' ph ' || (10 + c_nationkey)
+                      || '-' || lpad((c_custkey % 1000)::VARCHAR, 3, '0')
+                      || '-' || lpad((c_custkey * 7 % 1000)::VARCHAR, 3, '0')
+                      || '-' || lpad((c_custkey * 13 % 10000)::VARCHAR, 4, '0')
+                   AS contact
+        FROM customer
+    )
+    SELECT c_custkey,
+           len(regexp_extract_all(contact, '{_PHONE_RE}')) AS n_phone,
+           len(regexp_extract_all(
+               regexp_replace(contact, '{_PHONE_RE}', '[PHONE]', 'g'),
+               '{_LONGNUM_RE}')) AS n_longnum,
+           regexp_replace(
+               regexp_replace(contact, '{_PHONE_RE}', '[PHONE]', 'g'),
+               '{_LONGNUM_RE}', '[NUM]', 'g') AS redacted
+    FROM c
+    """,
+    tags=("curation", "pii"),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over contact text: count and redact phone-shaped
+    numbers, then long digit runs (account-number shaped) from what
+    remains — the ordered redaction a privacy pass applies before any
+    text is eligible for training. The fixture carries no contact
+    fields, so the input line is synthesized TPC-H-style (nationkey
+    area code + custkey-derived segments) with identical integer
+    arithmetic in both engines; the operator under test is the regex
+    count/redact chain. Regex on the scan, zero shuffle; a production
+    pass swaps in its own pattern table without touching the plan shape.
+    """
+    phone = F.concat_ws(
+        "-",
+        (F.lit(10) + F.col("c_nationkey")).cast("string"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lpad((F.col("c_custkey") * 7 % 1000).cast("string"), 3, "0"),
+        F.lpad((F.col("c_custkey") * 13 % 10000).cast("string"), 4, "0"),
+    )
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit(" ph "), phone).alias("contact"),
+    )
+    phones_gone = F.regexp_replace("contact", _PHONE_RE, "[PHONE]")
+    return c.select(
+        "c_custkey",
+        F.expr(f"size(regexp_extract_all(contact, '{_PHONE_RE}', 0))").cast("long").alias("n_phone"),
+        F.size(F.expr(f"regexp_extract_all(regexp_replace(contact, '{_PHONE_RE}', '[PHONE]'), "
+                      f"'{_LONGNUM_RE}', 0)")).cast("long").alias("n_longnum"),
+        F.regexp_replace(phones_gone, _LONGNUM_RE, "[NUM]").alias("redacted"),
+    )
+
+
+# --- corpus-frequency quality: per-doc unigram statistics ----------------------
+@query(
+    "unigram_freq_quality",
+    oracle="""
+    WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    freq AS (SELECT term, COUNT(*) AS cnt FROM tk GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS total FROM freq),
+    per AS (
+        SELECT tk.doc_id,
+               COUNT(*) AS n_tokens,
+               SUM(freq.cnt) AS sum_cnt,
+               SUM(CASE WHEN freq.cnt <= 2 THEN 1 ELSE 0 END) AS n_rare
+        FROM tk JOIN freq USING (term)
+        GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_rare,
+           ROUND(n_rare * 1.0 / n_tokens, 4) AS rare_frac,
+           ROUND(sum_cnt * 1.0e6 / (n_tokens * total), 4) AS freq_ppm
+    FROM per CROSS JOIN tot
+    """,
+    tags=("curation", "lm-quality"),
+)
+def unigram_freq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality signals per document: rare-token fraction
+    (corpus count ≤ 2 — the OOV-ish proxy) and mean token frequency in
+    parts-per-million (the unigram-LM quality proxy a CCNet-style
+    filter thresholds on). All aggregation is INTEGER until the final
+    division, so engines agree bit-for-bit — deliberately avoiding
+    per-token float log-prob sums whose addition order differs.
+    Two shuffles (term count, doc rollup); the vocabulary table
+    broadcasts back onto the exploded stream via AQE. The 1-row corpus
+    total rides a broadcast cross join (python-free; the nested-loop
+    shape is the documented 1-row scalar pattern).
+    """
+    tk = _docs(spark, sf_dir).select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    freq = tk.groupBy("term").agg(F.count("*").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    per = (
+        tk.join(freq, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("cnt").alias("sum_cnt"),
+            F.sum(F.when(F.col("cnt") <= 2, 1).otherwise(0)).alias("n_rare"),
+        )
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        "n_rare",
+        r4(F.col("n_rare") * F.lit(1.0) / F.col("n_tokens")).alias("rare_frac"),
+        r4(F.col("sum_cnt") * F.lit(1.0e6) / (F.col("n_tokens") * F.col("total"))).alias(
+            "freq_ppm"
+        ),
+    )
+
+
+# --- random projection: md5-sign Rademacher matrix, 64 → 16 dims ---------------
+def _rp_sign(k: int, j: int) -> int:
+    """±1 from md5 — same no-RNG protocol as the LSH hyperplanes."""
+    h = hashlib.md5(f"rp,{k},{j}".encode()).hexdigest()
+    return 1 if int(h[:2], 16) % 2 else -1
+
+
+def _rp_oracle() -> str:
+    rows = "\n    UNION ALL\n    ".join(
+        "SELECT vec_id, {k} AS dim, ROUND(list_dot_product(embedding::DOUBLE[], "
+        "[{signs}]::DOUBLE[]), 6) AS proj FROM embeddings".format(
+            k=k, signs=",".join(str(_rp_sign(k, j)) for j in range(EMB_DIM))
+        )
+        for k in range(RP_DIM)
+    )
+    return rows
+
+
+@query("random_projection", oracle=_rp_oracle(), tags=("curation", "dim-reduction"))
+def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss-style signed random projection 64 → RP_DIM
+    dims: each output component is the dot of the embedding with a
+    Rademacher ±1 row derived from md5 (no RNG state, so the projection
+    — unlike a seeded matrix — is reproducible across engines, reruns
+    and cluster sizes). Long-form output (vec_id, dim, proj). Pure
+    per-row fold algebra riding the scan: the dimensionality-reduction
+    map stage before a cheaper ANN index build, zero shuffle.
+    """
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    projs = []
+    for k in range(RP_DIM):
+        signs = ",".join(f"{_rp_sign(k, j)}D" for j in range(EMB_DIM))
+        fold = F.expr(
+            f"aggregate(zip_with(v, array({signs}), (x, s) -> x * s), 0D, (a, z) -> a + z)"
+        )
+        projs.append(F.struct(F.lit(k).alias("dim"), r6(fold).alias("proj")))
+    return e.select("vec_id", F.explode(F.array(*projs)).alias("p")).select(
+        "vec_id", F.col("p.dim").alias("dim"), F.col("p.proj").alias("proj")
+    )
+
+
+# --- domain-mix rebalance: downsample every source to the rarest's size --------
+@query(
+    "domain_mix_rebalance",
+    oracle="""
+    WITH counts AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY 1),
+    floor_cnt AS (SELECT MIN(cnt) AS min_cnt FROM counts),
+    r AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        FROM documents
+    )
+    SELECT doc_id, source, rn, rn <= min_cnt AS kept
+    FROM r CROSS JOIN floor_cnt
+    """,
+    tags=("curation", "domain-mix"),
+)
+def domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing to a uniform target: every source domain is
+    deterministically downsampled (md5-ordered rank) to the size of the
+    rarest domain — the mix-weighting pass a pretraining data recipe
+    applies before packing. The hash order makes the kept set stable
+    under reruns and late-arriving data. One shuffle on source; the
+    1-row floor count broadcasts (documented 1-row nested-loop shape).
+    """
+    d = _docs(spark, sf_dir)
+    floor_cnt = d.groupBy("source").agg(F.count("*").alias("cnt")).agg(
+        F.min("cnt").alias("min_cnt")
+    )
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    r = d.select("doc_id", "source", F.row_number().over(w).cast("long").alias("rn"))
+    return r.crossJoin(F.broadcast(floor_cnt)).select(
+        "doc_id", "source", "rn", (F.col("rn") <= F.col("min_cnt")).alias("kept")
+    )
+
+
+# --- vocabulary coverage: top terms and cumulative corpus share ----------------
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH tk AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    freq AS (SELECT term, COUNT(*) AS cnt FROM tk GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS total FROM freq),
+    ranked AS (
+        SELECT term, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rank,
+               SUM(cnt) OVER (ORDER BY cnt DESC, term
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM freq
+    )
+    SELECT term, cnt, rank, ROUND(cum * 1.0 / total, 6) AS cum_share
+    FROM ranked CROSS JOIN tot
+    WHERE rank <= {VOCAB_TOPK}
+    """,
+    tags=("curation", "vocab"),
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage curve: the VOCAB_TOPK most frequent
+    terms with their cumulative share of all corpus tokens — the curve
+    a vocab-size decision reads. Counts and the running sum stay
+    integers (exact in both engines); ties break on the term so the
+    rank order is total. The global ordering is over the VOCABULARY
+    (already aggregated, orders of magnitude smaller than the corpus),
+    which is the standard scale shape for a global top-k.
+    """
+    tk = _docs(spark, sf_dir).select(F.explode(tokens(F.col("text"))).alias("term"))
+    freq = tk.groupBy("term").agg(F.count("*").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    wr = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = freq.select(
+        "term",
+        "cnt",
+        F.row_number().over(wr).cast("long").alias("rank"),
+        F.sum("cnt").over(wr.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    ).where(F.col("rank") <= VOCAB_TOPK)
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "term", "cnt", "rank", r6(F.col("cum") * F.lit(1.0) / F.col("total")).alias("cum_share")
+    )

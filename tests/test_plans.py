@@ -95,6 +95,10 @@ _NL_JOIN_OK = {
     "regime_weighted_score",
     # 1-row global-scalar cross join (corpus size for idf)
     "tfidf_top_terms",
+    # 1-row global-scalar cross joins (corpus total / floor count)
+    "unigram_freq_quality",
+    "domain_mix_rebalance",
+    "vocab_coverage",
 }
 
 
