@@ -77,6 +77,51 @@ def _mh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared(spark, sf_dir, "mh_pairs", build)
 
 
+def _lsh_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d1 < d2, sim_raw) — exact cosine over the UNDIRECTED hyperplane-LSH
+    candidate set, scored once per session. The dot is symmetric, so the
+    top-k query mirrors rows instead of re-scoring the reverse direction,
+    and the near-dup threshold query reads the same frame: one bucket
+    self-join + one Arrow-batched scoring pass serves both. sim_raw is
+    the UNROUNDED sequential-fold cosine (bit-identical to the oracles'
+    left-associated sums); each consumer applies its own rounding."""
+
+    def build() -> DataFrame:
+        e = _vecs(spark, sf_dir).select("vec_id", "v")
+        buckets = sim.lsh_buckets(e)
+        a, b = buckets.alias("a"), buckets.alias("b")
+        par = spark.sparkContext.defaultParallelism
+        cand = (
+            a.join(
+                b,
+                (F.col("a.table_id") == F.col("b.table_id"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
+            # user repartition on the dedup keys: one full-width shuffle the
+            # dropDuplicates reuses, and AQE cannot coalesce — keeps the
+            # downstream scoring stage wide.
+            .repartition(par, "d1", "d2")
+            .dropDuplicates(["d1", "d2"])
+        )
+        ea, eb = _packed_sides(spark, sf_dir)
+        ea = ea.select(F.col("a_id").alias("d1"), "va", "na")
+        eb = eb.select(F.col("b_id").alias("d2"), "vb", "nb")
+        dot = sim.seq_dot_udf()
+        return (
+            cand.join(ea, "d1")
+            .join(eb, "d2")
+            .select(
+                "d1",
+                "d2",
+                (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim_raw"),
+            )
+        )
+
+    return shared(spark, sf_dir, "lsh_scored", build)
+
+
 def _neardup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash pair graph (node, comp) —
     the clustering result both neardup_components and dedup_keep_best
@@ -608,32 +653,25 @@ def cosine_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates. Sign matrix is md5-derived (no RNG), so the bucket
     assignment — and therefore the whole result — is oracle-exact.
     Recall vs the brute-force baseline is pinned in pytest. Scoring is
-    the packed-vector shuffle-join path (no corpus broadcast — the
-    round-1 form OOMs an executor once the corpus outgrows one).
+    the packed-vector shuffle-join path with the Arrow-batched dot (no
+    corpus broadcast — the round-1 form OOMs an executor once the corpus
+    outgrows one), computed ONCE per undirected pair in the shared
+    scored frame and mirrored here: cosine is symmetric, so the reverse
+    direction reuses the same sim instead of a second scoring pass.
     """
-    e = _vecs(spark, sf_dir).select("vec_id", "v")
-    # Deliberately NOT persisted: recomputing the cheap bucket pipeline
-    # for the self-join's second side costs ~1 s, while cache
-    # materialization under a cold session showed 5-10× first-run
-    # regressions (cache-lock contention between the two sides).
-    buckets = sim.lsh_buckets(e)
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
-        # user repartition on the dedup keys: one full-width shuffle that
-        # the dropDuplicates reuses (no second exchange) and AQE cannot
-        # coalesce — keeps the downstream scoring stage wide.
-        .repartition(spark.sparkContext.defaultParallelism, "a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
+    s = _lsh_scored(spark, sf_dir)
+    directed = s.select(
+        F.col("d1").alias("a_id"), F.col("d2").alias("b_id"), "sim_raw"
+    ).unionByName(
+        s.select(F.col("d2").alias("a_id"), F.col("d1").alias("b_id"), "sim_raw")
     )
-    ea, eb = _packed_sides(spark, sf_dir)
-    return _score_candidates(cand, ea, eb, r6, LSH_TOPK, repartition=False)
+    scored = directed.select("a_id", "b_id", r6(F.col("sim_raw")).alias("sim"))
+    w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= LSH_TOPK)
+        .select("a_id", "b_id", "rank", "sim")
+    )
 
 
 # ---- embedding-cosine near-dup pairs -----------------------------------------
@@ -701,37 +739,15 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= COSINE_NEARDUP_MIN only on candidates. The md5-derived bucket protocol makes
     even the approximate candidate set oracle-exact; recall vs the
     brute-force `embedding_neardup_pairs` is pinned in pytest. Scoring
-    runs through the packed-vector joins (Arrow-batched dot). This is
-    the plan that survives a corpus that doesn't fit one executor —
-    the brute-force sibling stays as the correctness yardstick.
+    runs through the packed-vector joins (Arrow-batched dot), shared
+    with the top-k query via the session-scoped scored frame — one
+    bucket join + one scoring pass serves both. This is the plan that
+    survives a corpus that doesn't fit one executor — the brute-force
+    sibling stays as the correctness yardstick.
     """
-    e = _vecs(spark, sf_dir).select("vec_id", "v")
-    buckets = sim.lsh_buckets(e)
-    a, b = buckets.alias("a"), buckets.alias("b")
-    par = spark.sparkContext.defaultParallelism
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
-        .repartition(par, "d1", "d2")
-        .dropDuplicates(["d1", "d2"])
-    )
-    ea, eb = _packed_sides(spark, sf_dir)
-    ea = ea.select(F.col("a_id").alias("d1"), "va", "na")
-    eb = eb.select(F.col("b_id").alias("d2"), "vb", "nb")
-    dot = sim.seq_dot_udf()
     return (
-        cand.join(ea, "d1")
-        .join(eb, "d2")
-        .select(
-            "d1",
-            "d2",
-            r4(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim"),
-        )
+        _lsh_scored(spark, sf_dir)
+        .select("d1", "d2", r4(F.col("sim_raw")).alias("sim"))
         .where(F.col("sim") >= COSINE_NEARDUP_MIN)
     )
 
