@@ -1,0 +1,90 @@
+"""Transactional version-pointer tables (sources/txn.py): atomic publish,
+snapshot isolation, time travel, optimistic concurrency, crash safety,
+and MERGE parity with the non-transactional S11 rewrite."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from profitscout_engine_spark.sources import io, txn
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "vtable")
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "k int, val string, qty int")
+
+
+def test_commit_and_read_round_trip(spark, root):
+    v1 = txn.commit_snapshot(_frame(spark, [(1, "a", 10), (2, "b", 20)]), root)
+    assert v1 == 1
+    got = {r["k"]: r["val"] for r in txn.read_versioned(spark, root).collect()}
+    assert got == {1: "a", 2: "b"}
+
+
+def test_time_travel_and_latest(spark, root):
+    txn.commit_snapshot(_frame(spark, [(1, "a", 10)]), root)
+    txn.commit_snapshot(_frame(spark, [(1, "a2", 11)]), root)
+    assert txn.current_version(root) == 2
+    assert txn.read_versioned(spark, root).collect()[0]["val"] == "a2"
+    assert txn.read_versioned(spark, root, version=1).collect()[0]["val"] == "a"
+
+
+def test_crash_before_pointer_flip_is_invisible(spark, root):
+    txn.commit_snapshot(_frame(spark, [(1, "a", 10)]), root)
+    # Simulate a writer that staged a full snapshot dir but died before
+    # the pointer flip: readers must still see v1.
+    ghost = txn.snapshot_path(root, 2)
+    _frame(spark, [(9, "ghost", 0)]).write.parquet(ghost + "__staging_dead")
+    assert txn.current_version(root) == 1
+    got = [r["val"] for r in txn.read_versioned(spark, root).collect()]
+    assert got == ["a"]
+
+
+def test_optimistic_concurrency_conflict(spark, root):
+    txn.commit_snapshot(_frame(spark, [(1, "a", 10)]), root)
+    # Writer B commits first; writer A (based on v1) must fail, not clobber.
+    txn.commit_snapshot(_frame(spark, [(1, "b", 20)]), root, expected_version=1)
+    with pytest.raises(txn.ConcurrentCommitError):
+        txn.commit_snapshot(_frame(spark, [(1, "lost", 0)]), root, expected_version=1)
+    assert txn.read_versioned(spark, root).collect()[0]["val"] == "b"
+    # Failed commit left no staging debris.
+    assert not [d for d in os.listdir(root) if "__staging" in d]
+
+
+def test_merge_txn_matches_plain_merge(spark, root, tmp_path):
+    base = [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+    source = _frame(spark, [(2, "B!", None), (4, "d", 40)])  # update k=2, insert k=4
+
+    # Plain S11 rewrite on a throwaway copy.
+    plain = str(tmp_path / "plain")
+    _frame(spark, base).write.parquet(plain)
+    io.merge_upsert(spark, plain, source, keys=["k"])
+    want = {(r["k"], r["val"], r["qty"]) for r in spark.read.parquet(plain).collect()}
+
+    # Transactional merge.
+    txn.commit_snapshot(_frame(spark, base), root)
+    v = txn.merge_upsert_txn(spark, root, source, keys=["k"])
+    got = {(r["k"], r["val"], r["qty"]) for r in txn.read_versioned(spark, root).collect()}
+    assert v == 2
+    assert got == want
+    # Matched row took source val but kept target qty (COALESCE semantics).
+    assert (2, "B!", 20) in got and (4, "d", 40) in got
+    # Pre-merge snapshot still intact (time travel).
+    assert len(txn.read_versioned(spark, root, version=1).collect()) == 3
+
+
+def test_vacuum_keeps_live_and_recent(spark, root):
+    for i in range(4):
+        txn.commit_snapshot(_frame(spark, [(1, f"v{i+1}", i)]), root)
+    removed = txn.vacuum(root, keep=2)
+    assert removed == [1, 2]
+    assert txn.read_versioned(spark, root).collect()[0]["val"] == "v4"
+    assert txn.read_versioned(spark, root, version=3).collect()[0]["val"] == "v3"
+    with pytest.raises(Exception):
+        txn.read_versioned(spark, root, version=1).collect()
