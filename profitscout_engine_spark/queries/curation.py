@@ -430,20 +430,24 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms with their cumulative share of all corpus tokens — the curve
     a vocab-size decision reads. Counts and the running sum stay
     integers (exact in both engines); ties break on the term so the
-    rank order is total. The global ordering is over the VOCABULARY
-    (already aggregated, orders of magnitude smaller than the corpus),
-    which is the standard scale shape for a global top-k.
+    rank order is total. Scale shape: the top-K selection happens FIRST
+    via orderBy+limit (TakeOrderedAndProject — partial top-k per
+    partition, no global sort of the vocabulary), and only the K
+    surviving rows enter the unpartitioned rank/cumsum window. The
+    cumulative share at rank r sums ranks 1..r, all inside the top-K,
+    so limiting first is semantics-preserving.
     """
     tk = _docs(spark, sf_dir).select(F.explode(tokens(F.col("text"))).alias("term"))
     freq = tk.groupBy("term").agg(F.count("*").alias("cnt"))
     tot = freq.agg(F.sum("cnt").alias("total"))
+    topk = freq.orderBy(F.desc("cnt"), F.asc("term")).limit(VOCAB_TOPK)
     wr = Window.orderBy(F.desc("cnt"), F.asc("term"))
-    ranked = freq.select(
+    ranked = topk.select(
         "term",
         "cnt",
         F.row_number().over(wr).cast("long").alias("rank"),
         F.sum("cnt").over(wr.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-    ).where(F.col("rank") <= VOCAB_TOPK)
+    )
     return ranked.crossJoin(F.broadcast(tot)).select(
         "term", "cnt", "rank", r6(F.col("cum") * F.lit(1.0) / F.col("total")).alias("cum_share")
     )
