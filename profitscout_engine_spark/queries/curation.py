@@ -405,6 +405,109 @@ def domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-group z-score normalization (feature scaling before training) --------
+@query(
+    "zscore_normalize",
+    oracle="""
+    WITH s AS (
+        SELECT lang, COUNT(*) AS n, SUM(n_chars) AS s1,
+               SUM(n_chars * n_chars) AS s2
+        FROM documents GROUP BY 1
+    )
+    SELECT d.doc_id, d.lang, d.n_chars,
+           ROUND((d.n_chars - s1 * 1.0 / n)
+                 / sqrt((s2 - s1 * 1.0 * s1 / n) / (n - 1)), 4) AS z_len
+    FROM documents d JOIN s USING (lang)
+    """,
+    tags=("curation", "normalize"),
+)
+def zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score of document length — the feature scaling an
+    outlier filter or model input stage applies per shard. Mean and
+    variance derive from EXACT integer sums (Σx, Σx² over bigint), so
+    both engines compute the identical double in one expression — never
+    from float avg/stddev aggregates whose summation order varies.
+    One groupBy + a broadcast-size join back (one row per lang).
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    s = d.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    )
+    mean = F.col("s1") * F.lit(1.0) / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.lit(1.0) * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return d.join(s, "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        r4((F.col("n_chars") - mean) / F.sqrt(var)).alias("z_len"),
+    )
+
+
+# --- rank-based winsorization (outlier clamping without interpolation) --------
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+@query(
+    "length_winsorize",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    ),
+    bounds AS (
+        SELECT lang,
+               MIN(CASE WHEN rn = CAST(floor({WINSOR_LO} * n) AS BIGINT) + 1
+                        THEN n_chars END) AS lo,
+               MIN(CASE WHEN rn = CAST(ceil({WINSOR_HI} * n) AS BIGINT)
+                        THEN n_chars END) AS hi
+        FROM r GROUP BY 1
+    )
+    SELECT r.doc_id, r.lang, r.n_chars,
+           least(greatest(r.n_chars, b.lo), b.hi) AS n_chars_w,
+           r.n_chars < b.lo OR r.n_chars > b.hi AS clamped
+    FROM r JOIN bounds b USING (lang)
+    """,
+    tags=("curation", "winsorize"),
+)
+def length_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorization of document length at the empirical
+    [WINSOR_LO, WINSOR_HI] quantiles — the outlier clamp a quality
+    pipeline applies before length-based scoring. Quantiles are
+    RANK-BASED (k-th order statistic by (value, doc_id)), not
+    interpolated: both engines pick the exact same row, so the clamp
+    bounds — and therefore every output row — are bit-identical.
+    One shuffle on lang for the rank, a one-row-per-lang bounds join back.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    wl = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("lang")
+    r = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.row_number().over(wl).cast("long").alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    klo = F.floor(F.lit(WINSOR_LO) * F.col("n")).cast("long") + 1
+    khi = F.ceil(F.lit(WINSOR_HI) * F.col("n")).cast("long")
+    bounds = r.groupBy("lang").agg(
+        F.min(F.when(F.col("rn") == klo, F.col("n_chars"))).alias("lo"),
+        F.min(F.when(F.col("rn") == khi, F.col("n_chars"))).alias("hi"),
+    )
+    return r.join(bounds, "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.least(F.greatest(F.col("n_chars"), F.col("lo")), F.col("hi")).alias("n_chars_w"),
+        ((F.col("n_chars") < F.col("lo")) | (F.col("n_chars") > F.col("hi"))).alias("clamped"),
+    )
+
+
 # --- vocabulary coverage: top terms and cumulative corpus share ----------------
 @query(
     "vocab_coverage",
