@@ -36,49 +36,64 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "documents").repartition(par)
 
 
-# --- sequence packing: greedy token-budget bins per language shard ------------
+# --- sequence packing: greedy token-budget bins per (lang, shard) -------------
+SHARD_DOCS = 2000  # docs per packing shard (models one input file/split)
+
+
 @query(
     "seq_packing",
     oracle=f"""
     WITH tk AS (
-        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+        SELECT doc_id, lang, doc_id // {SHARD_DOCS} AS shard_id,
+               len(string_split(text, ' ')) AS n_tokens
         FROM documents
     ),
     cum AS (
-        SELECT doc_id, lang, n_tokens,
-               COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        SELECT doc_id, lang, shard_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard_id
+                        ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    AS cum_before
         FROM tk
     )
-    SELECT lang, cum_before // {PACK_BUDGET} AS bin_id,
+    SELECT lang, shard_id, cum_before // {PACK_BUDGET} AS bin_id,
            COUNT(*) AS n_docs,
            SUM(n_tokens) AS bin_tokens,
            MIN(doc_id) AS first_doc,
            MAX(doc_id) AS last_doc,
            ROUND(SUM(n_tokens) * 1.0 / {PACK_BUDGET}, 4) AS fill_ratio
     FROM cum
-    GROUP BY 1, 2
+    GROUP BY 1, 2, 3
     """,
     tags=("curation", "seq-packing"),
 )
 def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into PACK_BUDGET-token training-sequence bins, greedy
-    in doc_id order within each language shard: a doc's bin is its
-    exclusive prefix token count // budget. Per-shard packing is the
-    100 TB form — the cumulative sum is a window inside the lang
-    partition, so shards pack in parallel and bin ids are reproducible
-    across reruns (pure function of the ordered shard). Integer
-    arithmetic end-to-end; the only float is the final fill ratio.
+    in doc_id order within each (lang, shard) group: a doc's bin is its
+    exclusive prefix token count // budget. Packing is TWO-LEVEL — the
+    shard (a deterministic SHARD_DOCS-wide doc_id range, modeling one
+    input file/split) bounds every window partition, so no single task
+    ever packs a whole language: at 100 TB a language is thousands of
+    shards packing in parallel, exactly how production packers work
+    (pack per input shard, never globally). Bin ids are reproducible
+    (pure function of the ordered shard). Integer arithmetic end-to-end;
+    the only float is the final fill ratio.
     """
     d = _docs(spark, sf_dir).select(
-        "doc_id", "lang", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+        "doc_id",
+        "lang",
+        F.expr(f"doc_id div {SHARD_DOCS}").alias("shard_id"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
-    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    w = (
+        Window.partitionBy("lang", "shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     cum = d.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
     return (
         cum.withColumn("bin_id", F.expr(f"cum_before div {PACK_BUDGET}"))
-        .groupBy("lang", "bin_id")
+        .groupBy("lang", "shard_id", "bin_id")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("bin_tokens"),
@@ -481,7 +496,11 @@ def length_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     RANK-BASED (k-th order statistic by (value, doc_id)), not
     interpolated: both engines pick the exact same row, so the clamp
     bounds — and therefore every output row — are bit-identical.
-    One shuffle on lang for the rank, a one-row-per-lang bounds join back.
+    One shuffle on lang for the rank, a one-row-per-lang bounds join
+    back. Scale note: the per-lang rank sorts each language in one
+    partition; for unbounded groups swap the exact order statistic for
+    the approx_percentile sketch (`approx_quantile_sketch` is the
+    registered form) and keep the clamp join unchanged.
     """
     d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     wl = Window.partitionBy("lang").orderBy("n_chars", "doc_id")

@@ -66,7 +66,7 @@ def test_seq_packing_bins_are_ordered_and_cover(spark, sf_dir):
 
     assert out["n_docs"].sum() == len(docs)
     assert out["bin_tokens"].sum() == docs["ntok"].sum()
-    for lang, grp in out.groupby("lang"):
+    for (_lang, _shard), grp in out.groupby(["lang", "shard_id"]):
         grp = grp.sort_values("bin_id").reset_index(drop=True)
         # contiguous bin ids from 0, and doc-id ranges strictly ordered
         assert (grp["bin_id"] == np.arange(len(grp))).all()
