@@ -36,6 +36,32 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "documents").repartition(par)
 
 
+def _term_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term) — the exploded token stream, session-shared: the
+    unigram-quality, vocabulary and tf-idf queries all start from this
+    one tokenize+explode pass."""
+    from ._util import shared
+
+    return shared(
+        spark, sf_dir, "term_tokens",
+        lambda: _docs(spark, sf_dir).select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        ),
+    )
+
+
+def _term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, cnt) — corpus-wide unigram counts, session-shared (the
+    vocabulary table: one shuffle, map-side partials, reread from cache
+    by every consumer)."""
+    from ._util import shared
+
+    return shared(
+        spark, sf_dir, "term_freq",
+        lambda: _term_tokens(spark, sf_dir).groupBy("term").agg(F.count("*").alias("cnt")),
+    )
+
+
 # --- sequence packing: greedy token-budget bins per (lang, shard) -------------
 SHARD_DOCS = 2000  # docs per packing shard (models one input file/split)
 
@@ -316,10 +342,11 @@ def unigram_freq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two shuffles (term count, doc rollup); the vocabulary table
     broadcasts back onto the exploded stream via AQE. The 1-row corpus
     total rides a broadcast cross join (python-free; the nested-loop
-    shape is the documented 1-row scalar pattern).
+    shape is the documented 1-row scalar pattern). Token stream and
+    vocabulary are the session-shared frames.
     """
-    tk = _docs(spark, sf_dir).select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    freq = tk.groupBy("term").agg(F.count("*").alias("cnt"))
+    tk = _term_tokens(spark, sf_dir)
+    freq = _term_freq(spark, sf_dir)
     tot = freq.agg(F.sum("cnt").alias("total"))
     per = (
         tk.join(freq, "term")
@@ -557,10 +584,10 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition, no global sort of the vocabulary), and only the K
     surviving rows enter the unpartitioned rank/cumsum window. The
     cumulative share at rank r sums ranks 1..r, all inside the top-K,
-    so limiting first is semantics-preserving.
+    so limiting first is semantics-preserving. Reads the session-shared
+    vocabulary frame.
     """
-    tk = _docs(spark, sf_dir).select(F.explode(tokens(F.col("text"))).alias("term"))
-    freq = tk.groupBy("term").agg(F.count("*").alias("cnt"))
+    freq = _term_freq(spark, sf_dir)
     tot = freq.agg(F.sum("cnt").alias("total"))
     topk = freq.orderBy(F.desc("cnt"), F.asc("term")).limit(VOCAB_TOPK)
     wr = Window.orderBy(F.desc("cnt"), F.asc("term"))

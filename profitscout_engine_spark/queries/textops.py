@@ -374,9 +374,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: explode → (doc,term) count → term doc-frequency — two
     shuffles on keys that scale with corpus vocabulary, plus a broadcast
     scalar for n_docs. The df table is vocabulary-sized (small relative
-    to the corpus), so AQE broadcasts it back onto the tf table.
+    to the corpus), so AQE broadcasts it back onto the tf table. The
+    exploded token stream is the session-shared frame (one
+    tokenize+explode pass serves tf-idf, unigram quality and vocab).
     """
-    d = _docs(spark, sf_dir).select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    from .curation import _term_tokens
+
+    d = _term_tokens(spark, sf_dir)
     tf = d.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
     nd = _docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))
