@@ -346,6 +346,87 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- INCREMENTAL ingest dedup: probe new batch against the corpus store ------
+def _incremental_probe_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_bands_ctes()},
+    split AS (
+        SELECT doc_id,
+               CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) IN ('c', 'd')
+                    THEN 'incoming' ELSE 'corpus' END AS side
+        FROM documents
+    ),
+    hits AS (
+        SELECT n.doc_id,
+               COUNT(DISTINCT c.doc_id) AS n_corpus_matches,
+               MIN(c.doc_id) AS first_match
+        FROM bands n
+        JOIN split sn ON sn.doc_id = n.doc_id AND sn.side = 'incoming'
+        JOIN bands c ON c.band_id = n.band_id AND c.band_sig = n.band_sig
+        JOIN split sc ON sc.doc_id = c.doc_id AND sc.side = 'corpus'
+        GROUP BY 1
+    )
+    SELECT s.doc_id,
+           COALESCE(h.n_corpus_matches, 0) AS n_corpus_matches,
+           h.first_match,
+           h.doc_id IS NOT NULL AS is_duplicate
+    FROM split s LEFT JOIN hits h ON h.doc_id = s.doc_id
+    WHERE s.side = 'incoming'
+    """
+
+
+@query(
+    "incremental_dedup_probe",
+    oracle=_incremental_probe_oracle(),
+    tags=("dedup", "incremental"),
+)
+def incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup: probe an INCOMING batch's MinHash band
+    signatures against the EXISTING corpus signature store (incoming =
+    the 'val' hash-split bucket, corpus = the rest — deterministic md5
+    bucketing). This is the asymmetric form a 100 TB pipeline actually
+    runs on ingest: the batch joins the persisted signature table on
+    (band_id, band_sig) — never an all-pairs or even a self-join — so
+    cost scales with BATCH × collision rate, not corpus². Reads the
+    session-shared bands frame (in production: the committed signature
+    snapshot a txn table maintains). Every incoming doc is reported
+    with its corpus-match count and earliest matching corpus doc.
+    """
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(digit.isin("c", "d"), "incoming").otherwise("corpus").alias("side"),
+    )
+    bands = _mh_bands(spark, sf_dir)
+    incoming = bands.join(
+        split.where(F.col("side") == "incoming").select("doc_id"), "doc_id"
+    )
+    corpus = bands.join(
+        split.where(F.col("side") == "corpus").select("doc_id"), "doc_id"
+    ).select(
+        F.col("doc_id").alias("c_doc"), "band_id", "band_sig"
+    )
+    hits = (
+        incoming.join(corpus, ["band_id", "band_sig"])
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("c_doc").alias("n_corpus_matches"),
+            F.min("c_doc").alias("first_match"),
+        )
+    )
+    return (
+        split.where(F.col("side") == "incoming")
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_corpus_matches"), F.lit(0)).alias("n_corpus_matches"),
+            "first_match",
+            F.col("n_corpus_matches").isNotNull().alias("is_duplicate"),
+        )
+    )
+
+
 # ---- near-dup CLUSTERING: connected components over the pair graph ----------
 def _components_oracle() -> str:
     return f"""
