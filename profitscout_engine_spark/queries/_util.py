@@ -36,12 +36,16 @@ def shared(
     if df is None:
         df = builder()
         _SHARED[k] = df
-    if not df.is_cached:
+    sl = df.storageLevel
+    if not (sl.useMemory or sl.useDisk):
         # (Re-)persist: also heals an external clearCache(). The persist is
         # load-bearing beyond speed — for the wide scalar layouts it is the
         # optimizer barrier that keeps projection collapse from inlining
         # 64-column expression chains into every consumer (Catalyst's
         # constraint propagation blows the heap on those trees).
+        # NB: checked via storageLevel, not is_cached — after an external
+        # clearCache() Spark 4.1 still reports is_cached=True while the
+        # storage level has dropped to NONE.
         df.persist()
     return df
 
