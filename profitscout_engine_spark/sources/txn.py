@@ -76,14 +76,21 @@ def read_versioned(spark: SparkSession, root: str, version: int | None = None) -
     return spark.read.parquet(snapshot_path(root, v))
 
 
-def commit_snapshot(df: DataFrame, root: str, expected_version: int | None = None) -> int:
+def commit_snapshot(
+    df: DataFrame,
+    root: str,
+    expected_version: int | None = None,
+    partition_col: str | None = None,
+) -> int:
     """Write ``df`` as the table's next snapshot and atomically publish it.
 
     ``expected_version`` enables optimistic concurrency: pass the version
     your read was based on, and the commit fails (raising
     :class:`ConcurrentCommitError`, staged files cleaned up) if another
     writer advanced the table meanwhile. ``None`` skips the check
-    (blind overwrite semantics — S9 truncate-load).
+    (blind overwrite semantics — S9 truncate-load). ``partition_col``
+    writes the snapshot hive-partitioned, which is what unlocks
+    partition-pruned merges (see :func:`merge_upsert_txn`).
 
     Returns the committed version number.
     """
@@ -96,7 +103,10 @@ def commit_snapshot(df: DataFrame, root: str, expected_version: int | None = Non
     new_v = base + 1
     final = snapshot_path(root, new_v)
     staging = f"{final}__staging_{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(staging)
+    w = df.write.mode("overwrite")
+    if partition_col is not None:
+        w = w.partitionBy(partition_col)
+    w.parquet(staging)
 
     # Re-check-and-flip. A true CAS needs a lock/conditional-put; plain
     # POSIX gives us: the pointer flip itself is atomic (os.replace), and
@@ -118,26 +128,9 @@ def commit_snapshot(df: DataFrame, root: str, expected_version: int | None = Non
     return new_v
 
 
-def merge_upsert_txn(
-    spark: SparkSession,
-    root: str,
-    source: DataFrame,
-    keys: list[str],
-) -> int:
-    """S11 MERGE with lakehouse semantics: WHEN MATCHED update non-key
-    columns to COALESCE(source, target), WHEN NOT MATCHED insert — same
-    row semantics as :func:`io.merge_upsert`, but committed as an atomic
-    snapshot: readers see the pre-merge or post-merge table, never the
-    torn middle, and a crash mid-merge changes nothing.
-
-    The merge plan is one full outer join on the keys (shuffle on the
-    key columns both sides); at scale the immutable-snapshot layout also
-    unlocks partition-level rewrite (stage only touched partitions into
-    the new snapshot, hard-link the rest), which plain overwrite cannot
-    express safely.
-    """
-    base = current_version(root)
-    target = read_versioned(spark, root)
+def _merge_frames(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """The S11 row semantics: full outer join on keys; matched rows take
+    COALESCE(source, target) for non-key columns, unmatched pass through."""
     src = source.select(
         *[F.col(k).alias(f"_k_{k}") for k in keys],
         *[F.col(c).alias(f"_s_{c}") for c in source.columns if c not in keys],
@@ -152,7 +145,73 @@ def merge_upsert_txn(
             merged_cols.append(F.coalesce(F.col(f"_s_{c}"), F.col(c)).alias(c))
         else:
             merged_cols.append(F.col(c))
-    return commit_snapshot(joined.select(*merged_cols), root, expected_version=base)
+    return joined.select(*merged_cols)
+
+
+def merge_upsert_txn(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    keys: list[str],
+    partition_col: str | None = None,
+) -> int:
+    """S11 MERGE with lakehouse semantics: WHEN MATCHED update non-key
+    columns to COALESCE(source, target), WHEN NOT MATCHED insert — same
+    row semantics as :func:`io.merge_upsert`, but committed as an atomic
+    snapshot: readers see the pre-merge or post-merge table, never the
+    torn middle, and a crash mid-merge changes nothing.
+
+    Without ``partition_col`` the whole table rewrites into the new
+    snapshot (one full outer join on the keys). WITH ``partition_col``
+    (which must also be the snapshot's hive-partition column) commit
+    cost scales with the TOUCHED data: only partitions containing
+    source keys are read, merged, and rewritten; every untouched
+    partition is HARD-LINKED file-by-file into the new snapshot dir —
+    a metadata operation, no data copied, safe precisely because
+    snapshot files are immutable. This is the 100 TB shape: merging one
+    day into a year-partitioned table stages one day, links the rest.
+    """
+    base = current_version(root)
+    target = read_versioned(spark, root)
+    if partition_col is None:
+        return commit_snapshot(_merge_frames(target, source, keys), root, expected_version=base)
+
+    touched = [r[0] for r in source.select(partition_col).distinct().collect()]
+    merged = _merge_frames(
+        target.where(F.col(partition_col).isin(touched)), source, keys
+    )
+
+    new_v = base + 1
+    final = snapshot_path(root, new_v)
+    staging = f"{final}__staging_{uuid.uuid4().hex[:8]}"
+    # Rewritten (touched) partitions land under their hive dirs.
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    # Untouched partitions: hard-link every file from the base snapshot.
+    base_dir = snapshot_path(root, base)
+    touched_dirs = {f"{partition_col}={v}" for v in touched}
+    for entry in os.listdir(base_dir):
+        src_dir = os.path.join(base_dir, entry)
+        if not os.path.isdir(src_dir) or not entry.startswith(f"{partition_col}="):
+            continue
+        if entry in touched_dirs:
+            continue
+        dst_dir = os.path.join(staging, entry)
+        os.makedirs(dst_dir, exist_ok=True)
+        for fname in os.listdir(src_dir):
+            if fname.endswith(".parquet"):
+                os.link(os.path.join(src_dir, fname), os.path.join(dst_dir, fname))
+
+    if current_version(root) != base:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise ConcurrentCommitError(f"table {root!r} advanced during staging (expected v{base})")
+    os.rename(staging, final)
+    tmp_ptr = _pointer_path(root) + f".tmp_{uuid.uuid4().hex[:8]}"
+    with open(tmp_ptr, "w") as f:
+        f.write(f"v_{new_v:08d}")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_ptr, _pointer_path(root))
+    return new_v
 
 
 def vacuum(root: str, keep: int = 2) -> list[int]:

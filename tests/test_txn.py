@@ -79,6 +79,37 @@ def test_merge_txn_matches_plain_merge(spark, root, tmp_path):
     assert len(txn.read_versioned(spark, root, version=1).collect()) == 3
 
 
+def test_partitioned_merge_links_untouched_partitions(spark, root):
+    """Partition-pruned txn MERGE: touched day rewritten, untouched days
+    hard-linked (same inode — zero data copied), rows exact."""
+    base = spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c"), (4, "d3", "d")],
+        "k int, day string, val string",
+    )
+    assert txn.commit_snapshot(base, root, partition_col="day") == 1
+    source = spark.createDataFrame([(3, "d2", "C!"), (9, "d2", "new")],
+                                   "k int, day string, val string")
+    v2 = txn.merge_upsert_txn(spark, root, source, keys=["k"], partition_col="day")
+    assert v2 == 2
+    got = {(r["k"], r["day"], r["val"]) for r in txn.read_versioned(spark, root).collect()}
+    assert got == {
+        (1, "d1", "a"), (2, "d1", "b"), (3, "d2", "C!"), (4, "d3", "d"), (9, "d2", "new"),
+    }
+    # Untouched partitions share inodes with the base snapshot (hard links).
+    for day in ("d1", "d3"):
+        b_dir = os.path.join(txn.snapshot_path(root, 1), f"day={day}")
+        n_dir = os.path.join(txn.snapshot_path(root, 2), f"day={day}")
+        b_files = sorted(f for f in os.listdir(b_dir) if f.endswith(".parquet"))
+        n_files = sorted(f for f in os.listdir(n_dir) if f.endswith(".parquet"))
+        assert b_files == n_files and b_files
+        for f in b_files:
+            assert os.stat(os.path.join(b_dir, f)).st_ino == os.stat(
+                os.path.join(n_dir, f)
+            ).st_ino
+    # Touched partition was rewritten (no inode sharing is required there;
+    # its content is the merged rows, already checked above).
+
+
 def test_vacuum_keeps_live_and_recent(spark, root):
     for i in range(4):
         txn.commit_snapshot(_frame(spark, [(1, f"v{i+1}", i)]), root)
