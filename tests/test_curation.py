@@ -133,3 +133,23 @@ def test_unigram_quality_bounds(spark, sf_dir):
     assert (out["n_rare"] <= out["n_tokens"]).all()
     assert (out["rare_frac"].between(0, 1)).all()
     assert (out["freq_ppm"] > 0).all()
+
+
+def test_incremental_probe_invariants(spark, sf_dir):
+    """Incoming-batch probe: covers exactly the incoming split, flags
+    agree with match counts, and every reported match is corroborated by
+    the symmetric MinHash pair set."""
+    out = _run("incremental_dedup_probe", spark, sf_dir)
+    side = out["doc_id"].astype(str).map(
+        lambda s: hashlib.md5(s.encode()).hexdigest()[0] in ("c", "d")
+    )
+    assert side.all()  # only incoming docs reported
+    assert (out["is_duplicate"] == (out["n_corpus_matches"] > 0)).all()
+    assert (out.loc[out["is_duplicate"], "first_match"].notna()).all()
+    # Corroborate against the full symmetric pair set: an (incoming,
+    # corpus) band collision must appear there too.
+    pairs = _run("minhash_lsh_pairs", spark, sf_dir)
+    pairset = set(map(tuple, pairs[["d1", "d2"]].values))
+    for doc, fm in out.loc[out["is_duplicate"], ["doc_id", "first_match"]].values:
+        a, b = int(min(doc, fm)), int(max(doc, fm))
+        assert (a, b) in pairset
