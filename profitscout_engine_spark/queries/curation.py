@@ -226,14 +226,16 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _sh_distinct
 
     digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    is_test = digit.isin("e", "f")
     split = _docs(spark, sf_dir).select(
-        "doc_id", F.when(digit.isin("e", "f"), "test").otherwise("train").alias("split")
+        "doc_id", F.when(is_test, "test").otherwise("train").alias("split")
     )
-    sh = _sh_distinct(spark, sf_dir)
-    sh_split = sh.join(split, "doc_id")
-    test_sh = sh_split.where(F.col("split") == "test").select("shingle").distinct()
+    # The split is a pure function of doc_id, so the shingle frame tags
+    # itself — no join of the (large) posting list against a split table.
+    sh = _sh_distinct(spark, sf_dir).withColumn("split", F.when(is_test, "test").otherwise("train"))
+    test_sh = sh.where(F.col("split") == "test").select("shingle").distinct()
     overlap = (
-        sh_split.where(F.col("split") == "train")
+        sh.where(F.col("split") == "train")
         .join(test_sh, "shingle")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))

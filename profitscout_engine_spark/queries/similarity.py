@@ -393,17 +393,15 @@ def incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     with its corpus-match count and earliest matching corpus doc.
     """
     digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    is_in = digit.isin("c", "d")
     split = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.when(digit.isin("c", "d"), "incoming").otherwise("corpus").alias("side"),
+        "doc_id", F.when(is_in, "incoming").otherwise("corpus").alias("side")
     )
+    # The side is a pure function of doc_id: the signature store tags
+    # itself — no join of the band table against a split table.
     bands = _mh_bands(spark, sf_dir)
-    incoming = bands.join(
-        split.where(F.col("side") == "incoming").select("doc_id"), "doc_id"
-    )
-    corpus = bands.join(
-        split.where(F.col("side") == "corpus").select("doc_id"), "doc_id"
-    ).select(
+    incoming = bands.where(is_in)
+    corpus = bands.where(~is_in).select(
         F.col("doc_id").alias("c_doc"), "band_id", "band_sig"
     )
     hits = (
