@@ -22,7 +22,7 @@ from ..exprs import r2
 from ..operators.flow import side_flow_metrics
 from ..operators.score import apply_cluster_boost, flow_score
 from . import query
-from ._util import t
+from ._util import shared, t
 
 _SCANNER_ORACLE = """
 WITH flow AS (
@@ -157,7 +157,13 @@ def scanner_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def scanner_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full scanner frame (flow → score → dims → cluster boost), pre-rank."""
+    """Full scanner frame (flow → score → dims → cluster boost), pre-rank.
+    Session-shared: the rank query and the enrichment pipeline both
+    consume this frame — it materializes once per (session, dataset)."""
+    return shared(spark, sf_dir, "scanner_boosted", lambda: _scanner_boosted_build(spark, sf_dir))
+
+
+def _scanner_boosted_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = scanner_flow(spark, sf_dir)
     boosted = apply_cluster_boost(scored, ["nation", "direction"], score_col="score")
     return boosted.select(
