@@ -46,6 +46,23 @@ def read_table(spark: SparkSession, path: str, view: str | None = None) -> DataF
     return df
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar-format breadth: ORC scan (footer stats + predicate
+    pushdown work exactly as with parquet — `PushedFilters` appears in
+    the plan). The engine's table layer is format-agnostic: any
+    path-based columnar store slots in behind the same query surface."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_col: str | None = None) -> None:
+    """ORC sink, optionally hive-partitioned — the S13 layout on the
+    second columnar format."""
+    w = df.write.mode("overwrite")
+    if partition_col:
+        w = w.partitionBy(partition_col)
+    w.orc(path)
+
+
 def read_csv(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:
     """S5: header CSV with schema inference (research result files)."""
     r = spark.read.option("header", "true")
