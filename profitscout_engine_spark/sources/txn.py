@@ -180,12 +180,49 @@ def merge_upsert_txn(
     merged = _merge_frames(
         target.where(F.col(partition_col).isin(touched)), source, keys
     )
+    return _commit_partition_delta(merged, root, base, partition_col, touched)
 
+
+def delete_where_txn(
+    spark: SparkSession,
+    root: str,
+    condition,
+    partition_col: str | None = None,
+) -> int:
+    """Transactional DELETE — the right-to-be-forgotten / contamination
+    purge a training-data table needs: rows matching ``condition`` (a
+    Column or SQL string) vanish in one atomic snapshot flip; every
+    prior snapshot still holds them until :func:`vacuum` (which is the
+    actual erasure step — document retention accordingly).
+
+    With ``partition_col``, only partitions that CONTAIN matching rows
+    are rewritten; the rest hard-link into the new snapshot, so a
+    targeted delete from a 100 TB table costs the touched partitions
+    plus one metadata pass.
+    """
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    base = current_version(root)
+    target = read_versioned(spark, root)
+    if partition_col is None:
+        return commit_snapshot(target.where(~cond), root, expected_version=base)
+    touched = [
+        r[0] for r in target.where(cond).select(partition_col).distinct().collect()
+    ]
+    kept = target.where(F.col(partition_col).isin(touched)).where(~cond)
+    return _commit_partition_delta(kept, root, base, partition_col, touched)
+
+
+def _commit_partition_delta(
+    new_touched: DataFrame, root: str, base: int, partition_col: str, touched: list
+) -> int:
+    """Stage rewritten partitions + hard-link the untouched ones from the
+    base snapshot, then atomically publish — the shared commit path for
+    partition-pruned MERGE/DELETE."""
     new_v = base + 1
     final = snapshot_path(root, new_v)
     staging = f"{final}__staging_{uuid.uuid4().hex[:8]}"
     # Rewritten (touched) partitions land under their hive dirs.
-    merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    new_touched.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
     # Untouched partitions: hard-link every file from the base snapshot.
     base_dir = snapshot_path(root, base)
     touched_dirs = {f"{partition_col}={v}" for v in touched}

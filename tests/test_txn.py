@@ -119,3 +119,41 @@ def test_vacuum_keeps_live_and_recent(spark, root):
     assert txn.read_versioned(spark, root, version=3).collect()[0]["val"] == "v3"
     with pytest.raises(Exception):
         txn.read_versioned(spark, root, version=1).collect()
+
+
+def test_delete_where_txn_partitioned(spark, root):
+    """GDPR-style transactional delete: matching rows vanish atomically,
+    untouched partitions hard-link, history retains pre-delete state
+    until vacuum."""
+    base = spark.createDataFrame(
+        [(1, "d1", "keep"), (2, "d2", "purge"), (3, "d2", "keep"), (4, "d3", "keep")],
+        "k int, day string, val string",
+    )
+    txn.commit_snapshot(base, root, partition_col="day")
+    v2 = txn.delete_where_txn(spark, root, "val = 'purge'", partition_col="day")
+    assert v2 == 2
+    got = {(r["k"], r["val"]) for r in txn.read_versioned(spark, root).collect()}
+    assert got == {(1, "keep"), (3, "keep"), (4, "keep")}
+    # d1/d3 untouched -> hard-linked (same inode)
+    for day in ("d1", "d3"):
+        b_dir = os.path.join(txn.snapshot_path(root, 1), f"day={day}")
+        n_dir = os.path.join(txn.snapshot_path(root, 2), f"day={day}")
+        for f in os.listdir(b_dir):
+            if f.endswith(".parquet"):
+                assert os.stat(os.path.join(b_dir, f)).st_ino == os.stat(
+                    os.path.join(n_dir, f)
+                ).st_ino
+    # history retains the purged row until vacuum (the erasure step)
+    old = {r["k"] for r in txn.read_versioned(spark, root, version=1).collect()}
+    assert 2 in old
+    txn.vacuum(root, keep=1)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        txn.read_versioned(spark, root, version=1).collect()
+
+
+def test_delete_where_txn_unpartitioned(spark, root):
+    txn.commit_snapshot(_frame(spark, [(1, "a", 1), (2, "b", 2), (3, "c", 3)]), root)
+    txn.delete_where_txn(spark, root, "k >= 2")
+    got = {r["k"] for r in txn.read_versioned(spark, root).collect()}
+    assert got == {1}
