@@ -76,15 +76,15 @@ SHARD_DOCS = 2000  # docs per packing shard (models one input file/split)
     ),
     cum AS (
         SELECT doc_id, lang, shard_id, n_tokens,
-               COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard_id
+               CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard_id
                         ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS cum_before
+                   AS BIGINT) AS cum_before
         FROM tk
     )
     SELECT lang, shard_id, cum_before // {PACK_BUDGET} AS bin_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS bin_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
            MIN(doc_id) AS first_doc,
            MAX(doc_id) AS last_doc,
            ROUND(SUM(n_tokens) * 1.0 / {PACK_BUDGET}, 4) AS fill_ratio
@@ -323,7 +323,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT tk.doc_id,
                COUNT(*) AS n_tokens,
                SUM(freq.cnt) AS sum_cnt,
-               SUM(CASE WHEN freq.cnt <= 2 THEN 1 ELSE 0 END) AS n_rare
+               CAST(SUM(CASE WHEN freq.cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
         FROM tk JOIN freq USING (term)
         GROUP BY 1
     )
