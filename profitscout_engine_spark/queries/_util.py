@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -14,6 +15,19 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 _SHARED: dict[tuple[str, str, str], DataFrame] = {}
+_SHARED_LOCK = threading.Lock()
+
+
+def _evict_stale(app_id: str) -> None:
+    """Drop (and unpersist) entries from sessions other than the live one,
+    so a long-lived driver process that restarts its SparkSession doesn't
+    accumulate dead plan objects and cache registrations."""
+    for k in [k for k in _SHARED if k[0] != app_id]:
+        df = _SHARED.pop(k)
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # the owning session is gone; nothing to release
 
 
 def shared(
@@ -31,22 +45,25 @@ def shared(
     downstream consumer reads the cache. Keyed by applicationId so a
     fresh driver process never sees a stale entry.
     """
-    k = (spark.sparkContext.applicationId, sf_dir, key)
-    df = _SHARED.get(k)
-    if df is None:
-        df = builder()
-        _SHARED[k] = df
-    sl = df.storageLevel
-    if not (sl.useMemory or sl.useDisk):
-        # (Re-)persist: also heals an external clearCache(). The persist is
-        # load-bearing beyond speed — for the wide scalar layouts it is the
-        # optimizer barrier that keeps projection collapse from inlining
-        # 64-column expression chains into every consumer (Catalyst's
-        # constraint propagation blows the heap on those trees).
-        # NB: checked via storageLevel, not is_cached — after an external
-        # clearCache() Spark 4.1 still reports is_cached=True while the
-        # storage level has dropped to NONE.
-        df.persist()
+    app_id = spark.sparkContext.applicationId
+    k = (app_id, sf_dir, key)
+    with _SHARED_LOCK:
+        _evict_stale(app_id)
+        df = _SHARED.get(k)
+        if df is None:
+            df = builder()
+            _SHARED[k] = df
+        sl = df.storageLevel
+        if not (sl.useMemory or sl.useDisk):
+            # (Re-)persist: also heals an external clearCache(). The persist is
+            # load-bearing beyond speed — for the wide scalar layouts it is the
+            # optimizer barrier that keeps projection collapse from inlining
+            # 64-column expression chains into every consumer (Catalyst's
+            # constraint propagation blows the heap on those trees).
+            # NB: checked via storageLevel, not is_cached — after an external
+            # clearCache() Spark 4.1 still reports is_cached=True while the
+            # storage level has dropped to NONE.
+            df.persist()
     return df
 
 

@@ -42,9 +42,42 @@ from pyspark.sql import functions as F
 
 _POINTER = "_CURRENT"
 
+# Spark/Hive escape these characters in partition directory names
+# (ExternalCatalogUtils.escapePathName): ASCII control chars plus the
+# shell/URI-special set, each written as %XX uppercase hex.
+_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\{[]^\x7f') | frozenset(chr(c) for c in range(1, 32))
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
 
 class ConcurrentCommitError(RuntimeError):
     """The table advanced past the version this writer based its work on."""
+
+
+def _escape_partition_value(v) -> str:
+    """The directory-name form Spark's writer gives partition value ``v``:
+    NULL and empty string become ``__HIVE_DEFAULT_PARTITION__``; every
+    other value is stringified then Hive-escaped (':' -> '%3A' etc.) —
+    mirroring ExternalCatalogUtils.getPartitionPathString so commit-time
+    bookkeeping recognizes exactly the dirs the writer produced."""
+    if v is None:
+        return _HIVE_DEFAULT_PARTITION
+    if isinstance(v, bool):  # Spark casts booleans to 'true'/'false'
+        s = "true" if v else "false"
+    else:
+        s = str(v)
+    if s == "":
+        return _HIVE_DEFAULT_PARTITION
+    return "".join(f"%{ord(c):02X}" if c in _ESCAPE_CHARS else c for c in s)
+
+
+def _partition_filter(partition_col: str, touched: list):
+    """NULL-aware membership test: plain ``isin`` never matches NULL, so a
+    touched NULL partition needs an explicit ``isNull`` arm."""
+    non_null = [v for v in touched if v is not None]
+    cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in touched):
+        cond = cond | F.col(partition_col).isNull()
+    return cond
 
 
 def _pointer_path(root: str) -> str:
@@ -118,6 +151,12 @@ def commit_snapshot(
         raise ConcurrentCommitError(
             f"table {root!r} advanced during staging (expected v{expected_version})"
         )
+    # A crash between a previous commit's rename and its pointer flip leaves
+    # an orphaned v_{new_v} dir; it was never referenced by the pointer, so
+    # it is invisible to readers and safe to clear (otherwise this rename
+    # fails ENOTEMPTY and wedges the table).
+    if os.path.exists(final):
+        shutil.rmtree(final)
     os.rename(staging, final)
     tmp_ptr = _pointer_path(root) + f".tmp_{uuid.uuid4().hex[:8]}"
     with open(tmp_ptr, "w") as f:
@@ -170,6 +209,15 @@ def merge_upsert_txn(
     a metadata operation, no data copied, safe precisely because
     snapshot files are immutable. This is the 100 TB shape: merging one
     day into a year-partitioned table stages one day, links the rest.
+
+    Pruning is only sound when a key cannot move between partitions. With
+    ``partition_col`` in ``keys`` that holds by construction. Otherwise a
+    source row could match a target row living in an UNTOUCHED partition
+    (which would be hard-linked through unchanged while the source row
+    inserts — duplicate keys), so this function first probes the
+    untouched partitions for cross-partition key matches (a read-only
+    key-column semi-join, scan pruned to the key columns) and falls back
+    to the full-table merge when any exist.
     """
     base = current_version(root)
     target = read_versioned(spark, root)
@@ -177,9 +225,21 @@ def merge_upsert_txn(
         return commit_snapshot(_merge_frames(target, source, keys), root, expected_version=base)
 
     touched = [r[0] for r in source.select(partition_col).distinct().collect()]
-    merged = _merge_frames(
-        target.where(F.col(partition_col).isin(touched)), source, keys
-    )
+    part_cond = _partition_filter(partition_col, touched)
+    if partition_col not in keys:
+        crossers = (
+            target.where(~F.coalesce(part_cond, F.lit(False)))
+            .select(*keys)
+            .join(source.select(*keys).distinct(), on=keys, how="left_semi")
+        )
+        if crossers.limit(1).count() > 0:
+            return commit_snapshot(
+                _merge_frames(target, source, keys),
+                root,
+                expected_version=base,
+                partition_col=partition_col,
+            )
+    merged = _merge_frames(target.where(part_cond), source, keys)
     return _commit_partition_delta(merged, root, base, partition_col, touched)
 
 
@@ -201,14 +261,19 @@ def delete_where_txn(
     plus one metadata pass.
     """
     cond = F.expr(condition) if isinstance(condition, str) else condition
+    # SQL DELETE removes only rows where the predicate is TRUE; a NULL
+    # predicate keeps the row. ``~cond`` alone would also drop NULLs
+    # (and do so only in rewritten partitions, making the outcome depend
+    # on partition co-location), so fold NULL to FALSE before negating.
+    keep_cond = ~F.coalesce(cond, F.lit(False))
     base = current_version(root)
     target = read_versioned(spark, root)
     if partition_col is None:
-        return commit_snapshot(target.where(~cond), root, expected_version=base)
+        return commit_snapshot(target.where(keep_cond), root, expected_version=base)
     touched = [
         r[0] for r in target.where(cond).select(partition_col).distinct().collect()
     ]
-    kept = target.where(F.col(partition_col).isin(touched)).where(~cond)
+    kept = target.where(_partition_filter(partition_col, touched)).where(keep_cond)
     return _commit_partition_delta(kept, root, base, partition_col, touched)
 
 
@@ -224,13 +289,19 @@ def _commit_partition_delta(
     # Rewritten (touched) partitions land under their hive dirs.
     new_touched.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
     # Untouched partitions: hard-link every file from the base snapshot.
+    # A base dir is linked only if (a) its writer-escaped name is not a
+    # touched value (covers touched partitions the rewrite EMPTIED — no
+    # staging dir exists, but linking would resurrect purged rows) and
+    # (b) it is not already present in staging (belt-and-braces: the
+    # writer names touched dirs with the same escaping, so an escaping
+    # divergence can never duplicate a rewritten partition).
     base_dir = snapshot_path(root, base)
-    touched_dirs = {f"{partition_col}={v}" for v in touched}
+    touched_dirs = {f"{partition_col}={_escape_partition_value(v)}" for v in touched}
     for entry in os.listdir(base_dir):
         src_dir = os.path.join(base_dir, entry)
         if not os.path.isdir(src_dir) or not entry.startswith(f"{partition_col}="):
             continue
-        if entry in touched_dirs:
+        if entry in touched_dirs or os.path.isdir(os.path.join(staging, entry)):
             continue
         dst_dir = os.path.join(staging, entry)
         os.makedirs(dst_dir, exist_ok=True)
@@ -241,6 +312,8 @@ def _commit_partition_delta(
     if current_version(root) != base:
         shutil.rmtree(staging, ignore_errors=True)
         raise ConcurrentCommitError(f"table {root!r} advanced during staging (expected v{base})")
+    if os.path.exists(final):  # orphan from a crash between rename and flip
+        shutil.rmtree(final)
     os.rename(staging, final)
     tmp_ptr = _pointer_path(root) + f".tmp_{uuid.uuid4().hex[:8]}"
     with open(tmp_ptr, "w") as f:

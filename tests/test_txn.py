@@ -157,3 +157,130 @@ def test_delete_where_txn_unpartitioned(spark, root):
     txn.delete_where_txn(spark, root, "k >= 2")
     got = {r["k"] for r in txn.read_versioned(spark, root).collect()}
     assert got == {1}
+
+
+def test_delete_with_special_char_partition_values(spark, root):
+    """Hive-escaped partition dirs (':' -> '%3A', ' ' -> '%20'): commit
+    bookkeeping must recognize the touched dir by its WRITER name, or the
+    base files get hard-linked in alongside the rewrite — duplicating
+    kept rows and resurrecting purged ones."""
+    base = spark.createDataFrame(
+        [(1, "a:1", "purge"), (2, "a:1", "keep"), (3, "b 2", "keep")],
+        "k int, day string, val string",
+    )
+    txn.commit_snapshot(base, root, partition_col="day")
+    txn.delete_where_txn(spark, root, "val = 'purge'", partition_col="day")
+    got = sorted((r["k"], r["day"]) for r in txn.read_versioned(spark, root).collect())
+    assert got == [(2, "a:1"), (3, "b 2")]
+
+
+def test_delete_emptying_a_partition_does_not_resurrect(spark, root):
+    """A touched partition whose rows are ALL deleted produces no staging
+    dir; the linker must still not link the base dir back in."""
+    base = spark.createDataFrame(
+        [(1, "d1", "purge"), (2, "d1", "purge"), (3, "d2", "keep")],
+        "k int, day string, val string",
+    )
+    txn.commit_snapshot(base, root, partition_col="day")
+    txn.delete_where_txn(spark, root, "val = 'purge'", partition_col="day")
+    assert {r["k"] for r in txn.read_versioned(spark, root).collect()} == {3}
+
+
+def test_delete_null_predicate_keeps_rows_everywhere(spark, root):
+    """SQL DELETE removes only predicate-TRUE rows; NULL keeps the row —
+    identically in rewritten and hard-linked partitions."""
+    base = spark.createDataFrame(
+        [(1, "d1", "X"), (2, "d1", None), (3, "d2", None), (4, "d2", "Y")],
+        "k int, day string, val string",
+    )
+    txn.commit_snapshot(base, root, partition_col="day")
+    txn.delete_where_txn(spark, root, "val = 'X'", partition_col="day")
+    assert {r["k"] for r in txn.read_versioned(spark, root).collect()} == {2, 3, 4}
+    root2 = root + "_flat"
+    txn.commit_snapshot(base, root2)
+    txn.delete_where_txn(spark, root2, "val = 'X'")
+    assert {r["k"] for r in txn.read_versioned(spark, root2).collect()} == {2, 3, 4}
+
+
+def test_delete_null_partition_value(spark, root):
+    """NULL partition values land in __HIVE_DEFAULT_PARTITION__; a delete
+    touching them must rewrite that dir, not link it through."""
+    base = spark.createDataFrame(
+        [(1, None, "purge"), (2, None, "keep"), (3, "d2", "keep")],
+        "k int, day string, val string",
+    )
+    txn.commit_snapshot(base, root, partition_col="day")
+    txn.delete_where_txn(spark, root, "val = 'purge'", partition_col="day")
+    got = sorted(
+        (r["k"], r["day"]) for r in txn.read_versioned(spark, root).collect()
+    )
+    assert got == [(2, None), (3, "d2")]
+
+
+def test_merge_cross_partition_key_move_no_duplicates(spark, root):
+    """A source key that exists in the target under a DIFFERENT partition
+    value: pruning alone would link the old row through and insert the new
+    one (duplicate keys). The cross-partition probe must detect it and
+    fall back to the full merge."""
+    base = spark.createDataFrame(
+        [(1, "d1", "a"), (3, "d2", "c")], "k int, day string, val string"
+    )
+    txn.commit_snapshot(base, root, partition_col="day")
+    source = spark.createDataFrame([(3, "d3", "moved")], "k int, day string, val string")
+    txn.merge_upsert_txn(spark, root, source, keys=["k"], partition_col="day")
+    rows = txn.read_versioned(spark, root).collect()
+    assert sorted(r["k"] for r in rows) == [1, 3]
+    assert {(r["k"], r["day"], r["val"]) for r in rows} == {
+        (1, "d1", "a"),
+        (3, "d3", "moved"),
+    }
+
+
+def test_merge_pruned_when_partition_in_keys(spark, root):
+    """With partition_col in keys a key cannot cross partitions; the merge
+    stays pruned (untouched dirs hard-linked, no probe scan needed)."""
+    base = spark.createDataFrame(
+        [(1, "d1", "a"), (3, "d2", "c")], "k int, day string, val string"
+    )
+    txn.commit_snapshot(base, root, partition_col="day")
+    source = spark.createDataFrame([(3, "d2", "C!")], "k int, day string, val string")
+    txn.merge_upsert_txn(spark, root, source, keys=["k", "day"], partition_col="day")
+    got = {(r["k"], r["day"], r["val"]) for r in txn.read_versioned(spark, root).collect()}
+    assert got == {(1, "d1", "a"), (3, "d2", "C!")}
+    b_dir = os.path.join(txn.snapshot_path(root, 1), "day=d1")
+    n_dir = os.path.join(txn.snapshot_path(root, 2), "day=d1")
+    for f in os.listdir(b_dir):
+        if f.endswith(".parquet"):
+            assert os.stat(os.path.join(b_dir, f)).st_ino == os.stat(
+                os.path.join(n_dir, f)
+            ).st_ino
+
+
+def test_orphaned_snapshot_dir_recovery(spark, root):
+    """Crash between os.rename(staging, final) and the pointer flip leaves
+    an orphaned (pointer-invisible) v2 dir; the next commit must reclaim
+    it instead of failing ENOTEMPTY."""
+    txn.commit_snapshot(_frame(spark, [(1, "a", 1)]), root)
+    _frame(spark, [(9, "ghost", 0)]).write.parquet(txn.snapshot_path(root, 2))
+    assert txn.current_version(root) == 1
+    assert txn.commit_snapshot(_frame(spark, [(1, "b", 2)]), root) == 2
+    assert txn.read_versioned(spark, root).collect()[0]["val"] == "b"
+
+
+def test_reader_pinned_snapshot_across_vacuum(spark, root):
+    """A reader on the LIVE snapshot keeps working after vacuum (its files
+    are hard links — the inodes survive the old dir's removal); a reader
+    pinned on the vacuumed version fails loudly, never partially."""
+    base = spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d2", "purge")], "k int, day string, val string"
+    )
+    txn.commit_snapshot(base, root, partition_col="day")
+    txn.delete_where_txn(spark, root, "val = 'purge'", partition_col="day")
+    live = txn.read_versioned(spark, root)  # v2; day=d1 hard-linked from v1
+    stale = txn.read_versioned(spark, root, version=1)  # plan resolved pre-vacuum
+    txn.vacuum(root, keep=1)
+    assert {r["k"] for r in live.collect()} == {1}
+    with pytest.raises(Exception):
+        stale.collect()
+    with pytest.raises(Exception):
+        txn.read_versioned(spark, root, version=1)
