@@ -151,3 +151,52 @@ def skewsafe_pair_gen(
     )
     hot = hot_a.join(hot_b, [key, SALT]).where(lt).drop(SALT)
     return cold.select("d1", "d2").unionByName(hot.select("d1", "d2"))
+
+
+def skewsafe_directed_pairs(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    probe_id: str,
+    build_id: str,
+    hot_size: int = 256,
+    buckets: int = 8,
+) -> DataFrame:
+    """Directed candidate generation ``probe ⋈ build ON key`` immune to hot
+    inverted lists — the IVF-search shape, where a popular coarse centroid
+    would otherwise make one reducer score |list|² pairs.
+
+    Differential salting mirrors :func:`skewsafe_pair_gen`: lists are
+    tagged with their BUILD-side size (one count on the shuffle the join
+    needs anyway). Lists at or below ``hot_size`` join plainly; hotter
+    lists join on (key, salt) — probe rows salted by id-hash, build rows
+    replicated ×``buckets`` — so a hot list's pair fan-out spreads over
+    ``buckets`` tasks. Emits (probe_id, build_id) with probe_id ≠
+    build_id, row-identical to the naive join for any input (inner joins
+    only, both branches disjoint by the size tag).
+    """
+    sizes = build.groupBy(key).agg(F.count("*").alias("_lsz"))
+    p = probe.select(key, F.col(probe_id).alias("_pid")).join(sizes, key)
+    b = build.select(key, F.col(build_id).alias("_bid")).join(sizes, key)
+    neq = F.col("_pid") != F.col("_bid")
+    cold = (
+        p.where(F.col("_lsz") <= hot_size)
+        .drop("_lsz")
+        .join(b.where(F.col("_lsz") <= hot_size).drop("_lsz"), key)
+        .where(neq)
+    )
+    hot_p = (
+        p.where(F.col("_lsz") > hot_size)
+        .drop("_lsz")
+        .withColumn(SALT, F.pmod(F.xxhash64("_pid"), F.lit(buckets)))
+    )
+    hot_b = (
+        b.where(F.col("_lsz") > hot_size)
+        .drop("_lsz")
+        .withColumn(SALT, F.explode(F.array(*[F.lit(i) for i in range(buckets)])))
+    )
+    hot = hot_p.join(hot_b, [key, SALT]).where(neq).drop(SALT)
+    return (
+        cold.select(F.col("_pid").alias(probe_id), F.col("_bid").alias(build_id))
+        .unionByName(hot.select(F.col("_pid").alias(probe_id), F.col("_bid").alias(build_id)))
+    )

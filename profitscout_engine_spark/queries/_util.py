@@ -14,6 +14,19 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return table(spark, sf_dir, name)
 
 
+def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the scan has fewer splits than the
+    session's parallelism — the local single-file fixture, where one
+    shuffle of a small table buys 32× map parallelism for the CPU-heavy
+    text kernels. A real multi-split table (the 100 TB case) already has
+    the parallelism and keeps its layout: forcing a full shuffle in front
+    of an otherwise zero-shuffle map query would be pure waste."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 _SHARED: dict[tuple[str, str, str], DataFrame] = {}
 _SHARED_LOCK = threading.Lock()
 

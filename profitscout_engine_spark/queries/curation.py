@@ -32,8 +32,9 @@ EMB_DIM = 64
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    par = spark.sparkContext.defaultParallelism
-    return t(spark, sf_dir, "documents").repartition(par)
+    from ._util import fan_out
+
+    return fan_out(spark, t(spark, sf_dir, "documents"))
 
 
 def _term_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1025,12 +1025,16 @@ def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard first stage of billion-scale ANN. Exact cosine on the
     candidate set via the packed-vector shuffle-join scorer (Arrow-
     batched dot); oracle-exact because routing uses rounded centroid
-    components and rounded distances."""
+    components and rounded distances. A hot inverted list joins salted
+    (:func:`skew.skewsafe_directed_pairs`), so one dense centroid can't
+    melt a single reducer with its |list|² pairs."""
+    from ..operators.skew import skewsafe_directed_pairs
+
     assign = _ivf_assignments(spark, sf_dir).select("vec_id", "assigned_label")
-    a = assign.select(F.col("vec_id").alias("a_id"), F.col("assigned_label").alias("la"))
-    b = assign.select(F.col("vec_id").alias("b_id"), F.col("assigned_label").alias("lb"))
-    cand = a.join(b, (F.col("la") == F.col("lb")) & (F.col("a_id") != F.col("b_id"))).select(
-        "a_id", "b_id"
+    a = assign.select(F.col("vec_id").alias("a_id"), F.col("assigned_label").alias("lst"))
+    b = assign.select(F.col("vec_id").alias("b_id"), F.col("assigned_label").alias("lst"))
+    cand = skewsafe_directed_pairs(
+        a, b, key="lst", probe_id="a_id", build_id="b_id", hot_size=IVF_HOT_LIST,
     )
     ea, eb = _packed_sides(spark, sf_dir)
     return _score_candidates(cand, ea, eb, r6, LSH_TOPK)
@@ -1038,6 +1042,7 @@ def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- IVF multi-probe: search the p nearest lists, the recall lever -----------
 NPROBE = 2
+IVF_HOT_LIST = 256  # list size above which candidate-gen salts the list join
 
 
 @query(
@@ -1071,8 +1076,14 @@ def ivf_search_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each corpus vector still lives in exactly one list (rn=1), so every
     candidate pair arises from at most one probed list — no dedup needed.
     Routing stays oracle-exact (rounded centroids + rounded distances);
-    scoring is the packed shuffle-join path.
+    scoring is the packed shuffle-join path. Candidate generation goes
+    through :func:`skew.skewsafe_directed_pairs`: a hot coarse list (the
+    IVF failure mode — one centroid capturing a dense region makes the
+    within-list join quadratic on one reducer) joins on (list, salt)
+    with the probe side id-hash-salted, row-identical to the plain join.
     """
+    from ..operators.skew import skewsafe_directed_pairs
+
     ranked = _ivf_ranked(spark, sf_dir)
     probe = ranked.where(F.col("rn") <= NPROBE).select(
         F.col("vec_id").alias("a_id"), F.col("c_label").alias("lst")
@@ -1080,10 +1091,9 @@ def ivf_search_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     build = ranked.where(F.col("rn") == 1).select(
         F.col("vec_id").alias("b_id"), F.col("c_label").alias("lst")
     )
-    cand = (
-        probe.join(build, "lst")
-        .where(F.col("a_id") != F.col("b_id"))
-        .select("a_id", "b_id")
+    cand = skewsafe_directed_pairs(
+        probe, build, key="lst", probe_id="a_id", build_id="b_id",
+        hot_size=IVF_HOT_LIST,
     )
     ea, eb = _packed_sides(spark, sf_dir)
     return _score_candidates(cand, ea, eb, r6, LSH_TOPK)

@@ -32,12 +32,14 @@ LANG_STOPWORDS = {
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents, fanned out to full parallelism: the fixture parquet is a
-    single split and every query here is CPU-heavy per row (md5 windows,
-    shingling, regex) — one round-robin shuffle of the small doc table
-    buys 32× map parallelism."""
-    par = spark.sparkContext.defaultParallelism
-    return t(spark, sf_dir, "documents").repartition(par)
+    """documents, fanned out to full parallelism when (and only when) the
+    scan is under-split: the fixture parquet is a single file and every
+    query here is CPU-heavy per row (md5 windows, shingling, regex) — one
+    round-robin shuffle of the small doc table buys 32× map parallelism.
+    A multi-split production table skips the shuffle entirely."""
+    from ._util import fan_out
+
+    return fan_out(spark, t(spark, sf_dir, "documents"))
 
 
 # --- token counting: whitespace + BPE-ish regex -------------------------------

@@ -129,3 +129,39 @@ def test_every_registered_plan_is_scale_hygienic(spark, sf_dir):
             if not any(k in doc for k in ("pandas", "arrow", "python", "decode", "dot", "packed")):
                 failures.append(f"{name}: undeclared Arrow Python hop")
     assert not failures, "\n".join(failures)
+
+
+def test_docs_fanout_skips_repartition_on_multisplit_input(spark, sf_dir, tmp_path):
+    """The fixture's single-file documents table gets one round-robin
+    fan-out; a multi-split table (the production case) must NOT be
+    force-shuffled in front of a zero-shuffle map query like chunk_split
+    — the plan stays Exchange-free."""
+    import os
+    import shutil
+
+    par = spark.sparkContext.defaultParallelism
+    multi = str(tmp_path / "multisplit")
+    os.makedirs(multi)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par).write.parquet(
+        f"{multi}/documents.parquet"
+    )
+    # chunk_split / repetition_metrics read only documents.
+    for other in ("customer", "orders"):
+        shutil.copy(f"{sf_dir}/{other}.parquet", f"{multi}/{other}.parquet")
+
+    import contextlib
+    import io as _io
+
+    for name in ("chunk_split", "repetition_metrics"):
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            REGISTRY[name].fn(spark, multi).explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, f"{name}: forced shuffle on multi-split input\n{plan}"
+
+    # The single-split fixture still fans out (the local-mode speed lever).
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        REGISTRY["chunk_split"].fn(spark, sf_dir).explain("formatted")
+    fixture_plan = buf.getvalue()
+    assert "Exchange" in fixture_plan and "RoundRobinPartitioning" in fixture_plan

@@ -170,3 +170,44 @@ def test_skewsafe_pair_gen_hot_shingle(spark, tmp_path):
     n_salts = hot_probe.select("salt").distinct().count()
     assert hot_probe.count() >= n_hot
     assert n_salts >= 6, f"hot rows collapsed onto {n_salts} salt buckets"
+
+
+def test_skewsafe_directed_pairs_hot_list(spark):
+    """One artificially hot coarse list (3000 members vs 20): the salted
+    candidate gen must return exactly the naive join's (a_id, b_id) rows,
+    with the hot list actually split across salt buckets."""
+    from profitscout_engine_spark.operators.skew import skewsafe_directed_pairs
+
+    rows = [("hot", i) for i in range(3000)] + [("cold", i + 10_000) for i in range(20)]
+    assign = spark.createDataFrame(rows, "lst string, vec_id long")
+    probe = assign.select("lst", F.col("vec_id").alias("a_id"))
+    build = assign.select("lst", F.col("vec_id").alias("b_id"))
+
+    naive = (
+        probe.join(build, "lst")
+        .where(F.col("a_id") != F.col("b_id"))
+        .groupBy("a_id")
+        .agg(F.count("*").alias("n"), F.sum("b_id").alias("s"))
+    )
+    safe = (
+        skewsafe_directed_pairs(
+            probe, build, key="lst", probe_id="a_id", build_id="b_id",
+            hot_size=64, buckets=8,
+        )
+        .groupBy("a_id")
+        .agg(F.count("*").alias("n"), F.sum("b_id").alias("s"))
+    )
+    a = naive.toPandas().sort_values("a_id").reset_index(drop=True)
+    b = safe.toPandas().sort_values("a_id").reset_index(drop=True)
+    assert a.equals(b)
+
+    # The hot list genuinely takes the salted path: its build side is
+    # replicated across all 8 buckets (tasks), the cold list is not.
+    from profitscout_engine_spark.operators.skew import SALT
+
+    hot_b = (
+        build.join(build.groupBy("lst").agg(F.count("*").alias("_lsz")), "lst")
+        .where(F.col("_lsz") > 64)
+        .withColumn(SALT, F.pmod(F.xxhash64("b_id"), F.lit(8)))
+    )
+    assert hot_b.select(SALT).distinct().count() == 8
