@@ -21,11 +21,21 @@ from profitscout_engine_spark.session import get_spark
 
 
 
+# The two declared O(n²) brute-force yardsticks (SURVEY §2 similarity
+# baselines). They exist to pin LSH/IVF recall, not as production paths,
+# and they dominate wall time quadratically as sf grows — set
+# BENCH_SKIP_YARDSTICKS=1 to exclude them when bumping the scale factor
+# so the suite total keeps measuring the scale-path plans.
+_YARDSTICKS = ("cosine_topk", "embedding_neardup_pairs")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="profitscout-engine-bench")
     registry = load_registry()
+    if os.environ.get("BENCH_SKIP_YARDSTICKS"):
+        registry = {n: s for n, s in registry.items() if n not in _YARDSTICKS}
 
     # Warm the JVM + parquet footers + Python worker pool once so per-query
     # numbers measure the plan, not session/daemon startup.

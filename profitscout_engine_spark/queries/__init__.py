@@ -90,9 +90,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Registration order is a driver contract: the correctness harness verifies the
 # FIRST 50 registered queries each round. Round 1 verified relational/aggregates/
-# windows (+3 execution) — those stay pinned by tests/test_correctness.py — so
-# round 2 front-loads the families that had no driver row yet (similarity,
-# textops, pipelines, timeseries, the rest of execution).
+# windows (+3 execution); round 2 rotated in the then-dark families (similarity,
+# textops, curation, pipelines, timeseries, execution) — the union covers all 96.
 _MODULES = (
     "similarity",
     "textops",
@@ -105,9 +104,76 @@ _MODULES = (
     "relational",
 )
 
+# Round-3 window rotation (VERDICT r2, item 2): front-load (a) the two curation
+# queries whose oracle SQL was fixed this round (HUGEINT→BIGINT casts) so the
+# driver re-verifies them, (b) every query whose only driver row is from round 1
+# (windows/aggregates/relational — rotated out of the r2 window), and (c) the
+# queries NEW this round. Everything else was driver-green in round 2 and stays
+# pinned by tests/test_correctness.py while outside the window. The goal the
+# rotation enforces: no query goes more than one round without a fresh driver row.
+_WINDOW_FRONT = (
+    # (a) fixed oracles — must turn green in CORRECTNESS_r03
+    "seq_packing",
+    "unigram_freq_quality",
+    # (c) new this round
+    "token_stats_bpe",
+    "bpe_pair_counts",
+    # (b) r1-only queries, in original registration order (sma_window was
+    # green in BOTH r1 and r2 windows, so it rotates out to make the count 50)
+    "bollinger_bands",
+    "atr_true_range",
+    "obv_cumulative",
+    "window_extrema",
+    "max_losing_streak",
+    "lead_returns",
+    "chrono_split",
+    "dedup_rank",
+    "funnel_stages",
+    "conditional_aggregates",
+    "argmin_nearest",
+    "best_contract",
+    "pattern_combo_having",
+    "value_counts_pct",
+    "date_span_rates",
+    "group_quantiles",
+    "histogram_buckets",
+    "sweep_rollup",
+    "consensus_tally",
+    "summary_top_lists",
+    "tier_tally",
+    "distinct_pairs",
+    "union_all_patterns",
+    "approx_distinct_sketch",
+    "approx_quantile_sketch",
+    "regime_weighted_score",
+    "pruned_scan",
+    "compound_gate",
+    "negated_conjunction",
+    "null_guard_cast",
+    "membership_semi",
+    "coalesce_fallback",
+    "string_extract",
+    "flag_groups",
+    "dim_enrichment_revenue",
+    "multiway_join",
+    "latest_day_filter",
+    "future_rows_top3",
+    "contract_symbols",
+    "date_arithmetic",
+    "pct_change_guarded",
+    "json_extraction",
+    "top_n_per_group",
+    "two_key_sort_limit",
+    "set_ops_intersect_except",
+    "rollup_totals",
+)
+
 
 def load_registry() -> dict[str, QuerySpec]:
-    """Import all query modules (idempotent) and return the registry."""
+    """Import all query modules (idempotent) and return the registry, ordered
+    so the driver's 50-query correctness window sees ``_WINDOW_FRONT`` first."""
     for mod in _MODULES:
         importlib.import_module(f"{__name__}.{mod}")
-    return REGISTRY
+    front = {n: REGISTRY[n] for n in _WINDOW_FRONT if n in REGISTRY}
+    rest = {n: s for n, s in REGISTRY.items() if n not in front}
+    return {**front, **rest}

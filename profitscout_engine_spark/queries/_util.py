@@ -28,7 +28,12 @@ def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 
 
 _SHARED: dict[tuple[str, str, str], DataFrame] = {}
-_SHARED_LOCK = threading.Lock()
+# Reentrant: builders COMPOSE shared frames (the MinHash band chain builds on
+# the distinct-shingle frame, IVF ranking on the packed vectors), so a builder
+# running under the lock may call shared() again on the same thread. A plain
+# Lock self-deadlocks on that nesting; RLock keeps cross-thread build-and-insert
+# mutual exclusion while permitting same-thread composition.
+_SHARED_LOCK = threading.RLock()
 
 
 def _evict_stale(app_id: str) -> None:

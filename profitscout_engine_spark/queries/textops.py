@@ -490,3 +490,152 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
     )
+
+
+# --- real subword tokenization: greedy longest-match over a fixed vocab -------
+# A frozen subword vocabulary, bucketed by token length (the buckets ARE the
+# longest-match order: try 4, then 3, then 2, else fall back to the single
+# character). This is the inference half of BPE/WordPiece — the merge table is
+# fixed at train time and tokenization is deterministic maximal munch, which is
+# what a token-budget consumer (seq_packing, chunk_split) actually runs against
+# a production tokenizer. `bpe_pair_counts` below is the matching train-side
+# statistic.
+BPE_V4 = ("tabl", "valu", "wind", "merg", "quer", "batc", "filt", "orde")
+BPE_V3 = ("the", "row", "agg", "key", "col", "ine", "joi", "mal", "ast", "can", "ash", "art")
+BPE_V2 = (
+    "th", "he", "an", "in", "er", "ar", "ta", "ba", "sc", "sl", "fa", "sm",
+    "pa", "ha", "va", "wi", "sp", "da", "co", "qu", "li", "cu", "me", "bi",
+    "ke", "ag", "ro", "or", "jo", "fi", "ow", "ue", "ge", "ne", "on", "us",
+    "st", "at", "ig", "lu",
+)
+
+
+def _sql_arr(vocab: tuple[str, ...], fn: str) -> str:
+    return fn + "(" + ",".join(f"'{v}'" for v in vocab) + ")"
+
+
+def _bpe_count_expr() -> str:
+    """Spark-side greedy longest-match token count as a pure Column fold —
+    no UDF, no shuffle, fully inside whole-stage codegen. The inner
+    ``aggregate`` walks one word with a (pos, cnt) accumulator: each step
+    either skips (pos already past a match) or advances by the longest
+    vocab hit at pos. Folding length(w) steps guarantees termination
+    (worst case advances 1 char/step). The outer ``aggregate`` sums the
+    per-word counts. Identical semantics to the oracle's recursive CTE."""
+    v4 = _sql_arr(BPE_V4, "array")
+    v3 = _sql_arr(BPE_V3, "array")
+    v2 = _sql_arr(BPE_V2, "array")
+    word = f"""
+    aggregate(
+      sequence(1, length(w)),
+      named_struct('pos', 0, 'cnt', cast(0 as bigint)),
+      (s, i) -> IF(s.pos >= length(w), s,
+        named_struct(
+          'pos', s.pos + CASE WHEN array_contains({v4}, substr(w, s.pos+1, 4)) THEN 4
+                              WHEN array_contains({v3}, substr(w, s.pos+1, 3)) THEN 3
+                              WHEN array_contains({v2}, substr(w, s.pos+1, 2)) THEN 2
+                              ELSE 1 END,
+          'cnt', s.cnt + cast(1 as bigint))),
+      s -> s.cnt)
+    """
+    return f"aggregate(split(text, ' '), cast(0 as bigint), (acc, w) -> acc + {word})"
+
+
+@query(
+    "token_stats_bpe",
+    oracle=f"""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    step AS (
+      SELECT doc_id, w, 0 AS pos, 0 AS cnt FROM w
+      UNION ALL
+      SELECT doc_id, w,
+             pos + CASE WHEN list_contains({_sql_arr(BPE_V4, 'list_value')}, substr(w, pos+1, 4)) THEN 4
+                        WHEN list_contains({_sql_arr(BPE_V3, 'list_value')}, substr(w, pos+1, 3)) THEN 3
+                        WHEN list_contains({_sql_arr(BPE_V2, 'list_value')}, substr(w, pos+1, 2)) THEN 2
+                        ELSE 1 END AS pos,
+             cnt + 1 AS cnt
+      FROM step WHERE pos < length(w)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(cnt) AS BIGINT) AS n_bpe_tokens,
+           ROUND(sum(length(w)) * 1.0 / sum(cnt), 4) AS chars_per_token
+    FROM step WHERE pos = length(w)
+    GROUP BY doc_id
+    """,
+    tags=("textops", "token-count", "bpe"),
+)
+def token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honest subword token budgets: greedy longest-match (maximal munch)
+    tokenization of every word against the frozen BPE_V{2,3,4} vocab,
+    with single-character fallback — the real per-document token count a
+    context-length packer needs, vs token_stats' regex approximation.
+
+    Scale shape: a pure per-row expression fold (zero shuffle, zero
+    Python); the only aggregation is the per-document sum already inside
+    the fold. At 100 TB this is a map-only pass over the corpus. The
+    oracle replays the identical scan as a recursive CTE, so both
+    engines execute the same maximal-munch automaton.
+    Reference parity: extends the reference's whitespace/regex token
+    accounting (see token_stats) to a merge-table tokenizer.
+    """
+    n_words = F.expr("cast(size(split(text, ' ')) as bigint)")
+    n_bpe = F.expr(_bpe_count_expr())
+    n_letters = F.expr("cast(length(replace(text, ' ', '')) as bigint)")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_bpe.alias("n_bpe_tokens"),
+        r4(n_letters / n_bpe).alias("chars_per_token"),
+    )
+
+
+# --- BPE training statistic: corpus-wide adjacent-pair frequencies ------------
+BPE_PAIR_TOPK = 20
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    p AS (
+      SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+      FROM w WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+    FROM p GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT {BPE_PAIR_TOPK}
+    """,
+    tags=("textops", "bpe", "aggregation"),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE trainer's inner statistic: frequency of every adjacent
+    character pair across the corpus, top-{K} with a deterministic
+    (count DESC, pair ASC) tie-break. One training iteration = take the
+    argmax pair, add it to the merge table, re-count; this query is that
+    count step expressed as a corpus aggregation.
+
+    Scale shape: pairs are generated per word inside the row (array
+    transform, no join), then one hash aggregation with map-side partial
+    combine on a ~26² key space — the shuffle moves only (pair, partial
+    count), and the top-K is a TakeOrderedAndProject, not a global sort.
+    """
+    pairs = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(BPE_PAIR_TOPK)
+    )

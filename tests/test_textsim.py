@@ -110,9 +110,64 @@ def test_brute_force_cosine_is_broadcast(spark, sf_dir):
 def test_text_queries_stay_jvm_side(spark, sf_dir):
     """Only the multimodal decode is allowed a Python hop."""
     for name in ("token_stats", "text_quality", "lang_id_heuristic", "doc_fingerprint",
-                 "exact_dedup", "minhash_lsh_pairs", "simhash_pairs", "cosine_topk"):
+                 "exact_dedup", "minhash_lsh_pairs", "simhash_pairs", "cosine_topk",
+                 "token_stats_bpe", "bpe_pair_counts"):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def _py_maximal_munch(word: str) -> int:
+    """Pure-Python reference of the greedy longest-match tokenizer."""
+    from profitscout_engine_spark.queries.textops import BPE_V2, BPE_V3, BPE_V4
+
+    vocab = {4: set(BPE_V4), 3: set(BPE_V3), 2: set(BPE_V2)}
+    pos, cnt = 0, 0
+    while pos < len(word):
+        step = 1
+        for k in (4, 3, 2):
+            if word[pos : pos + k] in vocab[k] and pos + k <= len(word):
+                step = k
+                break
+        pos += step
+        cnt += 1
+    return cnt
+
+
+def test_bpe_token_counts_match_python_reference(spark, sf_dir):
+    """The Column-fold automaton IS maximal munch: per-document counts
+    equal a direct Python implementation over the same vocab."""
+    from profitscout_engine_spark.catalog import table
+
+    out = {r.doc_id: r.n_bpe_tokens
+           for r in REGISTRY["token_stats_bpe"].fn(spark, sf_dir).collect()}
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    for row in docs:
+        expect = sum(_py_maximal_munch(w) for w in row.text.split(" "))
+        assert out[row.doc_id] == expect, row.doc_id
+
+
+def test_bpe_token_count_bounds(spark, sf_dir):
+    """Subword counts sit between word count (every word >= 1 token) and
+    letter count (no token is empty); chars/token stays within [1, 4]."""
+    pdf = REGISTRY["token_stats_bpe"].fn(spark, sf_dir).toPandas()
+    assert (pdf.n_bpe_tokens >= pdf.n_words).all()
+    assert (pdf.chars_per_token >= 1.0).all() and (pdf.chars_per_token <= 4.0).all()
+
+
+def test_bpe_pair_counts_match_python_reference(spark, sf_dir):
+    """Trainer statistic: top pair set and counts equal a direct count."""
+    from collections import Counter
+
+    from profitscout_engine_spark.catalog import table
+
+    got = [(r.pair, r.cnt) for r in REGISTRY["bpe_pair_counts"].fn(spark, sf_dir).collect()]
+    c = Counter()
+    for row in table(spark, sf_dir, "documents").select("text").collect():
+        for w in row.text.split(" "):
+            for i in range(len(w) - 1):
+                c[w[i : i + 2]] += 1
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
+    assert got == expect
 
 
 def test_ivf_search_recall_floor(spark, sf_dir):
