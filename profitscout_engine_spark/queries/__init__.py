@@ -102,6 +102,7 @@ _MODULES = (
     "windows",
     "aggregates",
     "relational",
+    "sketches",
 )
 
 # Round-3 window rotation (VERDICT r2, item 2): front-load (a) the two curation

@@ -1,0 +1,349 @@
+"""Portable probabilistic structures — HyperLogLog, count-min, bloom —
+built from md5 register arithmetic so the SKETCH ITSELF is cross-engine
+verifiable.
+
+Spark's built-in sketches (``approx_count_distinct`` HLL++,
+``approx_percentile``) are implementation-defined: correct, but their
+estimates can't be value-checked against another engine, which is why
+``approx_distinct_sketch`` / ``approx_quantile_sketch`` are registered
+rows-only. This module implements the same three structures every
+100 TB pipeline leans on — cardinality (HLL), frequency (count-min),
+and join pre-filtering (bloom) — from first principles as pure
+relational algebra over md5, which both Spark and DuckDB evaluate
+bit-identically. The estimates therefore get full driver value-hashes,
+and the error behavior is pinned by property tests instead of trust.
+
+Scale shapes:
+- HLL: one hash aggregation to (group, register) then a tiny per-group
+  fold — registers are bounded (m=256/group), so memory is fixed no
+  matter how many rows stream through; this is exactly why HLL exists.
+- Count-min: one aggregation to (seed, bucket) — d*w counters total —
+  plus a probe join against the tiny sketch.
+- Bloom: the bit-position table is k*n rows of ints (broadcast side);
+  probing is k broadcast hash joins, no shuffle of the 100 TB probe —
+  the same shape Spark's AQE runtime row-level filter injects, made
+  explicit so the false-positive accounting is observable.
+
+Hex→int bridging uses ``instr('0123456789abcdef', c) - 1`` (Spark) /
+``strpos`` (DuckDB) — no engine-specific conv/from_hex — keeping to the
+repo rule that md5 is the only shared randomness primitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..exprs import r4
+from . import query
+from ._util import fan_out, t
+
+_HEX = "0123456789abcdef"
+
+
+def _hx(instr_fn: str, char_expr: str) -> str:
+    """0..15 value of one lowercase hex character."""
+    return f"({instr_fn}('{_HEX}', {char_expr}) - 1)"
+
+
+# --- HyperLogLog -------------------------------------------------------------
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+# alpha_m for m >= 128, written inline so both engines fold the same double.
+_ALPHA = f"(0.7213 / (1.0 + 1.079 / {HLL_M}.0))"
+
+
+def _hll_terms(instr_fn: str, value_expr: str) -> tuple[str, str]:
+    """(register_index, rho) SQL for one hashed value.
+
+    Register index: first two hex chars of md5 (0..255). Rho: leading-zero
+    BITS of the remaining 30 hex chars (120 bits) + 1 — counted as
+    4 * (leading '0' chars) + the intra-char zeros of the first non-zero
+    hex digit, read off a CASE ladder. 120 bits never exhaust in practice;
+    the all-zero guard maps to rho = 121 for completeness.
+    """
+    h = f"md5(cast({value_expr} as string))"
+    c1 = _hx(instr_fn, f"substr({h}, 1, 1)")
+    c2 = _hx(instr_fn, f"substr({h}, 2, 1)")
+    idx = f"(16 * {c1} + {c2})"
+    tail = f"substr({h}, 3, 30)"
+    nz = f"length(regexp_extract({tail}, '^(0*)', 1))"
+    first = f"substr({tail}, {nz} + 1, 1)"
+    extra = (
+        f"(CASE WHEN {first} = '1' THEN 3 "
+        f"WHEN {first} IN ('2','3') THEN 2 "
+        f"WHEN {first} IN ('4','5','6','7') THEN 1 ELSE 0 END)"
+    )
+    rho = f"(CASE WHEN {nz} >= 30 THEN 121 ELSE 4 * {nz} + {extra} + 1 END)"
+    return idx, rho
+
+
+def _hll_estimate_sql(table: str, group: str, value: str, instr_fn: str, out: str) -> str:
+    """Grouped HLL estimate as a two-level aggregation (shared SQL text
+    shape for both engines; only the instr function name differs)."""
+    idx, rho = _hll_terms(instr_fn, value)
+    m = HLL_M
+    return f"""
+    SELECT {group},
+           CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                THEN {m}.0 * ln({m}.0 / zeros)
+                ELSE raw END AS {out}
+    FROM (
+        SELECT {group},
+               {_ALPHA} * {m}.0 * {m}.0 / (s + ({m} - nreg)) AS raw,
+               {m} - nreg AS zeros
+        FROM (
+            SELECT {group}, sum(power(2.0, -mx)) AS s, count(*) AS nreg
+            FROM (
+                SELECT {group}, {idx} AS ridx, max({rho}) AS mx
+                FROM {table} GROUP BY {group}, {idx}
+            ) regs
+            GROUP BY {group}
+        ) folded
+    ) corrected
+    """
+
+
+@query(
+    "hll_distinct_portable",
+    oracle=f"""
+    WITH parts AS ({_hll_estimate_sql('lineitem', 'l_returnflag', 'l_partkey', 'strpos', 'est_parts')}),
+    supps AS ({_hll_estimate_sql('lineitem', 'l_returnflag', 'l_suppkey', 'strpos', 'est_supps')}),
+    exact AS (
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT exact.l_returnflag, exact_parts, ROUND(parts.est_parts, 4) AS hll_parts,
+           exact_supps, ROUND(supps.est_supps, 4) AS hll_supps
+    FROM exact
+    JOIN parts ON exact.l_returnflag = parts.l_returnflag
+    JOIN supps ON exact.l_returnflag = supps.l_returnflag
+    """,
+    tags=("sketch", "hll", "A19"),
+)
+def hll_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped distinct-count via a from-scratch HLL (p=8, m=256) whose
+    registers come from md5 — so Spark and the DuckDB oracle compute the
+    IDENTICAL estimate, unlike the implementation-defined built-in
+    (``approx_distinct_sketch``, rows-only by necessity).
+
+    The partkey branch (~2000 distinct) exercises the raw harmonic-mean
+    estimator; the suppkey branch (100 distinct) lands under the 2.5m
+    threshold and exercises linear counting — both correction paths get
+    driver value-hashes. Fixed 256-register state per group is the whole
+    point at 100 TB: cardinality never touches a dedup shuffle.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_hll")
+    parts = spark.sql(
+        _hll_estimate_sql("li_hll", "l_returnflag", "l_partkey", "instr", "est_parts")
+    )
+    supps = spark.sql(
+        _hll_estimate_sql("li_hll", "l_returnflag", "l_suppkey", "instr", "est_supps")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
+        F.countDistinct("l_suppkey").cast("long").alias("exact_supps"),
+    )
+    return (
+        exact.join(parts, "l_returnflag")
+        .join(supps, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            r4(F.col("est_parts")).alias("hll_parts"),
+            "exact_supps",
+            r4(F.col("est_supps")).alias("hll_supps"),
+        )
+    )
+
+
+# --- count-min sketch --------------------------------------------------------
+CMS_D = 4  # hash rows (seeds)
+CMS_W = 64  # buckets per row — deliberately tight so collisions are observable
+
+
+def _cms_bucket(instr_fn: str, seed: int, value_expr: str) -> str:
+    h = f"md5(concat('{seed}|', {value_expr}))"
+    c1 = _hx(instr_fn, f"substr({h}, 1, 1)")
+    c2 = _hx(instr_fn, f"substr({h}, 2, 1)")
+    return f"((16 * {c1} + {c2}) % {CMS_W})"
+
+
+@query(
+    "countmin_freq_portable",
+    oracle=f"""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    cells AS (
+        {" UNION ALL ".join(
+            f"SELECT {s} AS seed, {_cms_bucket('strpos', s, 'w')} AS bucket, w FROM tok"
+            for s in range(1, CMS_D + 1)
+        )}
+    ),
+    sketch AS (
+        SELECT seed, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY seed, bucket
+    ),
+    exact AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_cnt FROM tok GROUP BY w),
+    probe AS (
+        {" UNION ALL ".join(
+            f"SELECT w, exact_cnt, {s} AS seed, {_cms_bucket('strpos', s, 'w')} AS bucket FROM exact"
+            for s in range(1, CMS_D + 1)
+        )}
+    )
+    SELECT probe.w AS token, any_value(exact_cnt) AS exact_cnt,
+           CAST(min(cnt) AS BIGINT) AS cms_cnt,
+           CAST(min(cnt) - any_value(exact_cnt) AS BIGINT) AS overcount
+    FROM probe JOIN sketch ON probe.seed = sketch.seed AND probe.bucket = sketch.bucket
+    GROUP BY probe.w
+    """,
+    tags=("sketch", "count-min", "textops"),
+)
+def countmin_freq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequencies through a from-scratch count-min sketch
+    (d=4 seeded md5 rows, w=64 buckets — deliberately tight so bucket
+    collisions actually happen and the min-over-rows recovery is
+    visible in the ``overcount`` column, never negative by construction).
+
+    Scale shape: the corpus aggregates once into d*w = 256 counters
+    (map-side combined), and probing joins the tiny sketch — the
+    fixed-memory frequency structure a 100 TB token stream needs, here
+    with exact cross-engine value verification instead of an opaque
+    estimate.
+    """
+    tok = (
+        fan_out(spark, t(spark, sf_dir, "documents"))
+        .select(F.explode(F.split("text", " ")).alias("w"))
+    )
+    cells = None
+    for s in range(1, CMS_D + 1):
+        c = tok.select(
+            F.lit(s).alias("seed"), F.expr(_cms_bucket("instr", s, "w")).alias("bucket")
+        )
+        cells = c if cells is None else cells.unionAll(c)
+    sketch = cells.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    probe = None
+    for s in range(1, CMS_D + 1):
+        p = exact.select(
+            "w",
+            "exact_cnt",
+            F.lit(s).alias("seed"),
+            F.expr(_cms_bucket("instr", s, "w")).alias("bucket"),
+        )
+        probe = p if probe is None else probe.unionAll(p)
+    return (
+        probe.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("w")
+        .agg(
+            F.first("exact_cnt").alias("exact_cnt"),
+            F.min("cnt").cast("long").alias("cms_cnt"),
+            (F.min("cnt") - F.first("exact_cnt")).cast("long").alias("overcount"),
+        )
+        .withColumnRenamed("w", "token")
+    )
+
+
+# --- bloom-filter join pre-filtering ----------------------------------------
+BLOOM_M = 4096  # bit space (3 hex chars)
+BLOOM_K = 2  # hash functions
+BLOOM_BUILD_PRED = "c_acctbal >= 5000"
+
+
+def _bloom_pos(instr_fn: str, seed: int, value_expr: str) -> str:
+    h = f"md5(concat('{seed}|', {value_expr}))"
+    c1 = _hx(instr_fn, f"substr({h}, 1, 1)")
+    c2 = _hx(instr_fn, f"substr({h}, 2, 1)")
+    c3 = _hx(instr_fn, f"substr({h}, 3, 1)")
+    return f"(256 * {c1} + 16 * {c2} + {c3})"
+
+
+@query(
+    "bloom_semijoin_account",
+    oracle=f"""
+    WITH build AS (SELECT c_custkey FROM customer WHERE {BLOOM_BUILD_PRED}),
+    {" , ".join(
+        f"bits{s} AS (SELECT DISTINCT {_bloom_pos('strpos', s, 'cast(c_custkey as string)')} AS pos FROM build)"
+        for s in range(1, BLOOM_K + 1)
+    )},
+    probe AS (
+        SELECT o_orderstatus, o_custkey,
+               {", ".join(
+                   f"{_bloom_pos('strpos', s, 'cast(o_custkey as string)')} AS p{s}"
+                   for s in range(1, BLOOM_K + 1)
+               )},
+               CASE WHEN o_custkey IN (SELECT c_custkey FROM build) THEN 1 ELSE 0 END AS is_true
+        FROM orders
+    ),
+    flagged AS (
+        SELECT o_orderstatus, is_true,
+               CASE WHEN {" AND ".join(f"b{s}.pos IS NOT NULL" for s in range(1, BLOOM_K + 1))}
+                    THEN 1 ELSE 0 END AS bloom_pass
+        FROM probe
+        {" ".join(f"LEFT JOIN bits{s} b{s} ON probe.p{s} = b{s}.pos" for s in range(1, BLOOM_K + 1))}
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_probed,
+           CAST(sum(bloom_pass) AS BIGINT) AS n_bloom_pass,
+           CAST(sum(is_true) AS BIGINT) AS n_true,
+           CAST(sum(bloom_pass) - sum(is_true) AS BIGINT) AS n_false_pos,
+           ROUND((sum(bloom_pass) - sum(is_true)) * 1.0 / count(*), 4) AS fp_rate
+    FROM flagged GROUP BY o_orderstatus
+    """,
+    tags=("sketch", "bloom", "J1"),
+)
+def bloom_semijoin_account(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join pre-filtering through an explicit bloom filter (m=4096 bits,
+    k=2 seeded md5 positions) with full false-positive accounting: the
+    build side (customers over the balance threshold) sets bits; every
+    order probes with k broadcast hash joins against the tiny
+    bit-position table — the probe side NEVER shuffles, which is the
+    entire value of a bloom pre-filter in front of a 100 TB join. Spark
+    injects this same shape automatically as an AQE runtime row-level
+    filter; making it explicit exposes n_false_pos / fp_rate, and the
+    no-false-negative guarantee is pinned in tests.
+    """
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    build = cust.where(BLOOM_BUILD_PRED).select("c_custkey")
+    truth = build.withColumnRenamed("c_custkey", "o_custkey").withColumn(
+        "is_true_", F.lit(1)
+    )
+    flagged = (
+        orders.select(
+            "o_orderstatus",
+            "o_custkey",
+            *[
+                F.expr(_bloom_pos("instr", s, "cast(o_custkey as string)")).alias(f"p{s}")
+                for s in range(1, BLOOM_K + 1)
+            ],
+        )
+        .join(F.broadcast(truth), "o_custkey", "left")
+        .withColumn("is_true", F.coalesce(F.col("is_true_"), F.lit(0)))
+        .drop("is_true_")
+    )
+    for s in range(1, BLOOM_K + 1):
+        bits = (
+            build.select(
+                F.expr(_bloom_pos("instr", s, "cast(c_custkey as string)")).alias(f"pos{s}")
+            )
+            .distinct()
+            .withColumn(f"hit{s}", F.lit(1))
+        )
+        flagged = flagged.join(
+            F.broadcast(bits), flagged[f"p{s}"] == bits[f"pos{s}"], "left"
+        )
+    pass_cond = None
+    for s in range(1, BLOOM_K + 1):
+        c = F.col(f"hit{s}").isNotNull()
+        pass_cond = c if pass_cond is None else (pass_cond & c)
+    flagged = flagged.withColumn("bloom_pass", F.when(pass_cond, 1).otherwise(0))
+    return flagged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_probed"),
+        F.sum("bloom_pass").cast("long").alias("n_bloom_pass"),
+        F.sum("is_true").cast("long").alias("n_true"),
+        (F.sum("bloom_pass") - F.sum("is_true")).cast("long").alias("n_false_pos"),
+        r4((F.sum("bloom_pass") - F.sum("is_true")) / F.count(F.lit(1))).alias("fp_rate"),
+    )
