@@ -104,6 +104,47 @@ def _hll_estimate_sql(table: str, group: str, value: str, instr_fn: str, out: st
     """
 
 
+def _with_registers(df: DataFrame) -> DataFrame:
+    """Spark-side register parse over a frame with an ``h`` md5 column:
+    adds ``ridx`` (first two hex chars) and ``rho`` (leading-zero bits of
+    the 120-bit tail + 1). Hashes are parsed exactly once per row; the
+    trim-based zero count is value-identical to the oracle's
+    regexp_extract('^(0*)') length."""
+    return (
+        df.withColumn(
+            "ridx",
+            F.expr(
+                f"16 * (instr('{_HEX}', substr(h, 1, 1)) - 1)"
+                f" + (instr('{_HEX}', substr(h, 2, 1)) - 1)"
+            ),
+        )
+        .withColumn("tail", F.expr("substr(h, 3, 30)"))
+        .withColumn("nz", F.expr("length(tail) - length(trim(LEADING '0' FROM tail))"))
+        .withColumn(
+            "rho",
+            F.expr(
+                "CASE WHEN nz >= 30 THEN 121 ELSE 4 * nz + "
+                "(CASE WHEN substr(tail, nz + 1, 1) = '1' THEN 3 "
+                " WHEN substr(tail, nz + 1, 1) IN ('2','3') THEN 2 "
+                " WHEN substr(tail, nz + 1, 1) IN ('4','5','6','7') THEN 1 "
+                " ELSE 0 END) + 1 END"
+            ),
+        )
+    )
+
+
+def _est_case(s: str = "s", nreg: str = "nreg") -> str:
+    """The bias-corrected estimate as one CASE expression over the folded
+    (sum 2^-M, non-zero register count) pair — same text both engines."""
+    m = HLL_M
+    raw = f"{_ALPHA} * {m}.0 * {m}.0 / ({s} + ({m} - {nreg}))"
+    return (
+        f"CASE WHEN {raw} <= 2.5 * {m} AND {m} - {nreg} > 0"
+        f" THEN {m}.0 * ln({m}.0 / ({m} - {nreg}))"
+        f" ELSE {raw} END"
+    )
+
+
 @query(
     "hll_distinct_portable",
     oracle=f"""
@@ -141,7 +182,6 @@ def hll_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The oracle SQL above recomputes md5 per term — same values, but at
     # sf0.1 the recompute shape costs ~7x (3.5 s vs 0.5 s measured), so
     # the engine path earns its keep exactly where 100 TB would.
-    m = HLL_M
     # Plan shape: this query's contract includes the EXACT distinct counts
     # (the driver's comparison target), and exact-distinct already pays a
     # dedup shuffle — so the sketch shares it. One scan explodes each row
@@ -166,45 +206,13 @@ def hll_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", F.col("x.which").alias("which"), F.col("x.k").alias("k"))
         .distinct()
     )
-    hashed = keys.withColumn("h", F.md5(F.col("k").cast("string")))
-    parsed = (
-        hashed.withColumn(
-            "ridx",
-            F.expr(
-                f"16 * (instr('{_HEX}', substr(h, 1, 1)) - 1)"
-                f" + (instr('{_HEX}', substr(h, 2, 1)) - 1)"
-            ),
-        )
-        .withColumn("tail", F.expr("substr(h, 3, 30)"))
-        # leading-zero chars of the 120-bit window; trim-based counting is
-        # value-identical to the oracle's regexp_extract('^(0*)') length.
-        .withColumn("nz", F.expr("length(tail) - length(trim(LEADING '0' FROM tail))"))
-        .withColumn(
-            "rho",
-            F.expr(
-                "CASE WHEN nz >= 30 THEN 121 ELSE 4 * nz + "
-                "(CASE WHEN substr(tail, nz + 1, 1) = '1' THEN 3 "
-                " WHEN substr(tail, nz + 1, 1) IN ('2','3') THEN 2 "
-                " WHEN substr(tail, nz + 1, 1) IN ('4','5','6','7') THEN 1 "
-                " ELSE 0 END) + 1 END"
-            ),
-        )
-    )
+    parsed = _with_registers(keys.withColumn("h", F.md5(F.col("k").cast("string"))))
     regs = parsed.groupBy("l_returnflag", "which", "ridx").agg(F.max("rho").alias("mx"))
     folded = regs.groupBy("l_returnflag", "which").agg(
         F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("s"),
         F.count(F.lit(1)).alias("nreg"),
     )
-    est = folded.select(
-        "l_returnflag",
-        "which",
-        F.expr(
-            f"CASE WHEN {_ALPHA} * {m}.0 * {m}.0 / (s + ({m} - nreg)) <= 2.5 * {m}"
-            f" AND {m} - nreg > 0"
-            f" THEN {m}.0 * ln({m}.0 / ({m} - nreg))"
-            f" ELSE {_ALPHA} * {m}.0 * {m}.0 / (s + ({m} - nreg)) END"
-        ).alias("est"),
-    )
+    est = folded.select("l_returnflag", "which", F.expr(_est_case()).alias("est"))
     wide = est.groupBy("l_returnflag").agg(
         F.max(F.when(F.col("which") == "p", F.col("est"))).alias("est_parts"),
         F.max(F.when(F.col("which") == "s", F.col("est"))).alias("est_supps"),
@@ -427,4 +435,159 @@ def bloom_semijoin_account(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_true").cast("long").alias("n_true"),
         (F.sum("bloom_pass") - F.sum("is_true")).cast("long").alias("n_false_pos"),
         r4((F.sum("bloom_pass") - F.sum("is_true")) / F.count(F.lit(1))).alias("fp_rate"),
+    )
+
+
+# --- HLL mergeability: per-batch registers -> max-merge == union --------------
+HLL_MERGE_PIVOT = "TIMESTAMP '1998-06-01 00:00:00'"
+
+
+def _merge_oracle() -> str:
+    idx, rho = _hll_terms("strpos", "k")
+    return f"""
+    WITH keyed AS (
+        SELECT CASE WHEN l_shipdate < {HLL_MERGE_PIVOT} THEN 'a' ELSE 'b' END AS batch,
+               l_orderkey AS k
+        FROM lineitem
+    ),
+    dk AS (SELECT DISTINCT batch, k FROM keyed),
+    regs AS (SELECT batch, {idx} AS ridx, max({rho}) AS mx FROM dk GROUP BY batch, {idx}),
+    bfold AS (SELECT batch, sum(power(2.0, -mx)) AS s, count(*) AS nreg
+              FROM regs GROUP BY batch),
+    best AS (SELECT batch, {_est_case()} AS est FROM bfold),
+    mreg AS (SELECT ridx, max(mx) AS mx FROM regs GROUP BY ridx),
+    mfold AS (SELECT sum(power(2.0, -mx)) AS s, count(*) AS nreg FROM mreg),
+    mest AS (SELECT {_est_case()} AS est FROM mfold),
+    exact AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS exact_union FROM keyed)
+    SELECT ROUND((SELECT est FROM best WHERE batch = 'a'), 4) AS hll_a,
+           ROUND((SELECT est FROM best WHERE batch = 'b'), 4) AS hll_b,
+           ROUND((SELECT est FROM mest), 4) AS hll_merged,
+           exact_union
+    FROM exact
+    """
+
+
+@query(
+    "hll_merge_incremental",
+    oracle=_merge_oracle(),
+    tags=("sketch", "hll", "incremental"),
+)
+def hll_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes sketches matter at 100 TB: MERGEABILITY.
+    Orderkey HLL registers are built independently per shipdate batch
+    ('a' before {pivot}, 'b' after), then merged by register-wise max —
+    the merged estimate is the estimate of the UNION without ever
+    rescanning batch 'a'. This is the incremental-ingest cardinality
+    pattern: yesterday's registers are 256 ints in a metadata store;
+    today's batch folds in with one tiny max-merge. The exact union
+    count rides along as the comparison target, and
+    tests/test_sketches.py pins merged == direct-over-union exactly
+    (register max is associative, so it's an identity, not an
+    approximation).
+    """
+    # One linear chain, no recomputed subtrees: groupBy(k) collapses the
+    # scan to distinct keys WITH batch-membership flags (a key can be in
+    # both batches), the register aggregation takes CONDITIONAL maxes per
+    # register for batch-a / batch-b / merged in one pass, and a single
+    # fold row carries every (sum 2^-M, register count) pair plus the
+    # exact union count (sum of per-register key counts). Two shuffles
+    # total — 600k rows then 256 rows — and zero branches.
+    li = t(spark, sf_dir, "lineitem").select("l_shipdate", "l_orderkey")
+    keyed = li.select(
+        F.expr(
+            f"CASE WHEN l_shipdate < {HLL_MERGE_PIVOT} THEN 'a' ELSE 'b' END"
+        ).alias("batch"),
+        F.col("l_orderkey").alias("k"),
+    )
+    per_key = keyed.groupBy("k").agg(
+        F.max(F.when(F.col("batch") == "a", True).otherwise(False)).alias("in_a"),
+        F.max(F.when(F.col("batch") == "b", True).otherwise(False)).alias("in_b"),
+    )
+    parsed = _with_registers(per_key.withColumn("h", F.md5(F.col("k").cast("string"))))
+    regs = parsed.groupBy("ridx").agg(
+        F.max(F.when(F.col("in_a"), F.col("rho"))).alias("mx_a"),
+        F.max(F.when(F.col("in_b"), F.col("rho"))).alias("mx_b"),
+        F.max("rho").alias("mx_m"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    fold = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx_a"))).alias("s_a"),
+        F.count("mx_a").alias("nreg_a"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mx_b"))).alias("s_b"),
+        F.count("mx_b").alias("nreg_b"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mx_m"))).alias("s_m"),
+        F.count("mx_m").alias("nreg_m"),
+        F.sum("n_keys").cast("long").alias("exact_union"),
+    )
+    return fold.select(
+        r4(F.expr(_est_case("s_a", "nreg_a"))).alias("hll_a"),
+        r4(F.expr(_est_case("s_b", "nreg_b"))).alias("hll_b"),
+        r4(F.expr(_est_case("s_m", "nreg_m"))).alias("hll_merged"),
+        "exact_union",
+    )
+
+
+# --- deterministic weighted sampling (A-Res) ---------------------------------
+WSAMPLE_K = 5
+
+
+def _u01(instr_fn: str, h: str) -> str:
+    """Uniform (0,1) draw from the first 8 hex chars of md5 column ``h`` —
+    pure instr arithmetic, identical in both engines."""
+    v = " + ".join(
+        f"{_hx(instr_fn, f'substr({h}, {i + 1}, 1)')} * {16 ** (7 - i)}.0"
+        for i in range(8)
+    )
+    return f"(({v} + 0.5) / 4294967296.0)"
+
+
+@query(
+    "weighted_sample_ares",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               power({_u01('strpos', "md5(concat('ws|', cast(doc_id as string)))")},
+                     1.0 / greatest(n_chars, 1)) AS wkey
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY wkey DESC, doc_id) AS rn
+        FROM keyed
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {WSAMPLE_K}
+    """,
+    tags=("sketch", "sampling", "weighted"),
+)
+def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling (Efraimidis–Spirakis A-Res): each doc
+    draws u = md5-uniform(doc_id) and keeps key u^(1/weight); the top-K
+    keys per language are a weighted-without-replacement sample with
+    inclusion probability proportional to weight (here n_chars — the
+    importance-sampling primitive for training-data mixture tuning).
+
+    Deterministic by construction (hash draws), so reruns and engines
+    agree bit-for-bit — a reproducible eval-set draw, like
+    ``per_lang_sample`` but weight-aware. Scale shape: one shuffle on
+    the group key; the rank-head form computes as a bounded per-group
+    top-K (TakeOrderedAndProject within partitions at scale), and the
+    streaming form keeps only K keys per group in memory.
+    """
+    docs = t(spark, sf_dir, "documents")
+    keyed = docs.withColumn(
+        "h", F.md5(F.concat(F.lit("ws|"), F.col("doc_id").cast("string")))
+    ).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr(f"power({_u01('instr', 'h')}, 1.0 / greatest(n_chars, 1))").alias("wkey"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("wkey").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= WSAMPLE_K)
+        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"), "rn")
     )

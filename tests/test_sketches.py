@@ -62,6 +62,78 @@ def test_bloom_probe_side_joins_are_broadcast(spark, sf_dir):
 
 
 def test_sketch_queries_stay_jvm_side(spark, sf_dir):
-    for name in ("hll_distinct_portable", "countmin_freq_portable", "bloom_semijoin_account"):
+    for name in ("hll_distinct_portable", "countmin_freq_portable", "bloom_semijoin_account",
+                 "hll_merge_incremental", "weighted_sample_ares"):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def _py_hll_estimate(keys) -> float:
+    """Independent pure-Python HLL over the same md5 registers."""
+    import hashlib
+    import math
+
+    regs: dict[int, int] = {}
+    for k in keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        ridx = int(h[:2], 16)
+        tail = h[2:32]
+        stripped = tail.lstrip("0")
+        nz = len(tail) - len(stripped)
+        if nz >= 30:
+            rho = 121
+        else:
+            c = stripped[0]
+            extra = 3 if c == "1" else 2 if c in "23" else 1 if c in "4567" else 0
+            rho = 4 * nz + extra + 1
+        regs[ridx] = max(regs.get(ridx, 0), rho)
+    m = 256
+    s = sum(2.0 ** -mx for mx in regs.values())
+    nreg = len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    raw = alpha * 256.0 * 256.0 / (s + (m - nreg))
+    est = m * math.log(m / (m - nreg)) if raw <= 2.5 * m and m - nreg > 0 else raw
+    return math.floor(est * 1e4 + 0.5) / 1e4
+
+
+def test_hll_merge_is_exact_identity(spark, sf_dir):
+    """Register-wise max-merge of per-batch sketches must equal the
+    sketch built directly over the union — an identity, not an
+    approximation. Verified against an independent Python HLL."""
+    from profitscout_engine_spark.catalog import table
+
+    row = REGISTRY["hll_merge_incremental"].fn(spark, sf_dir).collect()[0]
+    keys = {
+        r.l_orderkey
+        for r in table(spark, sf_dir, "lineitem").select("l_orderkey").distinct().collect()
+    }
+    assert row.hll_merged == _py_hll_estimate(keys)
+    assert row.exact_union == len(keys)
+    # both batch estimates describe subsets, so neither exceeds merged
+    # by more than sketch noise; the merged estimate tracks the union
+    assert abs(row.hll_merged - row.exact_union) / row.exact_union < 0.20
+
+
+def test_weighted_sample_matches_python_reference(spark, sf_dir):
+    """A-Res selection replicated independently: u = md5-uniform of
+    doc_id, key = u^(1/weight), top-K per language."""
+    import hashlib
+
+    from profitscout_engine_spark.catalog import table
+
+    got = {
+        (r.lang, r.rn): r.doc_id
+        for r in REGISTRY["weighted_sample_ares"].fn(spark, sf_dir).collect()
+    }
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars").collect()
+    by_lang: dict[str, list] = {}
+    for r in docs:
+        h = hashlib.md5(f"ws|{r.doc_id}".encode()).hexdigest()
+        u = (int(h[:8], 16) + 0.5) / 4294967296.0
+        key = u ** (1.0 / max(r.n_chars, 1))
+        by_lang.setdefault(r.lang, []).append((-key, r.doc_id))
+    expect = {}
+    for lang, rows in by_lang.items():
+        for rn, (_, doc_id) in enumerate(sorted(rows)[:5], start=1):
+            expect[(lang, rn)] = doc_id
+    assert got == expect
