@@ -605,3 +605,89 @@ def regime_weighted_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(high, "high_vol").otherwise("calm").alias("regime"),
         r4(score).alias("composite_score"),
     )
+
+
+# --- CUBE: every grouping combination in one pass -----------------------------
+@query(
+    "cube_flag_status",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+           COALESCE(l_linestatus, 'ALL') AS status,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("A-cube", "aggregation"),
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four grouping combinations — (flag, status), (flag), (status),
+    grand total — from ONE scan via CUBE; grouping_id disambiguates the
+    superaggregate rows (NULL group values are labeled 'ALL').
+
+    Scale shape: Spark expands each input row once per grouping set
+    (4x) BEFORE the partial aggregation, so map-side combine still
+    collapses to |distinct groups| rows per mapper and the shuffle
+    carries only group rows — one pass, one exchange, versus four
+    separate scans unioned.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "gid",
+            "n",
+            "revenue",
+        )
+    )
+
+
+# --- PIVOT: long -> wide cross-tab with a fixed column universe ---------------
+PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@query(
+    "pivot_lang_counts",
+    oracle=f"""
+    SELECT source,
+           {", ".join(
+               f"CAST(COUNT(CASE WHEN lang = '{lg}' THEN 1 END) AS BIGINT) AS n_{lg}"
+               for lg in PIVOT_LANGS
+           )},
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("A-pivot", "aggregation", "textops"),
+)
+def pivot_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide cross-tab: per-source document counts pivoted over the
+    FIXED language universe (explicit value list — the scale rule for
+    pivot: never let the engine run a distinct-scan just to discover
+    column names). Compiles to one conditional aggregation — same plan
+    as the CASE-ladder oracle: one scan, one shuffle of |sources| rows.
+    """
+    d = t(spark, sf_dir, "documents")
+    out = (
+        d.groupBy("source")
+        .pivot("lang", list(PIVOT_LANGS))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, [*PIVOT_LANGS])
+    )
+    total = [F.col(lg).cast("long") for lg in PIVOT_LANGS]
+    agg_total = total[0]
+    for c in total[1:]:
+        agg_total = agg_total + c
+    return out.select(
+        "source",
+        *[F.col(lg).cast("long").alias(f"n_{lg}") for lg in PIVOT_LANGS],
+        agg_total.alias("n_total"),
+    )

@@ -591,3 +591,94 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= WSAMPLE_K)
         .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"), "rn")
     )
+
+
+# --- streaming HLL: registers as GroupState, estimate == batch sketch ---------
+def _streaming_hll_oracle() -> str:
+    idx, rho = _hll_terms("strpos", "k")
+    return f"""
+    WITH dk AS (SELECT DISTINCT user_id AS k FROM events),
+    regs AS (SELECT {idx} AS ridx, max({rho}) AS mx FROM dk GROUP BY {idx}),
+    fold AS (SELECT sum(power(2.0, -mx)) AS s, count(*) AS nreg FROM regs)
+    SELECT ROUND({_est_case()}, 4) AS hll_users,
+           (SELECT CAST(count(*) AS BIGINT) FROM dk) AS exact_users
+    FROM fold
+    """
+
+
+@query(
+    "streaming_hll_users",
+    oracle=_streaming_hll_oracle(),
+    tags=("sketch", "hll", "streaming", "stateful"),
+)
+def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user cardinality maintained as STREAMING state: each
+    micro-batch computes (register, rho) JVM-side, then an
+    applyInPandasWithState keyed BY REGISTER folds the max into
+    GroupState — 256 tiny states total, never a growing seen-set. After
+    the stream drains (AvailableNow), the registers collapse to the
+    estimate with plain batch algebra, and the oracle proves the
+    streamed sketch equals the batch sketch over the same events —
+    registers are maxes, so arrival order cannot matter.
+
+    This is the streaming twin of ``hll_merge_incremental``: unbounded
+    dedup state is THE scale problem for streaming distinct counts
+    (dropDuplicates state grows with cardinality); HLL state is fixed
+    at m registers regardless of stream length. The pandas hop is the
+    licensed applyInPandasWithState kernel (SURVEY §2.10).
+    """
+    import tempfile
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..streaming import stream_events
+
+    ev = stream_events(spark, sf_dir, with_watermark=None)
+    parsed = _with_registers(
+        ev.select(F.md5(F.col("user_id").cast("string")).alias("h"))
+    ).select("ridx", "rho")
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (ridx,) = key
+        mx = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if len(pdf):
+                mx = max(mx, int(pdf["rho"].max()))
+        state.update((mx,))
+        yield pd.DataFrame({"ridx": [ridx], "mx": [mx]})
+
+    regs_stream = parsed.groupBy("ridx").applyInPandasWithState(
+        update,
+        outputStructType="ridx int, mx int",
+        stateStructType="mx int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"hllstream_{next(tempfile._get_candidate_names())}"
+    q = (
+        regs_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sink = spark.table(name)
+    # update-mode sink holds one row per (register, batch-it-changed-in);
+    # register maxes are monotone, so latest state == max over emissions.
+    regs = sink.groupBy("ridx").agg(F.max("mx").alias("mx"))
+    fold = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("s"),
+        F.count(F.lit(1)).alias("nreg"),
+    )
+    exact = t(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    # 1-row × 1-row scalar assembly (documented _NL_JOIN_OK shape)
+    return fold.crossJoin(exact).select(
+        r4(F.expr(_est_case())).alias("hll_users"), "exact_users"
+    )

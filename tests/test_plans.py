@@ -93,6 +93,8 @@ _NL_JOIN_OK = {
     "trading_day_offsets",
     # 1-row global-scalar cross join (regime selector)
     "regime_weighted_score",
+    # 1-row × 1-row scalar assembly (streamed-registers estimate × exact)
+    "streaming_hll_users",
     # 1-row global-scalar cross join (corpus size for idf)
     "tfidf_top_terms",
     # 1-row global-scalar cross joins (corpus total / floor count)

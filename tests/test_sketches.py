@@ -114,6 +114,15 @@ def test_hll_merge_is_exact_identity(spark, sf_dir):
     assert abs(row.hll_merged - row.exact_union) / row.exact_union < 0.20
 
 
+def test_streaming_hll_tracks_exact(spark, sf_dir):
+    """The streamed register sketch lands within sketch error of the true
+    user cardinality (oracle equality already pins streamed == batch
+    sketch; this pins the batch sketch against ground truth)."""
+    row = REGISTRY["streaming_hll_users"].fn(spark, sf_dir).collect()[0]
+    assert row.exact_users > 0
+    assert abs(row.hll_users - row.exact_users) / row.exact_users < 0.20
+
+
 def test_weighted_sample_matches_python_reference(spark, sf_dir):
     """A-Res selection replicated independently: u = md5-uniform of
     doc_id, key = u^(1/weight), top-K per language."""
