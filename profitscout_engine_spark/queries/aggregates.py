@@ -691,3 +691,43 @@ def pivot_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(lg).cast("long").alias(f"n_{lg}") for lg in PIVOT_LANGS],
         agg_total.alias("n_total"),
     )
+
+
+# --- A-unpivot: wide -> long (melt), the inverse of pivot ---------------------
+@query(
+    "unpivot_supplier_metrics",
+    oracle="""
+    WITH m AS (
+        SELECT l_suppkey,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               ROUND(AVG(l_discount), 4) AS avg_disc
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, 'avg_qty' AS metric, avg_qty AS value FROM m
+    UNION ALL
+    SELECT l_suppkey, 'avg_price', avg_price FROM m
+    UNION ALL
+    SELECT l_suppkey, 'avg_disc', avg_disc FROM m
+    """,
+    tags=("A-unpivot", "aggregation"),
+)
+def unpivot_supplier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt: per-supplier metric columns unpivoted to
+    (entity, metric, value) rows — the tidy form the panel pipelines
+    standardize on (one UNPIVOT generate, no join, no shuffle beyond
+    the source aggregation; the oracle spells it as the equivalent
+    UNION ALL, which Spark's unpivot replaces with a single pass).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_suppkey").agg(
+        r4(F.avg("l_quantity")).alias("avg_qty"),
+        r4(F.avg("l_extendedprice")).alias("avg_price"),
+        r4(F.avg("l_discount")).alias("avg_disc"),
+    )
+    return m.unpivot(
+        ids=["l_suppkey"],
+        values=["avg_qty", "avg_price", "avg_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

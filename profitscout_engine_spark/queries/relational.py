@@ -606,3 +606,41 @@ def rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+# --- J-anti: NOT EXISTS as a shuffle-free broadcast anti join -----------------
+DORMANT_SINCE = "TIMESTAMP '2000-01-01 00:00:00'"
+
+
+@query(
+    "anti_join_dormant_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= {DORMANT_SINCE}
+    )
+    """,
+    tags=("J-anti", "relational"),
+)
+def anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with NO order since the cutoff — NOT EXISTS expressed as
+    a left_anti join, the churn/dormancy scan every retention pipeline
+    runs. The filter on orders pushes to the scan BEFORE the join, so
+    the anti side shrinks to recent orderers; with a small-enough right
+    side Spark broadcasts it and the customer table never shuffles
+    (and at 100 TB the same plan runs as a shuffled anti join on the
+    key, still one pass). Keys are non-null here; a NOT IN formulation
+    would be NULL-poisoned, which is why the engine surface standardizes
+    on anti join / NOT EXISTS.
+    """
+    c = t(spark, sf_dir, "customer")
+    recent = (
+        t(spark, sf_dir, "orders")
+        .where(F.expr(f"o_orderdate >= {DORMANT_SINCE}"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.join(F.broadcast(recent), "c_custkey", "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )

@@ -410,3 +410,54 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.avg(secs("t_signup", "t_click")) / 3600.0).alias("avg_hours_to_click"),
         r2(F.avg(secs("t_click", "t_purchase")) / 3600.0).alias("avg_hours_to_purchase"),
     )
+
+
+# --- W-range: TIME-based window frame (RANGE, not ROWS) -----------------------
+@query(
+    "range_window_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT l_suppkey, l_shipdate AS day,
+               SUM(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem GROUP BY l_suppkey, l_shipdate
+    )
+    SELECT l_suppkey, day,
+           ROUND(rev, 2) AS day_rev,
+           ROUND(SUM(rev) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY date_diff('day', DATE '1970-01-01', CAST(day AS DATE))
+               RANGE BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS rev_3d,
+           CAST(COUNT(*) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY date_diff('day', DATE '1970-01-01', CAST(day AS DATE))
+               RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_days_3d
+    FROM daily
+    """,
+    tags=("W-range", "timeseries"),
+)
+def range_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-DAY revenue per supplier via a RANGE frame over event
+    TIME — the frame a ROWS window cannot express when the calendar has
+    gaps (a ROWS-3 frame would silently reach back across quiet weeks).
+
+    Scale shape: pre-aggregate to (supplier, day) first so the window
+    sorts |active days| rows per supplier, not raw lineitems; the RANGE
+    frame keys on integer epoch DAYS (tz-free, identical in both
+    engines). One shuffle (groupBy), one partition-local sort.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    daily = li.groupBy("l_suppkey", F.col("l_shipdate").alias("day")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .rangeBetween(-3, 0)
+    )
+    return daily.select(
+        "l_suppkey",
+        "day",
+        r2(F.col("rev")).alias("day_rev"),
+        r2(F.sum("rev").over(w)).alias("rev_3d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_days_3d"),
+    )
