@@ -35,3 +35,16 @@ def test_entry_contract(spark):
     q = e.queries()
     o = e.oracle_sql()
     assert set(o) <= set(q)
+
+
+def test_driver_window_order_is_pinned():
+    """The driver verifies the FIRST 50 registered queries; the rotation
+    contract (_WINDOW_FRONT) must fully occupy that window and lead with
+    the round-3 re-verification targets."""
+    from profitscout_engine_spark.queries import _WINDOW_FRONT
+
+    names = list(load_registry())
+    assert names[: len(_WINDOW_FRONT)] == list(_WINDOW_FRONT)
+    assert len(_WINDOW_FRONT) == 50
+    window = set(names[:50])
+    assert {"seq_packing", "unigram_freq_quality"} <= window
