@@ -639,3 +639,84 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("pair"))
         .limit(BPE_PAIR_TOPK)
     )
+
+
+# --- PMI collocations: corpus-level bigram association ------------------------
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+
+
+@query(
+    "pmi_collocations",
+    oracle=f"""
+    WITH tok AS (SELECT string_split(text, ' ') AS tk FROM documents),
+    uni AS (SELECT unnest(tk) AS w FROM tok),
+    ucnt AS (
+        SELECT w, count(*) AS c, SUM(count(*)) OVER () AS n1
+        FROM uni GROUP BY w
+    ),
+    big AS (
+        SELECT unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+        FROM tok WHERE len(tk) >= 2
+    ),
+    bcnt AS (
+        SELECT w1, w2, count(*) AS c12, SUM(count(*)) OVER () AS n2
+        FROM big GROUP BY w1, w2
+    )
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS pair_count,
+           ROUND(ln((c12 / n2) / ((u1.c / u1.n1) * (u2.c / u2.n1))), 4) AS pmi
+    FROM bcnt
+    JOIN ucnt u1 ON bcnt.w1 = u1.w
+    JOIN ucnt u2 ON bcnt.w2 = u2.w
+    WHERE c12 >= {PMI_MIN_COUNT}
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {PMI_TOPK}
+    """,
+    tags=("textops", "pmi", "aggregation"),
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent word pairs — the
+    collocation statistic phrase-mining / tokenizer-merge pipelines rank
+    by (PMI(w1,w2) = ln(p(pair) / p(w1)p(w2)), min-count gated).
+
+    Scale shape: unigram and bigram counts are two corpus aggregations
+    that collapse to vocabulary-sized tables; the totals ride along as
+    unpartitioned window sums OVER the tiny count tables (never over
+    the corpus), and the PMI join touches only count tables — broadcast
+    joins at any corpus size. Top-K via TakeOrderedAndProject.
+    """
+    tok = _docs(spark, sf_dir).select(F.split("text", " ").alias("tk"))
+    uni = tok.select(F.explode("tk").alias("w"))
+    wall = Window.partitionBy()
+    ucnt = (
+        uni.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("n1", F.sum("c").over(wall))
+    )
+    big = tok.where(F.size("tk") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))")
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bcnt = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .withColumn("n2", F.sum("c12").over(wall))
+    )
+    u1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"), F.col("n1").alias("n1a"))
+    u2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"), F.col("n1").alias("n1b"))
+    return (
+        bcnt.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .where(F.col("c12") >= PMI_MIN_COUNT)
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("pair_count"),
+            r4(
+                F.expr("ln((c12 / n2) / ((c1 / n1a) * (c2 / n1b)))")
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(PMI_TOPK)
+    )

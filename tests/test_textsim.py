@@ -248,3 +248,22 @@ def test_connected_components_chain_and_forest(spark):
 
     with pytest.raises(RuntimeError, match="fixpoint"):
         connected_components(edges, max_iters=1)
+
+
+def test_bpe_maximal_munch_on_adversarial_words(spark):
+    """The Column-fold automaton equals the Python reference on generated
+    adversarial inputs: overlapping vocab prefixes, repeated merge
+    targets, vocab-boundary straddles — not just the fixture corpus."""
+    import random
+
+    rng = random.Random(42)
+    from profitscout_engine_spark.queries.textops import BPE_V2, BPE_V3, BPE_V4, _bpe_count_expr
+
+    pieces = list(BPE_V4) + list(BPE_V3) + list(BPE_V2) + list("abcdefghijklmnopqrstuvwxyz")
+    words = ["thththth", "tabltabl", "tablthe", "astast", "a", "zz", "theastrow"]
+    for _ in range(200):
+        words.append("".join(rng.choice(pieces) for _ in range(rng.randint(1, 6))))
+    docs = spark.createDataFrame([(i, w) for i, w in enumerate(words)], "doc_id long, text string")
+    got = {r.doc_id: r.n for r in docs.selectExpr("doc_id", f"{_bpe_count_expr()} AS n").collect()}
+    for i, w in enumerate(words):
+        assert got[i] == _py_maximal_munch(w), w
