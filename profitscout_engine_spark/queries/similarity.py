@@ -1097,3 +1097,95 @@ def ivf_search_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ea, eb = _packed_sides(spark, sf_dir)
     return _score_candidates(cand, ea, eb, r6, LSH_TOPK)
+
+
+# ---- k-means: one full Lloyd iteration (E -> M -> E) -------------------------
+@query(
+    "kmeans_lloyd_step",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_CTES},
+    a1 AS (
+        SELECT rankedc.vec_id, rankedc.c_label AS c1, d.dist AS dist1
+        FROM rankedc JOIN d ON rankedc.vec_id = d.vec_id
+                            AND rankedc.c_label = d.c_label
+        WHERE rankedc.rn = 1
+    ),
+    comp2 AS (
+        SELECT a1.c1, i AS pos, ROUND(AVG(e.v[i]), 6) AS m
+        FROM e JOIN a1 ON e.vec_id = a1.vec_id, UNNEST(range(1, 65)) AS u(i)
+        GROUP BY 1, 2
+    ),
+    cent2 AS (SELECT c1 AS c_label, list(m ORDER BY pos) AS c FROM comp2 GROUP BY 1),
+    d2 AS (
+        SELECT e.vec_id, cent2.c_label,
+               ROUND(sqrt(list_aggregate(list_transform(range(1, 65),
+                          i -> (e.v[i] - cent2.c[i]) * (e.v[i] - cent2.c[i])), 'sum')),
+                     4) AS dist
+        FROM e CROSS JOIN cent2
+    ),
+    ranked2 AS (
+        SELECT vec_id, c_label, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+        FROM d2
+    )
+    SELECT a1.vec_id, a1.c1 AS cluster_init, r2.c_label AS cluster_next,
+           CAST(CASE WHEN a1.c1 <> r2.c_label THEN 1 ELSE 0 END AS BIGINT) AS moved,
+           a1.dist1 AS dist_init, r2.dist AS dist_next
+    FROM a1 JOIN ranked2 r2 ON a1.vec_id = r2.vec_id AND r2.rn = 1
+    """,
+    tags=("similarity", "kmeans", "clustering"),
+)
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration as pure DataFrame algebra: E-step
+    (nearest-centroid assignment, shared with the IVF queries), M-step
+    (recompute centroids as per-cluster dimension means, rounded to 6dp
+    to kill float-sum-order nondeterminism — same convention as the IVF
+    build), then a second E-step against the updated centroids. Output
+    is per-vector (initial cluster, next cluster, moved flag, both
+    distances); Lloyd's descent guarantee — total inertia never
+    increases across the iteration — is pinned in tests.
+
+    Scale shape per iteration: one posexplode aggregation over
+    (k × dim) groups for the M-step and one broadcast of k rounded
+    centroids for the E-step — the corpus streams through map-side
+    work twice and never self-joins; iterating to convergence is a
+    driver-side loop of these two cheap stages.
+    """
+    a1 = _ivf_assignments(spark, sf_dir).select(
+        "vec_id",
+        F.col("assigned_label").alias("cluster_init"),
+        F.col("dist").alias("dist_init"),
+    )
+    e = _vecs(spark, sf_dir)
+    flat = e.join(a1.select("vec_id", "cluster_init"), "vec_id").select(
+        "cluster_init", F.posexplode("v").alias("pos", "x")
+    )
+    means = flat.groupBy("cluster_init", "pos").agg(
+        F.expr("floor(avg(x) * 1e6 + 0.5) / 1e6").alias("m")
+    )
+    cent2 = (
+        means.groupBy("cluster_init")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            F.col("cluster_init").alias("c_label"),
+            F.expr("transform(pm, q -> q.m)").alias("c"),
+        )
+    )
+    l2 = F.sqrt(
+        F.expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (a, z) -> a + z)")
+    )
+    d2 = e.crossJoin(F.broadcast(cent2)).select("vec_id", "c_label", r4(l2).alias("dist"))
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("c_label"))
+    a2 = (
+        d2.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label").alias("cluster_next"), F.col("dist").alias("dist_next"))
+    )
+    return a1.join(a2, "vec_id").select(
+        "vec_id",
+        "cluster_init",
+        "cluster_next",
+        (F.col("cluster_init") != F.col("cluster_next")).cast("long").alias("moved"),
+        "dist_init",
+        "dist_next",
+    )

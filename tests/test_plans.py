@@ -87,6 +87,8 @@ _NL_JOIN_OK = {
     "ivf_centroid_assign",
     "ivf_search_topk",
     "ivf_search_nprobe",
+    # same k-centroid broadcast routing shape as the IVF build
+    "kmeans_lloyd_step",
     "monte_carlo_paths",
     "scenario_explode",
     # non-equi join against a broadcast trading-calendar dim (J9)

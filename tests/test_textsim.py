@@ -267,3 +267,16 @@ def test_bpe_maximal_munch_on_adversarial_words(spark):
     got = {r.doc_id: r.n for r in docs.selectExpr("doc_id", f"{_bpe_count_expr()} AS n").collect()}
     for i, w in enumerate(words):
         assert got[i] == _py_maximal_munch(w), w
+
+
+def test_kmeans_lloyd_never_increases_inertia(spark, sf_dir):
+    """Lloyd's guarantee: recomputing centroids then reassigning cannot
+    increase total inertia (small tolerance absorbs the deterministic
+    4dp/6dp rounding both engines share)."""
+    pdf = REGISTRY["kmeans_lloyd_step"].fn(spark, sf_dir).toPandas()
+    j_init = (pdf.dist_init ** 2).sum()
+    j_next = (pdf.dist_next ** 2).sum()
+    assert j_next <= j_init * 1.001, (j_init, j_next)
+    assert set(pdf.moved.unique()) <= {0, 1}
+    # moved rows must have changed their assignment, unmoved kept it
+    assert ((pdf.cluster_init != pdf.cluster_next) == (pdf.moved == 1)).all()
