@@ -685,12 +685,16 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus), and the PMI join touches only count tables — broadcast
     joins at any corpus size. Top-K via TakeOrderedAndProject.
     """
+    from .curation import _term_freq
+
     tok = _docs(spark, sf_dir).select(F.split("text", " ").alias("tk"))
-    uni = tok.select(F.explode("tk").alias("w"))
     wall = Window.partitionBy()
+    # unigram counts come from the session-shared (term, cnt) frame the
+    # tf-idf/vocab/quality queries also read — one tokenize pass per
+    # session serves the whole family.
     ucnt = (
-        uni.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
+        _term_freq(spark, sf_dir)
+        .select(F.col("term").alias("w"), F.col("cnt").alias("c"))
         .withColumn("n1", F.sum("c").over(wall))
     )
     big = tok.where(F.size("tk") >= 2).select(
