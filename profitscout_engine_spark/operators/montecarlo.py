@@ -31,6 +31,21 @@ def hash_uniform(*cols, seed: int = 42):
     return (h.cast("double") / F.lit(2.0**64)) + F.lit(0.5)
 
 
+def md5_draw_expr(instr_fn: str, seed: int) -> str:
+    """BIGINT draw from the first 8 hex chars of md5('mc|sim|seq|seed') as
+    pure instr arithmetic — the cross-engine randomness primitive (md5 is
+    the one hash Spark and DuckDB share), which is what lets the pooled
+    Monte Carlo carry a full value oracle. xxhash64 (``hash_uniform``)
+    stays the single-engine fast path for the literal-pool variants."""
+    h = f"md5(concat('mc|', sim_id, '|', seq, '|{seed}'))"
+    terms = " + ".join(
+        f"cast(({instr_fn}('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) as bigint)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({terms})"
+
+
 def simulate_paths(
     spark: SparkSession,
     returns_pool: list[float],
@@ -163,11 +178,13 @@ def simulate_paths_pooled(
     return pool stays a DataFrame end-to-end — no ``collect`` anywhere:
     the pool gets a dense draw index (row_number over a deterministic
     order), the (sim × seq) grid derives its draw as
-    ``xxhash64 % pool_size`` (pool_size arrives via a 1-row cross join,
+    ``md5_draw % pool_size`` (pool_size arrives via a 1-row cross join,
     never the driver), and a broadcast equi-join resolves draws to
     returns. At 100 TB the pool is a table; only the index join touches
-    it. Draws are partition-independent, so results are reproducible
-    regardless of cluster layout.
+    it. Draws are md5-based and partition-independent, so results are
+    reproducible regardless of cluster layout AND replayable by the
+    DuckDB oracle (see queries/timeseries.py::monte_carlo_paths); the
+    growth term is ``ln(1 + f·r)`` spelled identically in both engines.
     """
     spark = pool_df.sparkSession
     w_idx = Window.orderBy(order_col)
@@ -183,11 +200,11 @@ def simulate_paths_pooled(
         .select("sim_id", F.explode(F.sequence(F.lit(1), F.lit(trades_per_sim))).alias("seq"))
         .crossJoin(F.broadcast(n_row))
     )
-    draw = F.pmod(F.xxhash64(F.col("sim_id"), F.col("seq"), F.lit(seed)), F.col("_n")).cast("int")
+    draw = (F.expr(md5_draw_expr("instr", seed)) % F.col("_n")).cast("int")
     drawn = grid.withColumn("_idx", draw).join(F.broadcast(pool), "_idx")
 
     w = Window.partitionBy("sim_id").orderBy("seq").rowsBetween(Window.unboundedPreceding, 0)
-    log_growth = F.log1p(F.lit(bet_fraction) * F.col("_ret"))
+    log_growth = F.log(F.lit(1.0) + F.lit(bet_fraction) * F.col("_ret"))
     path = (
         drawn.withColumn("capital", F.lit(capital0) * F.exp(F.sum(log_growth).over(w)))
         .withColumn("peak", F.greatest(F.max("capital").over(w), F.lit(capital0)))

@@ -1,12 +1,15 @@
 """EWM indicators, Monte Carlo, and event-time window queries
 (SURVEY §2.5 W2/W14, §2.9 streaming-window extensions).
 
-- ``ewm_ema``: EMA-21 twice over — Arrow ``applyInPandas`` (pandas
-  semantics) on the Spark side, closed-form weighted-sum algebra as the
-  DuckDB oracle. The two formulations agreeing IS the W2 correctness check.
-- ``rsi_macd`` / ``monte_carlo_paths``: genuinely non-SQL kernels → no
-  oracle (driver records rows-only); pinned instead by pytest
-  (vs hand-computed pandas; reproducibility run-over-run).
+- ``ewm_ema`` / ``rsi_macd``: recursive EWM kernels — Arrow
+  ``applyInPandas`` (pandas semantics) on the Spark side, closed-form
+  weighted-sum window algebra as the DuckDB oracle (adjust=True for the
+  EMA, seeded adjust=False forms for Wilder RSI and MACD/signal). Two
+  independent formulations agreeing to 4dp IS the W2 correctness check;
+  pytest additionally pins the kernel against hand-computed pandas.
+- ``monte_carlo_paths``: md5-hash draws make the whole simulation
+  replayable by the oracle (same running log-sum, left-to-right);
+  reproducibility/partition-independence pinned in pytest too.
 - ``tumbling_window_agg`` / ``session_windows``: native event-time windows
   on the batch path, oracle-checked; the streaming twin runs the same
   aggregation through Structured Streaming (tests assert parity).
@@ -59,11 +62,86 @@ def ewm_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ind.select("event_id", r4(F.col("ema")).alias("ema_21"))
 
 
-# --- W2 (recursive kernels): RSI + MACD, rows-only contract -------------------
-@query("rsi_macd", oracle=None, tags=("W2",))
+# --- W2 (recursive kernels): RSI + MACD ---------------------------------------
+def _rsi_macd_oracle() -> str:
+    """Closed form of pandas ``ewm(alpha, adjust=False)`` seeded at the
+    first defined row s of each sub-series:
+
+        e_t = d^(t-s)·x_s + a·Σ_{i=s+1..t} d^(t-i)·x_i
+            = d^(t-s)·x_s + a·d^t·S_t,   S_t = Σ_{i>s} x_i·d^(-i)
+
+    applied four times (gain/loss at s=2; close under span 12/26 at s=1;
+    then span-9 over the derived macd series). Exponents are bounded by
+    per-entity series length — fine at oracle scale."""
+    d14, d12, d26, d9 = 13.0 / 14.0, 11.0 / 13.0, 25.0 / 27.0, 0.8
+    return f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, value AS c,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    delta AS (
+        SELECT user_id, event_id, c, rn,
+               c - LAG(c) OVER (PARTITION BY user_id ORDER BY rn) AS dlt
+        FROM ordered
+    ),
+    terms AS (
+        SELECT user_id, event_id, c, rn, dlt,
+               greatest(dlt, 0.0) AS g, greatest(-dlt, 0.0) AS l,
+               CASE WHEN rn <= 2 THEN 0.0
+                    ELSE greatest(dlt, 0.0) * POWER({d14}, -rn) END AS gterm,
+               CASE WHEN rn <= 2 THEN 0.0
+                    ELSE greatest(-dlt, 0.0) * POWER({d14}, -rn) END AS lterm,
+               CASE WHEN rn <= 1 THEN 0.0 ELSE c * POWER({d12}, -rn) END AS t12,
+               CASE WHEN rn <= 1 THEN 0.0 ELSE c * POWER({d26}, -rn) END AS t26,
+               NTH_VALUE(greatest(dlt, 0.0), 2) OVER wf AS g2,
+               NTH_VALUE(greatest(-dlt, 0.0), 2) OVER wf AS l2,
+               FIRST_VALUE(c) OVER wf AS c1
+        FROM delta
+        WINDOW wf AS (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ),
+    ema AS (
+        SELECT user_id, event_id, rn, dlt,
+               POWER({d14}, rn - 2) * g2
+                   + {1.0 / 14.0} * POWER({d14}, rn) * SUM(gterm) OVER w AS ag,
+               POWER({d14}, rn - 2) * l2
+                   + {1.0 / 14.0} * POWER({d14}, rn) * SUM(lterm) OVER w AS al,
+               (POWER({d12}, rn - 1) * c1
+                   + {2.0 / 13.0} * POWER({d12}, rn) * SUM(t12) OVER w)
+               - (POWER({d26}, rn - 1) * c1
+                   + {2.0 / 27.0} * POWER({d26}, rn) * SUM(t26) OVER w) AS macd
+        FROM terms
+        WINDOW w AS (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING)
+    ),
+    sig AS (
+        SELECT user_id, event_id, rn, dlt, ag, al, macd,
+               CASE WHEN rn <= 1 THEN 0.0 ELSE macd * POWER({d9}, -rn) END AS tsig,
+               FIRST_VALUE(macd) OVER (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS m1
+        FROM ema
+    )
+    SELECT event_id,
+           CASE WHEN dlt IS NULL THEN NULL
+                WHEN al > 0 THEN ROUND(100.0 - 100.0 / (1.0 + ag / al), 4)
+                ELSE 100.0 END AS rsi_14,
+           ROUND(macd, 4) AS macd,
+           ROUND(POWER({d9}, rn - 1) * m1
+                 + {2.0 / 10.0} * POWER({d9}, rn) * SUM(tsig) OVER w, 4) AS macd_signal
+    FROM sig
+    WINDOW w AS (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING)
+    """
+
+
+@query("rsi_macd", oracle=_rsi_macd_oracle(), tags=("W2",))
 def rsi_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wilder RSI-14 + MACD(12,26,9) — recursive EWMs with no closed-form
-    SQL twin; correctness pinned by pytest against direct pandas."""
+    """Wilder RSI-14 + MACD(12,26,9) — recursive EWMs computed by the
+    Arrow pandas kernel on the Spark side and replayed by the DuckDB
+    oracle as closed-form ``adjust=False`` window algebra (seeded at the
+    first defined row of each sub-series). Two independent formulations
+    agreeing to 4dp IS the correctness check — the same contract ewm_ema
+    established for ``adjust=True``; pytest additionally pins the kernel
+    against hand-computed pandas."""
     bars = _close_bars(spark, sf_dir)
     ind = ewm_indicator_frame(bars, key="user_id", ts="ts", order_id="event_id", close="close")
     return ind.select(
@@ -74,14 +152,59 @@ def rsi_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- W14: Monte Carlo (seeded, partition-independent) -------------------------
-@query("monte_carlo_paths", oracle=None, tags=("W14",))
+# --- W14: Monte Carlo (seeded, partition-independent, oracle-replayable) ------
+def _mc_oracle() -> str:
+    """The full simulation replayed in DuckDB: same bracket-exit pool
+    (reusing that query's oracle as a CTE), same md5 draw indices, same
+    left-to-right running log-sum — the rows-only contract upgraded to a
+    value oracle once the draws moved to the shared md5 primitive."""
+    from ..operators.montecarlo import md5_draw_expr
+    from . import REGISTRY, execution  # noqa: F401  (registers bracket oracle)
+
+    bracket = REGISTRY["bracket_exit_scan"].oracle
+    draw = md5_draw_expr("strpos", 42)
+    return f"""
+    WITH pool0 AS (SELECT trade_id, realized_return_pct FROM ({bracket}) b),
+    pool AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY trade_id) - 1 AS _idx,
+               realized_return_pct / 100.0 AS _ret
+        FROM pool0
+    ),
+    n AS (SELECT COUNT(*) AS _n FROM pool),
+    grid AS (SELECT g.range AS sim_id, q.range AS seq
+             FROM range(0, 1000) g, range(1, 41) q),
+    drawn AS (SELECT sim_id, seq, {draw} % _n AS _idx FROM grid CROSS JOIN n),
+    j AS (SELECT d.sim_id, d.seq, p._ret FROM drawn d JOIN pool p ON d._idx = p._idx),
+    path AS (
+        SELECT sim_id, seq,
+               10000.0 * exp(SUM(ln(1.0 + 0.075 * _ret)) OVER (
+                   PARTITION BY sim_id ORDER BY seq ROWS UNBOUNDED PRECEDING)) AS capital
+        FROM j
+    ),
+    pk AS (
+        SELECT sim_id, seq, capital,
+               greatest(MAX(capital) OVER (
+                   PARTITION BY sim_id ORDER BY seq ROWS UNBOUNDED PRECEDING),
+                   10000.0) AS peak
+        FROM path
+    )
+    SELECT sim_id,
+           ROUND(arg_max(capital, seq), 2) AS final_capital,
+           ROUND(MAX((peak - capital) / peak), 4) AS max_drawdown,
+           MIN(capital) < 5000.0 AS ruined
+    FROM pk GROUP BY sim_id
+    """
+
+
+@query("monte_carlo_paths", oracle=_mc_oracle(), tags=("W14",))
 def monte_carlo_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1,000 bootstrap lifetimes over the empirical bracket-exit return
     pool. The pool stays a DataFrame end-to-end (no collect — the sim
     grid resolves hash-indexed draws via a broadcast join), and draws are
-    xxhash64-derived, so results are identical across runs AND partition
-    layouts; reproducibility asserted in pytest."""
+    md5-derived, so results are identical across runs AND partition
+    layouts — and exactly replayable by the DuckDB oracle (both engines
+    run the same running log-sum left-to-right). Reproducibility is
+    additionally asserted in pytest."""
     from ..operators.montecarlo import simulate_paths_pooled
     from .execution import bracket_exit_scan
 
