@@ -50,7 +50,12 @@ def _hx(instr_fn: str, char_expr: str) -> str:
 HLL_P = 8
 HLL_M = 1 << HLL_P  # 256 registers
 # alpha_m for m >= 128, written inline so both engines fold the same double.
-_ALPHA = f"(0.7213 / (1.0 + 1.079 / {HLL_M}.0))"
+# Literals use scientific notation (0.7213E0): a plain `0.7213` parses as
+# DECIMAL in Spark SQL — and decimal division rounds at ~1e-10, which is
+# enough to flip a 4dp-rounded estimate across engines (DuckDB promotes
+# division to DOUBLE). `xEy` is the approximate-numeric literal form both
+# engines read as DOUBLE, so the whole fold stays in IEEE doubles.
+_ALPHA = f"(0.7213E0 / (1.0E0 + 1.079E0 / {HLL_M}E0))"
 
 
 def _hll_terms(instr_fn: str, value_expr: str) -> tuple[str, str]:
@@ -135,12 +140,13 @@ def _with_registers(df: DataFrame) -> DataFrame:
 
 def _est_case(s: str = "s", nreg: str = "nreg") -> str:
     """The bias-corrected estimate as one CASE expression over the folded
-    (sum 2^-M, non-zero register count) pair — same text both engines."""
+    (sum 2^-M, non-zero register count) pair — same text both engines
+    (E0 literals keep Spark in doubles; see _ALPHA)."""
     m = HLL_M
-    raw = f"{_ALPHA} * {m}.0 * {m}.0 / ({s} + ({m} - {nreg}))"
+    raw = f"{_ALPHA} * {m}E0 * {m}E0 / ({s} + ({m} - {nreg}))"
     return (
-        f"CASE WHEN {raw} <= 2.5 * {m} AND {m} - {nreg} > 0"
-        f" THEN {m}.0 * ln({m}.0 / ({m} - {nreg}))"
+        f"CASE WHEN {raw} <= 2.5E0 * {m}E0 AND {m} - {nreg} > 0"
+        f" THEN {m}E0 * ln({m}E0 / ({m} - {nreg}))"
         f" ELSE {raw} END"
     )
 
@@ -533,12 +539,13 @@ WSAMPLE_K = 5
 
 def _u01(instr_fn: str, h: str) -> str:
     """Uniform (0,1) draw from the first 8 hex chars of md5 column ``h`` —
-    pure instr arithmetic, identical in both engines."""
+    pure instr arithmetic, identical in both engines (E0 literals keep
+    Spark in doubles; plain `268435456.0` would go DecimalType)."""
     v = " + ".join(
-        f"{_hx(instr_fn, f'substr({h}, {i + 1}, 1)')} * {16 ** (7 - i)}.0"
+        f"{_hx(instr_fn, f'substr({h}, {i + 1}, 1)')} * {16 ** (7 - i)}E0"
         for i in range(8)
     )
-    return f"(({v} + 0.5) / 4294967296.0)"
+    return f"(({v} + 0.5E0) / 4294967296E0)"
 
 
 @query(
