@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..exprs import r4
+from ..exprs import r2, r4
 from . import query
 from ._util import fan_out, t
 
@@ -688,4 +688,61 @@ def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-row × 1-row scalar assembly (documented _NL_JOIN_OK shape)
     return fold.crossJoin(exact).select(
         r4(F.expr(_est_case())).alias("hll_users"), "exact_users"
+    )
+
+
+# --- stream-stream interval join, driven to completion and oracle-checked -----
+@query(
+    "click_attribution_stream",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.ts AS p_ts,
+           c.ts AS c_ts,
+           ROUND(p.value, 2) AS purchase_value
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    tags=("streaming", "J7", "stateful"),
+)
+def click_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream interval join run as an ACTUAL Structured
+    Streaming query (two watermarked sides, event-time bounds on both —
+    the only join shape whose state is evictable on infinite streams),
+    driven to completion with AvailableNow and value-checked against the
+    equivalent batch interval join in DuckDB. Complements the pytest
+    batch-parity test (tests/test_streaming.py) with a driver-visible
+    oracle row; at 100 TB/day the same plan runs continuously with
+    state bounded by watermark + lookback.
+    """
+    import tempfile
+
+    from ..streaming import stream_events
+    from ..streaming.stateful import purchase_click_attribution
+
+    ev = stream_events(spark, sf_dir, with_watermark=None)
+    out = purchase_click_attribution(
+        ev.where("event_type = 'purchase'"), ev.where("event_type = 'click'")
+    )
+    name = f"attrib_{next(tempfile._get_candidate_names())}"
+    q_ = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination(120)
+    return spark.table(name).select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        "p_ts",
+        "c_ts",
+        r2(F.col("purchase_value")).alias("purchase_value"),
     )
