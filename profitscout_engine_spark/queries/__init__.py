@@ -103,6 +103,8 @@ _MODULES = (
     "aggregates",
     "relational",
     "sketches",
+    "finance",
+    "maintenance",
 )
 
 # Round-3 window rotation (VERDICT r2, item 2): front-load (a) the two curation

@@ -1,0 +1,339 @@
+"""Market-microstructure analytics over the ``events`` bar stream — the
+reference's core domain (minute-bar ingestion, indicator math, outcome
+measurement) extended with the resample/risk surface a quant warehouse
+runs at scale: OHLCV candle resampling, running VWAP, drawdown curves,
+per-entity market beta, and pairwise return correlation.
+
+Reference provenance (behavioral, not code): the reference consumes
+Polygon minute aggregates ``{t,o,h,l,c,v}`` (forward-paper-trader/
+main.py:53-71) and measures outcomes over daily bars (win-tracker/
+main.py:254-297); it never *produces* coarser bars from finer ones —
+resampling/VWAP/beta are the missing warehouse-side operators a user
+of that pipeline needs next.
+
+Determinism: the fixture's ``ts`` is globally unique and monotone in
+``event_id`` (verified), so ``min_by(value, ts)`` / ``arg_min(value,
+ts)`` pick identical rows in both engines. Volume is a deterministic
+proxy (``event_id % 100 + 1``) because the fixture carries no volume
+column — both engines derive it from the same integers.
+
+Scale notes (100 TB): every query here is one shuffle on its natural
+key (entity, or entity × bucket) with map-side partial aggregation;
+the pairwise-correlation query bounds its self-join to a fixed top-K
+universe so candidate volume is K²·hours, never users²·hours.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..exprs import r4
+from . import query
+from ._util import t
+
+# Deterministic volume proxy — the fixture has no volume column; both
+# engines derive the same integer from event_id.
+_VOL_SQL = "(event_id % 100 + 1)"
+
+
+def _bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("value").alias("price"),
+        (F.col("event_id") % 100 + 1).cast("long").alias("vol"),
+    )
+
+
+# --- OHLCV resample: fine bars → hourly candles -------------------------------
+@query(
+    "ohlc_resample",
+    oracle=f"""
+    SELECT user_id,
+           date_trunc('hour', ts) AS bar_start,
+           arg_min(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ts) AS close,
+           CAST(SUM({_VOL_SQL}) AS BIGINT) AS volume,
+           COUNT(*) AS n_trades,
+           ROUND(SUM(value * {_VOL_SQL}) / SUM({_VOL_SQL}), 4) AS vwap
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("finance", "resample", "A1"),
+)
+def ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the per-entity tick/bar stream into hourly OHLCV candles:
+    open/close via ``min_by``/``max_by`` on the (unique) timestamp, and a
+    volume-weighted average price per candle. The whole candle is ONE
+    hash aggregation with map-side combine — first/last never need a
+    sort because they ride the ordering argument of min_by/max_by, so
+    the plan is a single shuffle on (entity, bucket) that scales
+    linearly and never materializes per-entity sorted runs."""
+    b = _bars(spark, sf_dir)
+    return (
+        b.groupBy("user_id", F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.min_by("price", "ts").alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", "ts").alias("close"),
+            F.sum("vol").alias("volume"),
+            F.count("*").alias("n_trades"),
+            r4(F.sum(F.col("price") * F.col("vol")) / F.sum("vol")).alias("vwap"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("bar_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_trades",
+            "vwap",
+        )
+    )
+
+
+# --- running intraday VWAP ----------------------------------------------------
+@query(
+    "vwap_running",
+    oracle=f"""
+    SELECT event_id,
+           ROUND(SUM(value * {_VOL_SQL}) OVER w / SUM({_VOL_SQL}) OVER w, 4) AS vwap_run
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+    tags=("finance", "vwap", "W-window"),
+)
+def vwap_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored (session-to-date) VWAP per entity-day: cumulative
+    price×volume over cumulative volume, the execution-quality benchmark
+    every trading system tracks tick-by-tick. One window partition on
+    (entity, day) — the partition key carries the date, so a year of
+    data spreads over entity×day partitions instead of one unbounded
+    per-entity state."""
+    b = _bars(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id", F.to_date("ts"))
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return b.select(
+        "event_id",
+        r4(
+            F.sum(F.col("price") * F.col("vol")).over(w) / F.sum("vol").over(w)
+        ).alias("vwap_run"),
+    )
+
+
+# --- drawdown statistics ------------------------------------------------------
+@query(
+    "drawdown_stats",
+    oracle="""
+    WITH pk AS (
+        SELECT user_id, ts, value,
+               MAX(value) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS peak
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_bars,
+           MAX(value) AS peak_value,
+           arg_max(value, ts) AS final_value,
+           ROUND(MAX((peak - value) / peak), 4) AS max_drawdown,
+           CAST(SUM(CASE WHEN value < peak THEN 1 ELSE 0 END) AS BIGINT)
+               AS underwater_bars
+    FROM pk
+    GROUP BY user_id
+    """,
+    tags=("finance", "drawdown", "W-window"),
+)
+def drawdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity drawdown profile of the price path: running peak
+    (cumulative max), worst peak-to-trough drawdown, and bars spent
+    underwater. The peak is a running MAX — no arithmetic — so
+    ``value < peak`` and ``(peak - value)/peak`` are bit-identical
+    across engines (the same IEEE ops on the same doubles). One window
+    pass + one aggregation, both partitioned by entity."""
+    b = _bars(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    pk = b.withColumn("peak", F.max("price").over(w))
+    return pk.groupBy("user_id").agg(
+        F.count("*").alias("n_bars"),
+        F.max("price").alias("peak_value"),
+        F.max_by("price", "ts").alias("final_value"),
+        r4(F.max((F.col("peak") - F.col("price")) / F.col("peak"))).alias("max_drawdown"),
+        F.sum(F.when(F.col("price") < F.col("peak"), 1).otherwise(0)).alias("underwater_bars"),
+    )
+
+
+# --- per-entity beta / correlation to the market ------------------------------
+_RET_CTE = """
+    ret AS (
+        SELECT user_id, ts, event_id,
+               date_trunc('hour', ts) AS h,
+               value / LAG(value) OVER (PARTITION BY user_id ORDER BY ts) - 1.0 AS r
+        FROM events
+    ),
+    mkt AS (
+        SELECT h, SUM(r) / COUNT(r) AS mret
+        FROM ret WHERE r IS NOT NULL GROUP BY h
+    ),
+    j AS (
+        SELECT ret.user_id, ret.r, mkt.mret
+        FROM ret JOIN mkt USING (h)
+        WHERE ret.r IS NOT NULL
+    )
+"""
+
+
+@query(
+    "beta_to_market",
+    oracle=f"""
+    WITH {_RET_CTE},
+    s AS (
+        SELECT user_id,
+               COUNT(*) AS n_obs,
+               SUM(mret) AS sx, SUM(r) AS sy,
+               SUM(mret * r) AS sxy, SUM(mret * mret) AS sxx, SUM(r * r) AS syy
+        FROM j GROUP BY user_id
+    )
+    SELECT user_id, n_obs,
+           ROUND((n_obs * sxy - sx * sy) / (n_obs * sxx - sx * sx), 4) AS beta,
+           ROUND((n_obs * sxy - sx * sy)
+                 / SQRT((n_obs * sxx - sx * sx) * (n_obs * syy - sy * sy)), 4)
+               AS corr_mkt
+    FROM s
+    WHERE n_obs * sxx - sx * sx > 0 AND n_obs * syy - sy * sy > 0
+    """,
+    tags=("finance", "beta", "A-agg"),
+)
+def beta_to_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPM-style beta and correlation of each entity's bar-over-bar
+    return against the hourly cross-sectional market return. Moments are
+    accumulated as explicit SUM terms (n·Σxy − ΣxΣy form) instead of the
+    built-in covar/corr aggregates so both engines evaluate the exact
+    same expression tree. Plan: per-entity lag window → hourly market
+    aggregation (vocabulary-sized, AQE broadcasts it back) → one
+    per-entity rollup. No users² anywhere."""
+    b = _bars(spark, sf_dir)
+    wl = Window.partitionBy("user_id").orderBy("ts")
+    ret = b.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        (F.col("price") / F.lag("price").over(wl) - 1.0).alias("r"),
+    )
+    mkt = (
+        ret.where(F.col("r").isNotNull())
+        .groupBy("h")
+        .agg((F.sum("r") / F.count("r")).alias("mret"))
+    )
+    j = ret.where(F.col("r").isNotNull()).join(mkt, "h")
+    s = j.groupBy("user_id").agg(
+        F.count("*").alias("n_obs"),
+        F.sum("mret").alias("sx"),
+        F.sum("r").alias("sy"),
+        F.sum(F.col("mret") * F.col("r")).alias("sxy"),
+        F.sum(F.col("mret") * F.col("mret")).alias("sxx"),
+        F.sum(F.col("r") * F.col("r")).alias("syy"),
+    )
+    dxx = F.col("n_obs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("n_obs") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n_obs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        s.where((dxx > 0) & (dyy > 0))
+        .select(
+            "user_id",
+            "n_obs",
+            r4(num / dxx).alias("beta"),
+            r4(num / F.sqrt(dxx * dyy)).alias("corr_mkt"),
+        )
+    )
+
+
+# --- pairwise correlation over a bounded top-K universe -----------------------
+CORR_TOPK = 10
+
+
+@query(
+    "pairwise_return_corr",
+    oracle=f"""
+    WITH counts AS (
+        SELECT user_id, COUNT(*) AS n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS rk
+        FROM events GROUP BY user_id
+    ),
+    topu AS (SELECT user_id FROM counts WHERE rk <= {CORR_TOPK}),
+    hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h, SUM(value) / COUNT(value) AS px
+        FROM events
+        WHERE user_id IN (SELECT user_id FROM topu)
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.user_id AS u1, b.user_id AS u2,
+               COUNT(*) AS n_hours,
+               SUM(a.px) AS sx, SUM(b.px) AS sy,
+               SUM(a.px * b.px) AS sxy,
+               SUM(a.px * a.px) AS sxx, SUM(b.px * b.px) AS syy
+        FROM hourly a JOIN hourly b ON a.h = b.h AND a.user_id < b.user_id
+        GROUP BY 1, 2
+    )
+    SELECT u1, u2, n_hours,
+           ROUND((n_hours * sxy - sx * sy)
+                 / SQRT((n_hours * sxx - sx * sx) * (n_hours * syy - sy * sy)), 4)
+               AS corr_px
+    FROM pairs
+    WHERE n_hours >= 2
+      AND n_hours * sxx - sx * sx > 0 AND n_hours * syy - sy * sy > 0
+    """,
+    tags=("finance", "correlation", "J-join"),
+)
+def pairwise_return_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix (upper triangle) of hourly mean price
+    across the CORR_TOPK most-active entities. The universe is bounded
+    FIRST (top-K by activity, ties broken on entity id), so the
+    time-aligned self-join is K²·hours — the standard way a correlation
+    matrix stays feasible at scale: never all-pairs over the raw entity
+    set. The top-K frame is tiny and broadcasts onto the bar stream."""
+    b = _bars(spark, sf_dir)
+    wc = Window.orderBy(F.desc("n"), F.asc("user_id"))
+    topu = (
+        b.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rk", F.row_number().over(wc))
+        .where(F.col("rk") <= CORR_TOPK)
+        .select("user_id")
+    )
+    hourly = (
+        b.join(F.broadcast(topu), "user_id")
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg((F.sum("price") / F.count("price")).alias("px"))
+    )
+    a, c = hourly.alias("a"), hourly.alias("b")
+    pairs = (
+        a.join(c, (F.col("a.h") == F.col("b.h")) & (F.col("a.user_id") < F.col("b.user_id")))
+        .groupBy(F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2"))
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum("a.px").alias("sx"),
+            F.sum("b.px").alias("sy"),
+            F.sum(F.col("a.px") * F.col("b.px")).alias("sxy"),
+            F.sum(F.col("a.px") * F.col("a.px")).alias("sxx"),
+            F.sum(F.col("b.px") * F.col("b.px")).alias("syy"),
+        )
+    )
+    dxx = F.col("n_hours") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("n_hours") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n_hours") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        pairs.where((F.col("n_hours") >= 2) & (dxx > 0) & (dyy > 0))
+        .select("u1", "u2", "n_hours", r4(num / F.sqrt(dxx * dyy)).alias("corr_px"))
+    )

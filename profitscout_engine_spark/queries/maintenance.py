@@ -1,0 +1,281 @@
+"""Warehouse-maintenance operators: the ops surface a table-owning
+pipeline runs around its data — one-pass column profiling, snapshot
+diffing (CDC), incremental materialized-view maintenance via
+partial-aggregate merge, and SCD-type-2 history construction.
+
+Reference provenance (behavioral, not code): the reference rebuilds its
+ledgers by truncate-and-reload (scripts/ledger_and_tracking/
+reset_forward_paper_ledger_v3.sql) and patches outcome columns with
+batched UPDATEs (win-tracker/main.py:333-348) — the imperative forms of
+snapshot diff and incremental maintenance; audit EDA scripts
+(backtesting_and_research/) eyeball column distributions by hand, which
+``table_profile`` systematizes.
+
+Scale notes (100 TB): the profile is ONE aggregation pass over the
+table (exact distincts ride Spark's expand-based multi-distinct);
+snapshot diff is a single full-outer join on the snapshot key;
+incremental maintenance merges a delta's partial aggregates into the
+base view's partials — the whole point is NOT rescanning the base
+table; SCD2 is one per-key window pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..exprs import r2, r4
+from . import query
+from ._util import t
+
+# --- one-pass column profile --------------------------------------------------
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "table_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               COUNT(*) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               MIN({c}) * 1.0 AS min_val,
+               MAX({c}) * 1.0 AS max_val,
+               ROUND(SUM({c}) / COUNT({c}), 4) AS mean_val
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    ),
+    tags=("maintenance", "profile", "A-agg"),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-column profile (rows, nulls, distincts, min/max/mean) of
+    the fact table's numeric columns in ONE aggregation job, unpivoted to
+    the long (column_name, stats...) form a data-quality monitor stores.
+    Exact distinct counts over several columns ride Spark's expand-based
+    multi-distinct rewrite — still a single shuffle per distinct column
+    group with partial aggregation, no per-column table rescans. Mean is
+    SUM/COUNT (not AVG) so both engines evaluate the identical division."""
+    li = t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            (F.count("*") - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            r4(F.sum(c) / F.count(c)).alias(f"{c}__mean"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__null, {c}__dist, CAST({c}__min AS DOUBLE), "
+        f"CAST({c}__max AS DOUBLE), {c}__mean"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column_name, n_rows, n_null, n_distinct, min_val, max_val, mean_val)"
+    )
+
+
+# --- snapshot diff (CDC between two table versions) ---------------------------
+# v2 is a deterministic transform of orders so both engines derive the same
+# "next snapshot": urgent finished orders deleted, every 13th repriced,
+# every 101st re-keyed negative (an insert).
+_V2_SQL = """
+        SELECT o_orderkey, o_totalprice * 1.05 AS o_totalprice
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 97 = 0)
+          AND o_orderkey % 13 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 97 = 0)
+          AND o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT -o_orderkey AS o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_orderkey % 101 = 0
+"""
+
+
+@query(
+    "snapshot_diff",
+    oracle=f"""
+    WITH v2 AS ({_V2_SQL}),
+    d AS (
+        SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+                    WHEN v2.o_orderkey IS NULL THEN 'delete'
+                    WHEN v1.o_totalprice <> v2.o_totalprice THEN 'update'
+                    ELSE 'same' END AS change_type,
+               COALESCE(v2.o_totalprice, 0.0) - COALESCE(v1.o_totalprice, 0.0) AS delta
+        FROM (SELECT o_orderkey, o_totalprice FROM orders) v1
+        FULL OUTER JOIN v2 USING (o_orderkey)
+    )
+    SELECT change_type, COUNT(*) AS n, ROUND(SUM(delta), 2) AS price_delta
+    FROM d GROUP BY change_type
+    """,
+    tags=("maintenance", "cdc", "J-join"),
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture diff between two snapshots of the orders table
+    (v2 is a deterministic transform: deletes, updates, inserts): one
+    full-outer join on the snapshot key classifies every row into
+    insert/delete/update/same and rolls up counts and value drift. This
+    is the audit query behind any incremental-publish pipeline — at
+    scale it is one co-partitioned join on the primary key (bucketing
+    both snapshots on the key makes it shuffle-free)."""
+    orders = t(spark, sf_dir, "orders")
+    v1 = orders.select("o_orderkey", "o_totalprice")
+    keep = ~((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 97 == 0))
+    v2 = (
+        orders.where(keep)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") * 1.05)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionAll(
+            orders.where(F.col("o_orderkey") % 101 == 0).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"), "o_totalprice"
+            )
+        )
+    )
+    j = v1.alias("v1").join(v2.alias("v2"), "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("v1.o_totalprice").isNull(), F.lit("insert"))
+        .when(F.col("v2.o_totalprice").isNull(), F.lit("delete"))
+        .when(F.col("v1.o_totalprice") != F.col("v2.o_totalprice"), F.lit("update"))
+        .otherwise(F.lit("same"))
+    )
+    delta = F.coalesce(F.col("v2.o_totalprice"), F.lit(0.0)) - F.coalesce(
+        F.col("v1.o_totalprice"), F.lit(0.0)
+    )
+    return (
+        j.select(change.alias("change_type"), delta.alias("delta"))
+        .groupBy("change_type")
+        .agg(F.count("*").alias("n"), r2(F.sum("delta")).alias("price_delta"))
+    )
+
+
+# --- incremental materialized-view maintenance --------------------------------
+_CUTOFF = "DATE '1999-01-01'"
+
+
+@query(
+    "incremental_agg_maintain",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_revenue,
+           ROUND(SUM(o_totalprice) / COUNT(*), 2) AS avg_revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("maintenance", "incremental", "A1"),
+)
+def incremental_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the revenue-by-priority
+    view is held as MERGEABLE partials (count, sum) built from the base
+    period, then a late-arriving delta batch's partials are merged in —
+    count+count, sum+sum — and finalized (avg = merged sum / merged
+    count). The oracle recomputes from scratch over the full table;
+    equality IS the maintenance-correctness proof. At 100 TB this is the
+    pattern that turns a nightly full-table rescan into a delta-sized
+    job: the base partials are a tiny stored table, only the delta is
+    scanned."""
+    orders = t(spark, sf_dir, "orders")
+    cutoff = F.to_timestamp(F.lit("1999-01-01"))
+    partial = lambda df: df.groupBy("o_orderpriority").agg(  # noqa: E731
+        F.count("*").alias("p_n"), F.sum("o_totalprice").alias("p_sum")
+    )
+    base = partial(orders.where(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.where(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.select("o_orderpriority", "p_n", "p_sum")
+        .unionAll(delta.select("o_orderpriority", "p_n", "p_sum"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum("p_n").alias("n_orders"), F.sum("p_sum").alias("rev"))
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        r2(F.col("rev")).alias("total_revenue"),
+        r2(F.col("rev") / F.col("n_orders")).alias("avg_revenue"),
+    )
+
+
+# --- SCD type-2 history from a change stream ----------------------------------
+@query(
+    "scd2_history",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN event_type IS DISTINCT FROM
+                         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, ts, event_type,
+               CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version_n
+        FROM flagged
+    ),
+    hist AS (
+        SELECT user_id, event_type, version_n,
+               MIN(ts) AS valid_from,
+               COUNT(*) AS n_events
+        FROM runs GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type, version_n, valid_from,
+           COALESCE(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version_n),
+                    TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version_n)
+               IS NULL AS is_current,
+           n_events
+    FROM hist
+    """,
+    tags=("maintenance", "scd2", "W-window"),
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 table built from the event stream:
+    consecutive runs of each entity's attribute value collapse into
+    versioned validity intervals [valid_from, valid_to) with an open
+    current row — gaps-and-islands (lag-flag + running sum) followed by
+    one interval rollup and a lead for the closing edge. Everything
+    partitions on the entity key; the history table is the standard
+    dimension-tracking artifact every warehouse maintains."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    wl = Window.partitionBy("user_id").orderBy("ts")
+    flagged = ev.withColumn(
+        "chg",
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(wl)), 1
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "version_n",
+        F.sum("chg").over(wl.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    hist = runs.groupBy("user_id", "event_type", "version_n").agg(
+        F.min("ts").alias("valid_from"), F.count("*").alias("n_events")
+    )
+    wv = Window.partitionBy("user_id").orderBy("version_n")
+    nxt = F.lead("valid_from").over(wv)
+    # Open rows close at a far-future sentinel (2200-01-01, inside pandas' ns range) instead of NULL: the
+    # interval stays half-open and range probes need no NULL branch (and a
+    # NULL-free timestamp column also dodges pandas' NaT-vs-resolution
+    # comparison artifact in typed hash comparators).
+    return hist.select(
+        "user_id",
+        "event_type",
+        "version_n",
+        "valid_from",
+        F.coalesce(nxt, F.lit("2200-01-01 00:00:00").cast("timestamp")).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        "n_events",
+    )
