@@ -731,3 +731,64 @@ def unpivot_supplier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+# --- A-sweep: interval sweep-line (peak concurrency) --------------------------
+@query(
+    "interval_peak_load",
+    oracle="""
+    WITH b AS (
+        SELECT event_type, ts AS bt, 1 AS delta FROM events
+        UNION ALL
+        SELECT event_type, ts + INTERVAL 30 MINUTE AS bt, -1 AS delta FROM events
+    ),
+    load AS (
+        SELECT event_type, bt,
+               CAST(SUM(delta) OVER (PARTITION BY event_type ORDER BY bt, delta
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cur
+        FROM b
+    ),
+    pk AS (SELECT event_type, MAX(cur) AS peak FROM load GROUP BY 1)
+    SELECT l.event_type, p.peak AS peak_concurrency, MIN(l.bt) AS peak_at
+    FROM load l JOIN pk p ON l.event_type = p.event_type AND l.cur = p.peak
+    GROUP BY 1, 2
+    """,
+    tags=("A-sweep", "intervals"),
+)
+def interval_peak_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent-interval load per stream via the sweep-line trick:
+    each event is a half-open [ts, ts+30min) interval; explode to ±1
+    boundary rows, running-sum in (time, delta) order — ends sort before
+    starts at the same instant, so touching intervals don't double-count
+    — and take the per-group max with its earliest attainment time.
+    This is THE scalable way to answer "how many sessions/trades/
+    connections were open at once": O(n) rows, one window partition per
+    stream, no interval self-join (the naive overlap join is O(n²) per
+    group). Integer arithmetic end-to-end, so both engines agree
+    bit-for-bit."""
+    ev = t(spark, sf_dir, "events").select("event_type", "ts")
+    b = ev.select(
+        "event_type", F.col("ts").alias("bt"), F.lit(1).alias("delta")
+    ).unionAll(
+        ev.select(
+            "event_type",
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("bt"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bt", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    load = b.withColumn("cur", F.sum("delta").over(w).cast("long")).select(
+        "event_type", "bt", "cur"
+    )
+    pk = load.groupBy("event_type").agg(F.max("cur").alias("peak"))
+    return (
+        load.join(pk, "event_type")
+        .where(F.col("cur") == F.col("peak"))
+        .groupBy("event_type", F.col("peak").alias("peak_concurrency"))
+        .agg(F.min("bt").alias("peak_at"))
+        .select("event_type", "peak_concurrency", "peak_at")
+    )

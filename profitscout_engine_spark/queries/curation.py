@@ -603,3 +603,58 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.crossJoin(F.broadcast(tot)).select(
         "term", "cnt", "rank", r6(F.col("cum") * F.lit(1.0) / F.col("total")).alias("cum_share")
     )
+
+
+# --- smoothed unigram-LM document scoring --------------------------------------
+@query(
+    "unigram_lm_logprob",
+    oracle="""
+    WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    freq AS (SELECT term, COUNT(*) AS cnt FROM tk GROUP BY 1),
+    consts AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                      COUNT(*) AS vocab FROM freq),
+    cls AS (
+        SELECT tk.doc_id, freq.cnt, COUNT(*) AS n_k
+        FROM tk JOIN freq USING (term)
+        GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(n_k) AS BIGINT) AS n_tokens,
+           ROUND(SUM(n_k * ln((cnt + 1.0) / (total + vocab))) / SUM(n_k), 4)
+               AS avg_logprob
+    FROM cls CROSS JOIN consts
+    GROUP BY doc_id
+    """,
+    tags=("curation", "lm-score"),
+)
+def unigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's own
+    add-one-smoothed unigram LM — the CCNet/Gopher-style fluency score a
+    curation pipeline thresholds on (low avg logprob ⇒ rare-token soup).
+    Tokens collapse into (doc, corpus-count) classes FIRST, so the float
+    log-sum runs over count classes (bounded by the doc's distinct
+    frequencies) instead of raw tokens: fewer float adds, and every
+    weight n_k is an exact integer. ln() is libm on both engines (≤1 ulp
+    apart) and the class sums are order-stable to ~1e-13, far inside the
+    4dp comparison rounding. Token stream and vocabulary are the
+    session-shared frames; the two scalar constants ride a broadcast."""
+    tk = _term_tokens(spark, sf_dir)
+    freq = _term_freq(spark, sf_dir)
+    consts = freq.agg(
+        F.sum("cnt").cast("long").alias("total"), F.count("*").alias("vocab")
+    )
+    cls = tk.join(freq, "term").groupBy("doc_id", "cnt").agg(F.count("*").alias("n_k"))
+    return (
+        cls.crossJoin(F.broadcast(consts))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_k").cast("long").alias("n_tokens"),
+            r4(
+                F.sum(
+                    F.col("n_k")
+                    * F.log((F.col("cnt") + 1.0) / (F.col("total") + F.col("vocab")))
+                )
+                / F.sum("n_k")
+            ).alias("avg_logprob"),
+        )
+    )

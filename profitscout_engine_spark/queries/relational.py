@@ -644,3 +644,47 @@ def anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(F.broadcast(recent), "c_custkey", "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
+
+
+# --- T-skyline: Pareto frontier without a dominance self-join -----------------
+@query(
+    "pareto_frontier",
+    oracle="""
+    SELECT x.p_partkey, x.p_retailprice, x.p_size
+    FROM part x
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part y
+        WHERE y.p_retailprice <= x.p_retailprice AND y.p_size >= x.p_size
+          AND (y.p_retailprice < x.p_retailprice OR y.p_size > x.p_size)
+    )
+    """,
+    tags=("T-skyline", "relational"),
+)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional skyline (minimize price, maximize size): the parts
+    no other part beats on both axes. The oracle spells the textbook
+    NOT-EXISTS dominance anti-join (quadratic — fine at oracle scale);
+    the engine computes the identical set with NO self-join: collapse to
+    per-price max size (parts below their own price-group max are
+    dominated in-group), running max over the price-ordered group table
+    gives the best size among STRICTLY cheaper prices, and a row
+    survives iff it tops its price group and beats that prefix max.
+    Cost: one small aggregation + one window over the distinct-price
+    table + a join back — linear in rows, log-ish in distinct prices.
+    At 100 TB the distinct-price table is the only unpartitioned
+    window input; if even that is huge, a coarse price-bucket prefix
+    pass prunes first (same trick as the vocab-coverage cumsum)."""
+    from pyspark.sql.window import Window
+
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    grp = p.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    grp = grp.withColumn("m1", F.max("gmax").over(w))
+    return (
+        p.join(grp, "p_retailprice")
+        .where(
+            (F.col("p_size") == F.col("gmax"))
+            & (F.col("m1").isNull() | (F.col("m1") < F.col("p_size")))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )

@@ -1189,3 +1189,62 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist_init",
         "dist_next",
     )
+
+
+# ---- shingle containment (asymmetric near-dup: sub-document duplication) -----
+CONTAINMENT_MIN = 0.5
+
+
+@query(
+    "containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2, c AS n_common,
+           ROUND(c * 1.0 / ca.n, 4) AS cont_1,
+           ROUND(c * 1.0 / cb.n, 4) AS cont_2
+    FROM common
+    JOIN counts ca ON ca.doc_id = d1
+    JOIN counts cb ON cb.doc_id = d2
+    WHERE c * 1.0 / ca.n >= {CONTAINMENT_MIN} OR c * 1.0 / cb.n >= {CONTAINMENT_MIN}
+    """,
+    tags=("dedup", "containment"),
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment C(A,B) = |A∩B| / |A| in both
+    directions — the sub-document-duplication signal Jaccard misses: a
+    short doc fully embedded in a long one has low Jaccard (the union is
+    large) but containment ≈ 1 on the short side, which is exactly how
+    quote/boilerplate/excerpt duplication shows up in a pretraining
+    corpus. Same inverted-index candidate generation as the Jaccard
+    kernel (skew-salted, never all-pairs), same session-shared distinct
+    shingle frame — one extra projection over the common-count frame,
+    so the marginal cost over ngram_jaccard_pairs is near zero."""
+    from ..operators.skew import skewsafe_pair_gen
+
+    sh = _sh_distinct(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        skewsafe_pair_gen(sh, key="shingle", id_col="doc_id", hot_df=HOT_SHINGLE_DF)
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("c"))
+    )
+    c1 = F.col("c") / F.col("ca.n")
+    c2 = F.col("c") / F.col("cb.n")
+    return (
+        common.join(counts.alias("ca"), F.col("d1") == F.col("ca.doc_id"))
+        .join(counts.alias("cb"), F.col("d2") == F.col("cb.doc_id"))
+        .where((c1 >= CONTAINMENT_MIN) | (c2 >= CONTAINMENT_MIN))
+        .select(
+            "d1",
+            "d2",
+            F.col("c").alias("n_common"),
+            r4(c1).alias("cont_1"),
+            r4(c2).alias("cont_2"),
+        )
+    )
