@@ -102,6 +102,8 @@ _NL_JOIN_OK = {
     # 1-row global-scalar cross joins (corpus total / floor count)
     "unigram_freq_quality",
     "domain_mix_rebalance",
+    # 1-row global-scalar cross join (smoothing constants total+vocab)
+    "unigram_lm_logprob",
     "vocab_coverage",
 }
 
