@@ -781,13 +781,17 @@ def interval_peak_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bt", "delta")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    load = b.withColumn("cur", F.sum("delta").over(w).cast("long")).select(
-        "event_type", "bt", "cur"
+    # peak via a second (unordered full-frame) window over the SAME
+    # partitioning — Catalyst reuses the one exchange, so the boundary
+    # union is scanned once (a join back to a groupBy'd copy would run
+    # the whole union+cumsum twice).
+    load = (
+        b.withColumn("cur", F.sum("delta").over(w).cast("long"))
+        .withColumn("peak", F.max("cur").over(Window.partitionBy("event_type")))
+        .select("event_type", "bt", "cur", "peak")
     )
-    pk = load.groupBy("event_type").agg(F.max("cur").alias("peak"))
     return (
-        load.join(pk, "event_type")
-        .where(F.col("cur") == F.col("peak"))
+        load.where(F.col("cur") == F.col("peak"))
         .groupBy("event_type", F.col("peak").alias("peak_concurrency"))
         .agg(F.min("bt").alias("peak_at"))
         .select("event_type", "peak_concurrency", "peak_at")

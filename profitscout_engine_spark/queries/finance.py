@@ -147,7 +147,7 @@ def vwap_running(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_bars,
            MAX(value) AS peak_value,
            arg_max(value, ts) AS final_value,
-           ROUND(MAX((peak - value) / peak), 4) AS max_drawdown,
+           ROUND(MAX((peak - value) / NULLIF(peak, 0.0)), 4) AS max_drawdown,
            CAST(SUM(CASE WHEN value < peak THEN 1 ELSE 0 END) AS BIGINT)
                AS underwater_bars
     FROM pk
@@ -169,7 +169,11 @@ def drawdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bars"),
         F.max("price").alias("peak_value"),
         F.max_by("price", "ts").alias("final_value"),
-        r4(F.max((F.col("peak") - F.col("price")) / F.col("peak"))).alias("max_drawdown"),
+        r4(
+            F.max(
+                (F.col("peak") - F.col("price")) / F.nullif(F.col("peak"), F.lit(0.0))
+            )
+        ).alias("max_drawdown"),
         F.sum(F.when(F.col("price") < F.col("peak"), 1).otherwise(0)).alias("underwater_bars"),
     )
 
@@ -179,7 +183,8 @@ _RET_CTE = """
     ret AS (
         SELECT user_id, ts, event_id,
                date_trunc('hour', ts) AS h,
-               value / LAG(value) OVER (PARTITION BY user_id ORDER BY ts) - 1.0 AS r
+               value / NULLIF(LAG(value) OVER (PARTITION BY user_id ORDER BY ts), 0.0)
+                   - 1.0 AS r
         FROM events
     ),
     mkt AS (
@@ -225,10 +230,12 @@ def beta_to_market(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-entity rollup. No users² anywhere."""
     b = _bars(spark, sf_dir)
     wl = Window.partitionBy("user_id").orderBy("ts")
+    # NULLIF guard: a zero prior price yields a NULL return (excluded below)
+    # instead of an ANSI divide-by-zero — same rows on both engines.
     ret = b.select(
         "user_id",
         F.date_trunc("hour", F.col("ts")).alias("h"),
-        (F.col("price") / F.lag("price").over(wl) - 1.0).alias("r"),
+        (F.col("price") / F.nullif(F.lag("price").over(wl), F.lit(0.0)) - 1.0).alias("r"),
     )
     mkt = (
         ret.where(F.col("r").isNotNull())

@@ -279,3 +279,131 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         "n_events",
     )
+
+
+# --- cohort retention matrix --------------------------------------------------
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    mat AS (
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, a.wk) // 7 AS BIGINT)
+                   AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_active
+        FROM active a JOIN first_seen f USING (user_id)
+        GROUP BY 1, 2
+    ),
+    sz AS (
+        SELECT cohort_week, COUNT(*) AS cohort_size
+        FROM first_seen GROUP BY 1
+    )
+    SELECT m.cohort_week, m.week_offset, m.n_active, s.cohort_size,
+           ROUND(m.n_active * 1.0 / s.cohort_size, 4) AS retention
+    FROM mat m JOIN sz s USING (cohort_week)
+    """,
+    tags=("maintenance", "retention", "A-agg"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention matrix: users grouped by first-active week,
+    tracked by distinct-active weeks since, with the retention rate
+    against the cohort size. Three aggregations, each a single shuffle
+    on a bounded key (user, then cohort×offset — calendar-sized, tiny
+    next to the event volume); the cohort-size table joins back via
+    broadcast. The product-analytics staple every event warehouse
+    serves."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    mat = (
+        active.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sz = first_seen.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    return mat.join(sz, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        r4(F.col("n_active") * F.lit(1.0) / F.col("cohort_size")).alias("retention"),
+    )
+
+
+# --- hot-key skew report ------------------------------------------------------
+SKEW_TOPK = 10
+
+
+@query(
+    "key_skew_report",
+    oracle=f"""
+    WITH counts AS (
+        SELECT l_suppkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys FROM counts
+    ),
+    topk AS (
+        SELECT key, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rank
+        FROM counts QUALIFY rank <= {SKEW_TOPK}
+    )
+    SELECT t.key, t.rank, t.cnt,
+           ROUND(t.cnt * 100.0 / x.total, 4) AS share_pct,
+           ROUND(t.cnt * 1.0 * x.n_keys / x.total, 4) AS skew_ratio,
+           ROUND(SUM(t.cnt) OVER (ORDER BY t.rank ROWS UNBOUNDED PRECEDING)
+                 * 100.0 / x.total, 4) AS cum_share_pct
+    FROM topk t CROSS JOIN tot x
+    """,
+    tags=("maintenance", "skew", "T-topk"),
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnosis for a join/aggregation key: the SKEW_TOPK hottest
+    keys with their share of rows, skew ratio versus a uniform key
+    (cnt·n_keys/total — 1.0 means perfectly balanced), and the running
+    share of the head. This is the query an operator runs BEFORE picking
+    a salting factor (operators/skew.py) or enabling AQE skew-join for a
+    key. One count aggregation, a distributed top-K (orderBy+limit —
+    never a full sort), a 1-row scalar broadcast, and a 10-row window."""
+    counts = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("key"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = counts.agg(
+        F.sum("cnt").cast("long").alias("total"), F.count("*").alias("n_keys")
+    )
+    topk = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(SKEW_TOPK)
+    w = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = topk.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("key"))).cast("long"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "rank",
+            "cnt",
+            r4(F.col("cnt") * 100.0 / F.col("total")).alias("share_pct"),
+            r4(F.col("cnt") * 1.0 * F.col("n_keys") / F.col("total")).alias("skew_ratio"),
+            r4(
+                F.sum("cnt").over(w) * 100.0 / F.col("total")
+            ).alias("cum_share_pct"),
+        )
+    )

@@ -77,6 +77,33 @@ def _mh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared(spark, sf_dir, "mh_pairs", build)
 
 
+def _sh_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n) — per-doc distinct-shingle counts, shared by the
+    Jaccard and containment scorers."""
+    return shared(
+        spark, sf_dir, "sh_sizes",
+        lambda: _sh_distinct(spark, sf_dir).groupBy("doc_id").agg(F.count("*").alias("n")),
+    )
+
+
+def _sh_common_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d1 < d2, c) — shared-shingle counts over the skew-salted
+    inverted-index candidate pairs. The expensive pair-volume shuffle of
+    the exact set-overlap family runs ONCE per session; Jaccard and
+    containment are cheap projections over this materialization."""
+    from ..operators.skew import skewsafe_pair_gen
+
+    def build() -> DataFrame:
+        sh = _sh_distinct(spark, sf_dir)
+        return (
+            skewsafe_pair_gen(sh, key="shingle", id_col="doc_id", hot_df=HOT_SHINGLE_DF)
+            .groupBy("d1", "d2")
+            .agg(F.count("*").alias("c"))
+        )
+
+    return shared(spark, sf_dir, "sh_common_counts", build)
+
+
 def _lsh_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(d1 < d2, sim_raw) — exact cosine over the UNDIRECTED hyperplane-LSH
     candidate set, scored once per session. The dot is symmetric, so the
@@ -604,18 +631,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     melting one reducer — while the cold long tail joins plainly. Output
     is row-identical to the naive self-join, so the oracle is unchanged.
     """
-    from ..operators.skew import skewsafe_pair_gen
-
-    # shared cache: the distinct-shingle frame feeds the pair generator AND
-    # the per-doc size aggregation — and the MinHash family reads the same
-    # materialization (one tokenize+explode+dedup pass per session).
-    sh = _sh_distinct(spark, sf_dir)
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    common = (
-        skewsafe_pair_gen(sh, key="shingle", id_col="doc_id", hot_df=HOT_SHINGLE_DF)
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("c"))
-    )
+    counts = _sh_sizes(spark, sf_dir)
+    common = _sh_common_counts(spark, sf_dir)
     j = F.col("c") / (F.col("ca.n") + F.col("cb.n") - F.col("c"))
     return (
         common.join(counts.alias("ca"), F.col("d1") == F.col("ca.doc_id"))
@@ -1225,15 +1242,8 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel (skew-salted, never all-pairs), same session-shared distinct
     shingle frame — one extra projection over the common-count frame,
     so the marginal cost over ngram_jaccard_pairs is near zero."""
-    from ..operators.skew import skewsafe_pair_gen
-
-    sh = _sh_distinct(spark, sf_dir)
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    common = (
-        skewsafe_pair_gen(sh, key="shingle", id_col="doc_id", hot_df=HOT_SHINGLE_DF)
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("c"))
-    )
+    counts = _sh_sizes(spark, sf_dir)
+    common = _sh_common_counts(spark, sf_dir)
     c1 = F.col("c") / F.col("ca.n")
     c2 = F.col("c") / F.col("cb.n")
     return (
@@ -1246,5 +1256,77 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("n_common"),
             r4(c1).alias("cont_1"),
             r4(c2).alias("cont_2"),
+        )
+    )
+
+
+# ---- one damped PageRank iteration over the near-dup graph -------------------
+@query(
+    "pagerank_iteration",
+    oracle=f"""
+    WITH {_minhash_bands_ctes()},
+    pairs0 AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT d1 AS src, d2 AS dst FROM pairs0
+        UNION ALL
+        SELECT d2 AS src, d1 AS dst FROM pairs0
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    contrib AS (
+        SELECT e.dst AS doc_id, SUM(1.0 / (x.n_docs * d.deg)) AS c
+        FROM edges e JOIN deg d ON e.src = d.src CROSS JOIN n x
+        GROUP BY 1
+    )
+    SELECT doc.doc_id,
+           ROUND(0.15 / x.n_docs + 0.85 * COALESCE(c.c, 0.0), 8) AS pr_next
+    FROM documents doc
+    CROSS JOIN n x
+    LEFT JOIN contrib c ON c.doc_id = doc.doc_id
+    """,
+    tags=("graph", "pagerank"),
+)
+def pagerank_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One damped (d=0.85) PageRank power-iteration step from the uniform
+    vector over the undirected near-dup candidate graph — centrality
+    scoring of the duplication structure (hub documents that near-match
+    many others rank high; the keep-best dedup can prefer them as
+    canonical). Same one-iteration-as-operator contract the k-means
+    Lloyd step established: the full algorithm is a driver loop of this
+    exactly-oracle-checked step. Plan: the shared MinHash pair frame →
+    symmetric edge list → degree aggregation → one contribution shuffle
+    on dst + a 1-row scalar broadcast; per iteration cost is two
+    key-shuffles over the edge list, the textbook distributed-PageRank
+    shape. Isolated nodes keep the teleport mass via the left join."""
+    pairs = _mh_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).unionAll(
+        pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nd = _docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))
+    contrib = (
+        edges.join(deg, "src")
+        .crossJoin(F.broadcast(nd))
+        .groupBy(F.col("dst").alias("doc_id"))
+        .agg(F.sum(F.lit(1.0) / (F.col("n_docs") * F.col("deg"))).alias("c"))
+    )
+    from ..exprs import stable_round
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .crossJoin(F.broadcast(nd))
+        .join(contrib, "doc_id", "left")
+        .select(
+            "doc_id",
+            stable_round(
+                0.15 / F.col("n_docs") + 0.85 * F.coalesce(F.col("c"), F.lit(0.0)), 8
+            ).alias("pr_next"),
         )
     )

@@ -125,3 +125,40 @@ def test_incremental_merge_equals_recompute_on_any_cutoff(spark, sf_dir):
         )
         assert (merged.n == full.n).all()
         assert (abs(merged.s - full.s) < 1e-6 * abs(full.s)).all()
+
+
+def test_retention_cohort_invariants(spark, sf_dir):
+    out = REGISTRY["retention_cohorts"].fn(spark, sf_dir).toPandas()
+    # week 0 is full retention by construction (first week is active)
+    w0 = out[out.week_offset == 0]
+    assert (w0.n_active == w0.cohort_size).all()
+    assert (w0.retention == 1.0).all()
+    assert (out.n_active <= out.cohort_size).all()
+    assert (out.week_offset >= 0).all()
+    # cohort sizes sum to the distinct-user universe
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id").distinct().count()
+    )
+    assert w0.cohort_size.sum() == n_users
+
+
+def test_key_skew_report_invariants(spark, sf_dir):
+    out = REGISTRY["key_skew_report"].fn(spark, sf_dir).toPandas().sort_values("rank")
+    assert list(out["rank"]) == list(range(1, len(out) + 1))
+    assert (out.cnt.diff().dropna() <= 0).all()  # non-increasing head
+    assert (out.cum_share_pct.diff().dropna() > 0).all()
+    assert out.cum_share_pct.iloc[-1] <= 100.0 + 1e-9
+    assert (out.skew_ratio > 0).all()
+
+
+def test_pagerank_iteration_is_a_distribution_step(spark, sf_dir):
+    out = REGISTRY["pagerank_iteration"].fn(spark, sf_dir).toPandas()
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(out) == n
+    # teleport floor for every node, isolated nodes sit exactly on it
+    assert (out.pr_next >= 0.15 / n - 1e-12).all()
+    # no dangling-mass redistribution in this variant: total mass <= 1
+    assert out.pr_next.sum() <= 1.0 + 1e-9
+    # symmetric-graph property: mass conserved over non-isolated nodes
+    # (every edge's contribution lands on some node), so sum > teleport mass
+    assert out.pr_next.sum() > 0.15 - 1e-9
