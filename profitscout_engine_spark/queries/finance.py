@@ -344,3 +344,68 @@ def pairwise_return_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.where((F.col("n_hours") >= 2) & (dxx > 0) & (dyy > 0))
         .select("u1", "u2", "n_hours", r4(num / F.sqrt(dxx * dyy)).alias("corr_px"))
     )
+
+
+# --- calendar spine gap-fill + forward fill -----------------------------------
+@query(
+    "gap_fill_ffill",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               arg_max(value, ts) AS close
+        FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT user_id,
+               unnest(generate_series(MIN(h), MAX(h), INTERVAL 1 HOUR)) AS h
+        FROM hourly GROUP BY user_id
+    ),
+    joined AS (
+        SELECT s.user_id, s.h, hourly.close
+        FROM spine s LEFT JOIN hourly ON hourly.user_id = s.user_id AND hourly.h = s.h
+    )
+    SELECT user_id, h,
+           LAST_VALUE(close IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING
+           ) AS close_filled,
+           close IS NULL AS is_gap
+    FROM joined
+    """,
+    tags=("finance", "gap-fill", "W-window"),
+)
+def gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify each entity's bar series onto a complete hourly calendar
+    spine and forward-fill the last observation across the gaps — the
+    prerequisite for any fixed-step indicator/return math over sparse
+    ticks (EWMs, lagged returns and resamples all assume evenly spaced
+    bars; the reference gets this for free from market-hours bar APIs).
+    The spine is generated per entity with ``sequence()`` between its
+    own first and last hour — no driver-side calendar, no cross join
+    with a global range — then one left join back onto the hourly
+    closes and one ``last(ignorenulls)`` window pass. Rows scale with
+    entity×span, all keyed shuffles."""
+    b = _bars(spark, sf_dir)
+    hourly = b.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.max_by("price", "ts").alias("close"))
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(
+            F.sequence(
+                F.min("h"), F.max("h"), F.expr("INTERVAL 1 HOUR")
+            ).alias("hs")
+        )
+        .select("user_id", F.explode("hs").alias("h"))
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "h",
+        F.last("close", ignorenulls=True).over(w).alias("close_filled"),
+        F.col("close").isNull().alias("is_gap"),
+    )

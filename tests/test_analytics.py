@@ -162,3 +162,20 @@ def test_pagerank_iteration_is_a_distribution_step(spark, sf_dir):
     # symmetric-graph property: mass conserved over non-isolated nodes
     # (every edge's contribution lands on some node), so sum > teleport mass
     assert out.pr_next.sum() > 0.15 - 1e-9
+
+
+def test_gap_fill_spine_is_dense_and_filled(spark, sf_dir):
+    out = REGISTRY["gap_fill_ffill"].fn(spark, sf_dir).toPandas()
+    assert out.close_filled.notna().all()  # spine starts at first observation
+    for uid, g in out.groupby("user_id"):
+        g = g.sort_values("h")
+        # dense hourly spine: every consecutive step is exactly one hour
+        assert (g.h.diff().dropna() == pd.Timedelta(hours=1)).all()
+        # first row is a real observation, not a fill
+        assert not bool(g.is_gap.iloc[0])
+    # filled rows carry the previous observation forward: spot-check one user
+    uid = out.user_id.iloc[0]
+    g = out[out.user_id == uid].sort_values("h").reset_index(drop=True)
+    for i in range(1, len(g)):
+        if g.is_gap[i]:
+            assert g.close_filled[i] == g.close_filled[i - 1]

@@ -192,3 +192,67 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     assert (streamed["purchase_id"].values == batch["purchase_id"].values).all()
     assert (streamed["click_id"].values == batch["click_id"].values).all()
     assert len(batch) > 0  # the fixture actually exercises the join
+
+
+def test_streaming_ohlc_candles_match_batch(spark, sf_dir, tmp_path):
+    """The OHLCV candle aggregation runs unchanged under Structured
+    Streaming: min_by/max_by/sum over an event-time window, fed the same
+    events through a 3-micro-batch file stream, must equal the batch
+    ohlc_resample result — the resample operator is streaming-safe."""
+    from profitscout_engine_spark.queries import load_registry
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    chunks = [
+        ev.where(F.col("event_id") % 3 == i).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        for i in range(3)
+    ]
+    root = _staged_files(spark, tmp_path, chunks)
+
+    stream = (
+        spark.readStream.schema(chunks[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+    )
+    bars = stream.select(
+        "user_id",
+        "ts",
+        F.col("value").alias("price"),
+        (F.col("event_id") % 100 + 1).cast("long").alias("vol"),
+    )
+    candles = (
+        bars.groupBy("user_id", F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.min_by("price", "ts").alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", "ts").alias("close"),
+            F.sum("vol").alias("volume"),
+            F.count("*").alias("n_trades"),
+        )
+        .select(
+            "user_id", F.col("win.start").alias("bar_start"),
+            "open", "high", "low", "close", "volume", "n_trades",
+        )
+    )
+    _run_stream(candles, "complete", "ohlc_stream")
+    got = (
+        spark.sql("SELECT * FROM ohlc_stream")
+        .toPandas()
+        .sort_values(["user_id", "bar_start"])
+        .reset_index(drop=True)
+    )
+    want = (
+        load_registry()["ohlc_resample"]
+        .fn(spark, sf_dir)
+        .drop("vwap")
+        .toPandas()
+        .sort_values(["user_id", "bar_start"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
