@@ -658,3 +658,35 @@ def unigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# --- rank-normalized features (distribution-free scaling) ----------------------
+@query(
+    "rank_normalize",
+    oracle="""
+    SELECT doc_id, lang,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars, doc_id), 6)
+               AS pr_len,
+           ROUND(CUME_DIST() OVER (PARTITION BY lang ORDER BY n_chars), 6) AS cd_len
+    FROM documents
+    """,
+    tags=("curation", "rank-normalize", "W-window"),
+)
+def rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free feature scaling: percent-rank and cumulative
+    distribution of document length within each language — the rank
+    transform a curation pipeline applies before mixing heterogeneous
+    quality signals (robust to outliers where z-scores are not;
+    complements zscore_normalize). percent_rank ties break on doc_id so
+    both engines rank identically; cume_dist is tie-invariant by
+    definition. One window partition per language, no aggregation
+    shuffle beyond it."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    wp = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("lang").orderBy("n_chars")
+    return d.select(
+        "doc_id",
+        "lang",
+        r6(F.percent_rank().over(wp)).alias("pr_len"),
+        r6(F.cume_dist().over(wc)).alias("cd_len"),
+    )
