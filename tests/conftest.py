@@ -57,8 +57,28 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def canonical_dtype(s: pd.Series) -> str:
+    """Dtype class as the driver's TYPED value hash sees it: all datetime
+    resolutions/themes collapse to 'datetime' (date-vs-timestamp is
+    tolerated — queries emitting DATE columns have green driver rows),
+    but numeric KIND and WIDTH are preserved: DuckDB HUGEINT→float64 vs
+    Spark int64 broke the round-2 driver hash while values were
+    bit-identical, so int/float drift must fail loudly here."""
+    d = str(s.dtype)
+    if d.startswith("datetime64"):
+        return "datetime"
+    return d
+
+
 def assert_frames_match(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str = ""):
     a, b = normalize(spark_df), normalize(oracle_df)
     assert list(a.columns) == list(b.columns), f"{name}: columns {list(a.columns)} != {list(b.columns)}"
+    dt_a = {c: canonical_dtype(a[c]) for c in a.columns}
+    dt_b = {c: canonical_dtype(b[c]) for c in b.columns}
+    drift = {c: (dt_a[c], dt_b[c]) for c in a.columns if dt_a[c] != dt_b[c]}
+    assert not drift, (
+        f"{name}: dtype drift (breaks the driver's typed value hash even when "
+        f"values are identical — see NOTES.md trap log): {drift}"
+    )
     assert len(a) == len(b), f"{name}: row count {len(a)} != {len(b)}"
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True, obj=name or "query")
