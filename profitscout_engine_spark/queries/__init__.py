@@ -105,6 +105,7 @@ _MODULES = (
     "sketches",
     "finance",
     "maintenance",
+    "tpch",
 )
 
 # Round-3 window rotation (VERDICT r2, item 2): front-load (a) the two curation
