@@ -765,3 +765,96 @@ def click_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_ts",
         r2(F.col("purchase_value")).alias("purchase_value"),
     )
+
+
+# --- mergeable block-quantile digest ------------------------------------------
+QD_SHARDS = 64
+QD_QUANTILES = ((1, "q25"), (2, "q50"), (3, "q75"))  # numerator of q/4
+
+
+def _qd_shard_sql(md5_expr: str, strpos: str) -> str:
+    """0..QD_SHARDS-1 from the first two hex chars of an md5."""
+    hi = _hx(strpos, f"substr({md5_expr}, 1, 1)")
+    lo = _hx(strpos, f"substr({md5_expr}, 2, 1)")
+    return f"(({hi} * 16 + {lo}) % {QD_SHARDS})"
+
+
+def _qd_oracle() -> str:
+    shard = _qd_shard_sql("md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR)", "strpos")
+    picks = " OR ".join(
+        f"pos = (ns * {p} + 3) // 4" for p, _ in QD_QUANTILES
+    )
+    label = "CASE " + " ".join(
+        f"WHEN pos = (ns * {p} + 3) // 4 THEN '{lab}'" for p, lab in QD_QUANTILES
+    ) + " END"
+    return f"""
+    WITH rows_ AS (
+        SELECT l_extendedprice AS v,
+               md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR) AS rk,
+               {shard} AS shard
+        FROM lineitem
+    ),
+    ranked AS (
+        SELECT shard, v, rk,
+               ROW_NUMBER() OVER (PARTITION BY shard ORDER BY v, rk) AS pos,
+               COUNT(*) OVER (PARTITION BY shard) AS ns
+        FROM rows_
+    ),
+    digest AS (
+        SELECT shard, ns, v, {label} AS quantile
+        FROM ranked WHERE {picks}
+    )
+    SELECT quantile,
+           ROUND(SUM(ns * v) / SUM(ns), 4) AS est,
+           CAST(SUM(ns) AS BIGINT) AS n_total
+    FROM digest
+    GROUP BY quantile
+    """
+
+
+@query("quantile_digest_merge", oracle=_qd_oracle(), tags=("sketch", "quantile", "A13"))
+def quantile_digest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable block-quantile digest — the quantile member of the
+    portable sketch family (cardinality/frequency/membership/sampling
+    already have exact cross-engine twins; Spark's built-in
+    approx_percentile is implementation-defined, hence rows-only).
+
+    Rows hash (md5) into QD_SHARDS blocks; each block contributes its
+    EXACT type-1 order statistics (value at ceil(q·n) — a pure
+    row_number pick with a unique tie-break, no interpolation
+    arithmetic to drift between engines); the merge is the
+    size-weighted mean of block quantiles. This is the block-digest
+    shape KLL/t-digest industrialize: per-block compaction (here a
+    partition-local sort bounded by n/QD_SHARDS), tiny digests to the
+    merger, one number out. Estimator error vs the true quantile is
+    pinned by a pytest envelope; the digest itself is exactly
+    replayable, so the driver value-checks every cell."""
+    li = t(spark, sf_dir, "lineitem")
+    strpos, md5e = "instr", "md5(concat(cast(l_orderkey as string), '|', cast(l_linenumber as string)))"
+    rows = li.selectExpr(
+        "l_extendedprice AS v",
+        f"{md5e} AS rk",
+        f"{_qd_shard_sql(md5e, strpos)} AS shard",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("v", "rk")
+    ranked = rows.select(
+        "shard",
+        "v",
+        F.row_number().over(w).alias("pos"),
+        F.count("*").over(Window.partitionBy("shard")).alias("ns"),
+    )
+    pick = None
+    label = None
+    for p, lab in QD_QUANTILES:
+        cond = F.col("pos") == F.expr(f"(ns * {p} + 3) div 4")
+        pick = cond if pick is None else (pick | cond)
+        label = (
+            F.when(cond, F.lit(lab)) if label is None else label.when(cond, F.lit(lab))
+        )
+    digest = ranked.where(pick).select("shard", "ns", "v", label.alias("quantile"))
+    return digest.groupBy("quantile").agg(
+        r4(F.sum(F.col("ns") * F.col("v")) / F.sum("ns")).alias("est"),
+        F.sum("ns").cast("long").alias("n_total"),
+    )

@@ -179,3 +179,26 @@ def test_gap_fill_spine_is_dense_and_filled(spark, sf_dir):
     for i in range(1, len(g)):
         if g.is_gap[i]:
             assert g.close_filled[i] == g.close_filled[i - 1]
+
+
+def test_quantile_digest_error_envelope(spark, sf_dir):
+    """The merged block-digest estimate must sit close to the true
+    quantile: each block's type-1 order statistic is a consistent
+    estimator, and the weighted mean over 64 md5 blocks concentrates.
+    Pin a 5% relative envelope (observed <1% on the fixtures)."""
+    import numpy as np
+
+    out = (
+        REGISTRY["quantile_digest_merge"].fn(spark, sf_dir).toPandas().set_index("quantile")
+    )
+    x = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_extendedprice")
+        .toPandas()["l_extendedprice"]
+        .to_numpy()
+    )
+    for lab, q in [("q25", 0.25), ("q50", 0.5), ("q75", 0.75)]:
+        exact = np.quantile(x, q)
+        est = out.loc[lab, "est"]
+        assert abs(est - exact) / exact < 0.05, (lab, est, exact)
+        assert out.loc[lab, "n_total"] == len(x)
