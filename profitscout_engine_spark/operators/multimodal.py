@@ -130,3 +130,97 @@ def decode_features(payloads: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=columns)
 
     return payloads.mapInPandas(decode_batch, schema=FEATURE_SCHEMA)
+
+
+FRAME_SAMPLE_K = 4  # keep every K-th frame
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_mean", DoubleType()),
+        StructField("first_byte", LongType()),
+    ]
+)
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("new_width", LongType()),
+        StructField("new_height", LongType()),
+        StructField("resized_mean", DoubleType()),
+    ]
+)
+
+
+def sample_frames(payloads: DataFrame, k: int = FRAME_SAMPLE_K) -> DataFrame:
+    """Frame sampling over an opaque binary column: the payload is read as
+    consecutive FRAME_BYTES-byte frames (the video-bitstream model: fixed
+    stride, header included) and every k-th frame is emitted as its own
+    row with per-frame statistics. One Arrow batch pass, output rows
+    ≈ input_bytes/(FRAME_BYTES·k) — the decimation step a video pipeline
+    runs before expensive per-frame inference. Means are exact int64
+    sums over 64 bytes divided once, so the oracle replays them."""
+    frame_bytes, step = FRAME_BYTES, k
+
+    def sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: list[tuple[int, int, float, int]] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n_frames = buf.size // frame_bytes
+                frames = buf[: n_frames * frame_bytes].reshape(n_frames, frame_bytes)
+                for idx in range(0, n_frames, step):
+                    fr = frames[idx]
+                    out.append(
+                        (
+                            doc_id,
+                            idx,
+                            float(fr.sum(dtype=np.int64)) / frame_bytes,
+                            int(fr[0]),
+                        )
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return payloads.mapInPandas(sample_batch, schema=FRAME_SCHEMA)
+
+
+def resize_nearest(payloads: DataFrame) -> DataFrame:
+    """Nearest-neighbor 2× downscale of the decoded P6 image: parse the
+    header, reshape to (h, w, 3), keep every second row and column, and
+    report the resized geometry + mean. The resize itself is the real
+    array operation (strided view, no copy); only the summary rides out
+    so the oracle can replay it from the source bytes. The shape an
+    image-preprocessing stage (thumbnailing before feature extraction)
+    takes over binary columns."""
+
+    def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:3] != b"P6\n":
+                    raise ValueError(f"doc {doc_id}: not a P6 PPM payload")
+                nl_dims = buf.index(b"\n", 3)
+                w_s, h_s = buf[3:nl_dims].split()
+                w, h = int(w_s), int(h_s)
+                nl_max = buf.index(b"\n", nl_dims + 1)
+                img = np.frombuffer(buf, dtype=np.uint8, offset=nl_max + 1).reshape(
+                    h, w, 3
+                )
+                small = img[::2, ::2]  # strided nearest-neighbor view
+                rows.append(
+                    (
+                        doc_id,
+                        small.shape[1],
+                        small.shape[0],
+                        float(small.sum(dtype=np.int64)) / small.size,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return payloads.mapInPandas(resize_batch, schema=RESIZE_SCHEMA)

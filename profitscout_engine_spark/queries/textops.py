@@ -724,3 +724,101 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(PMI_TOPK)
     )
+
+
+# --- multimodal: fixed-stride frame sampling over the binary column -----------
+@query(
+    "frame_sample_stride",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, n_chars, text,
+               n_chars % 64 + 1 AS width,
+               n_chars % 48 + 1 AS height,
+               (n_chars % 64 + 1) * (n_chars % 48 + 1) * 3 AS needed
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               'P6' || chr(10) || width || ' ' || height || chr(10) || '255'
+                    || chr(10) ||
+               substr(repeat(text, CAST((needed + n_chars - 1) // n_chars AS INT)),
+                      1, needed) AS blob
+        FROM p
+    ),
+    f AS (
+        SELECT doc_id, blob,
+               unnest(range(0, length(blob) // {FRAME_BYTES})) AS frame_idx
+        FROM b
+    )
+    SELECT doc_id, frame_idx,
+           ROUND(list_aggregate(list_transform(range(1, {FRAME_BYTES} + 1),
+                     i -> ascii(substr(blob, frame_idx * {FRAME_BYTES} + i, 1))),
+                 'avg'), 4) AS frame_mean,
+           CAST(ascii(substr(blob, frame_idx * {FRAME_BYTES} + 1, 1)) AS BIGINT)
+               AS first_byte
+    FROM f
+    WHERE frame_idx % 4 = 0
+    """,
+    tags=("textops", "multimodal", "frame-sample"),
+)
+def frame_sample_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-bitstream frame decimation over the opaque binary column:
+    the payload is consumed as fixed FRAME_BYTES strides and every 4th
+    frame fans out to its own row with per-frame statistics — the
+    sampling step before per-frame inference, run as ONE Arrow
+    mapInPandas pass (pandas/numpy kernel) whose output rows are
+    bytes/(stride·k) of the input. The oracle replays every sampled
+    frame from the source text, so the fan-out row set and the per-frame
+    means are value-checked exactly."""
+    from ..operators.multimodal import sample_frames
+
+    frames = sample_frames(with_payload(_docs(spark, sf_dir)))
+    return frames.select(
+        "doc_id", "frame_idx", r4(F.col("frame_mean")).alias("frame_mean"), "first_byte"
+    )
+
+
+# --- multimodal: nearest-neighbor 2x downscale --------------------------------
+@query(
+    "image_resize_nn",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, n_chars, text,
+               n_chars % 64 + 1 AS width,
+               n_chars % 48 + 1 AS height,
+               (n_chars % 64 + 1) * (n_chars % 48 + 1) * 3 AS needed
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, width, height, needed,
+               substr(repeat(text, CAST((needed + n_chars - 1) // n_chars AS INT)),
+                      1, needed) AS body
+        FROM p
+    )
+    SELECT doc_id,
+           CAST((width + 1) // 2 AS BIGINT) AS new_width,
+           CAST((height + 1) // 2 AS BIGINT) AS new_height,
+           ROUND(list_aggregate(list_transform(
+                     list_filter(range(1, needed + 1),
+                         i -> ((((i - 1) // 3) // width) % 2 = 0)
+                          AND ((((i - 1) // 3) % width) % 2 = 0)),
+                     i -> ascii(substr(body, i, 1))), 'avg'), 4) AS resized_mean
+    FROM b
+    """,
+    tags=("textops", "multimodal", "resize"),
+)
+def image_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor 2× image downscale over the binary column: the
+    Arrow (pandas/numpy) kernel parses the P6 header, reshapes the pixel
+    plane and takes the strided [::2, ::2] view — a real resize, zero
+    copy — reporting the new geometry and mean. The oracle re-derives
+    the kept-pixel set from the source bytes by index arithmetic
+    (row%2=0 AND col%2=0 over the reshape), so the resize geometry and
+    content are value-checked, which is the honest test that the
+    reshape→stride math is right."""
+    from ..operators.multimodal import resize_nearest
+
+    out = resize_nearest(with_payload(_docs(spark, sf_dir)))
+    return out.select(
+        "doc_id", "new_width", "new_height", r4(F.col("resized_mean")).alias("resized_mean")
+    )
