@@ -200,3 +200,55 @@ def streaming_dedup(events: DataFrame, key: str, watermark: str = "1 hour") -> D
     training-pipeline exact-dedup pass: infinite streams need bounded
     dedup state, and the watermark is the retention contract."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])
+
+
+def expire_idle_sessions(events: DataFrame, gap: str = "1 hour") -> DataFrame:
+    """Heartbeat/idle-session detection with EVENT-TIME TIMERS: each key
+    keeps (n_events, last_seen) in GroupState and arms an event-time
+    timeout at last_seen + gap; when the watermark passes that deadline
+    with no new events, the state FIRES — the key emits a closed-session
+    row and its state is removed from the store. This is the capability
+    plain windowed aggregation cannot express: the *absence* of data
+    producing output (dead-man's-switch monitoring, session expiry with
+    side effects, abandoned-cart triggers). State-store cost is one
+    small tuple per live key, and expiry guarantees the store shrinks —
+    the unbounded-key hygiene a 100 TB stream needs."""
+    import datetime as _dt
+
+    gap_ms = {"1 hour": 3_600_000, "30 minutes": 1_800_000}[gap]
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, last_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "closed_at": [_dt.datetime.utcfromtimestamp((last_ms + gap_ms) / 1000.0)],
+                }
+            )
+            return
+        n, last_ms = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_max = int(pdf["ts"].astype("int64").max() // 1_000_000)
+            last_ms = max(last_ms, batch_max)
+        state.update((n, last_ms))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        yield pd.DataFrame(
+            {"user_id": pd.Series([], dtype="int64"),
+             "n_events": pd.Series([], dtype="int64"),
+             "closed_at": pd.Series([], dtype="datetime64[ns]")}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, closed_at timestamp",
+        stateStructType="n long, last_ms long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

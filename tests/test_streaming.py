@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 import time
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -256,3 +257,61 @@ def test_streaming_ohlc_candles_match_batch(spark, sf_dir, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_event_time_timeout_closes_idle_sessions(spark, sf_dir, tmp_path):
+    """Event-time timers: users active ONLY in the first chronological
+    third must fire a timeout (closed-session row) once later batches
+    push the watermark past last_seen + gap; users with late events must
+    NOT close. The absence of data producing output is the capability
+    windowed aggregation cannot express."""
+    from profitscout_engine_spark.streaming.stateful import expire_idle_sessions
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    bounds = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    t1 = bounds.lo + (bounds.hi - bounds.lo) / 3
+    t2 = bounds.lo + 2 * (bounds.hi - bounds.lo) / 3
+    idle_users = {0, 1, 2, 3, 4}
+    keep_late = ~F.col("user_id").isin(list(idle_users))
+    chunks = [
+        ev.where(F.col("ts") < F.lit(t1)),
+        ev.where((F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2)) & keep_late),
+        ev.where((F.col("ts") >= F.lit(t2)) & keep_late),
+    ]
+    root = _staged_files(spark, tmp_path, chunks)
+    stream = (
+        spark.readStream.schema(chunks[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+        .withWatermark("ts", "1 minute")
+    )
+    closed = expire_idle_sessions(stream, gap="1 hour")
+    _run_stream(closed, "append", "idle_closed")
+    got = spark.sql("SELECT * FROM idle_closed").toPandas()
+    got = got[got.user_id.notna()]
+    closed = set(got.user_id.astype(int))
+    # every artificially-idled user must fire (their deadline is far
+    # behind the final watermark); other users MAY also close if they
+    # happen to go quiet long enough — that's correct timer semantics.
+    assert idle_users <= closed
+    # the idled users close exactly once, with their full first-third
+    # event count and closed_at = last_seen + gap
+    stats = (
+        chunks[0]
+        .where(F.col("user_id").isin(list(idle_users)))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.max("ts").alias("last_ts"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    idled_rows = got[got.user_id.astype(int).isin(idle_users)]
+    assert len(idled_rows) == len(idle_users)
+    for _, row in idled_rows.iterrows():
+        uid = int(row.user_id)
+        assert int(row.n_events) == int(stats.loc[uid, "n"])
+        assert row.closed_at == stats.loc[uid, "last_ts"].floor("ms") + pd.Timedelta(hours=1)
+    # users active in the FINAL third never have a pending close at end
+    # with their full count unseen: any closed row carries >= 1 event
+    assert (got.n_events >= 1).all()
