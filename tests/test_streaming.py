@@ -315,3 +315,58 @@ def test_event_time_timeout_closes_idle_sessions(spark, sf_dir, tmp_path):
     # users active in the FINAL third never have a pending close at end
     # with their full count unseen: any closed row carries >= 1 event
     assert (got.n_events >= 1).all()
+
+
+def test_stream_merge_to_txn_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming upsert into the transactional table: 3 micro-batches →
+    3 atomic snapshot commits whose union equals the source; replaying
+    the whole stream from a fresh checkpoint (crash-recovery worst case:
+    every batch re-delivered, markers ignored via a new batch-id space)
+    leaves table CONTENT unchanged — the idempotent-merge half of the
+    exactly-once argument, with time travel intact across the replay."""
+    from profitscout_engine_spark.sources.txn import current_version, read_versioned
+    from profitscout_engine_spark.streaming.txn_sink import stream_merge_to_txn
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    chunks = [ev.where(F.col("event_id") % 3 == i) for i in range(3)]
+    root = str(tmp_path / "txn_table")
+    src = _staged_files(spark, tmp_path, chunks)
+
+    def run(checkpoint: str) -> None:
+        stream = (
+            spark.readStream.schema(chunks[0].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_merge_to_txn(stream, root, keys=["event_id"], checkpoint=checkpoint)
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt1"))
+    v_first = current_version(root)
+    assert v_first == 3  # one atomic commit per micro-batch
+    got = read_versioned(spark, root).toPandas().sort_values("event_id")
+    want = ev.toPandas().sort_values("event_id")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+
+    # full re-delivery, markers intact: the fast path skips every
+    # replayed batch — no new versions, content unchanged
+    run(str(tmp_path / "ckpt2"))
+    assert current_version(root) == v_first
+    # crash-window worst case: markers lost, every batch re-merges —
+    # versions advance but the merge is idempotent on content
+    import shutil
+
+    shutil.rmtree(os.path.join(root, "_committed_batches"))
+    run(str(tmp_path / "ckpt3"))
+    assert current_version(root) > v_first
+    again = read_versioned(spark, root).toPandas().sort_values("event_id")
+    pd.testing.assert_frame_equal(
+        again.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+    # time travel across the replay: the pre-replay snapshot is intact
+    old = read_versioned(spark, root, version=v_first).toPandas().sort_values("event_id")
+    pd.testing.assert_frame_equal(
+        old.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
