@@ -796,3 +796,47 @@ def interval_peak_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("bt").alias("peak_at"))
         .select("event_type", "peak_concurrency", "peak_at")
     )
+
+
+# --- scalar family: higher-order array functions ------------------------------
+@query(
+    "order_line_array_ops",
+    oracle="""
+    WITH a AS (
+        SELECT l_orderkey,
+               list_sort(list(CAST(l_quantity AS INT))) AS q
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(q) AS INT) AS n_lines,
+           array_to_string(q, ',') AS qty_csv,
+           CAST(list_aggregate(q, 'sum') AS BIGINT) AS total_qty,
+           CAST(len(list_filter(q, x -> x >= 25)) AS INT) AS n_big,
+           array_to_string(list_transform(q[1:3], x -> x * 2), ',') AS doubled_head
+    FROM a
+    """,
+    tags=("scalar-array", "HOF"),
+)
+def order_line_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as first-class scalars: per-order
+    line quantities collected to a SORTED array, then folded
+    (``aggregate`` lambda), filtered (``filter`` lambda) and mapped
+    (``transform`` lambda) without ever exploding back to rows — the
+    §2.8 array family exercised end-to-end in whole-stage codegen, the
+    way nested data should be processed at scale (explode→regroup costs
+    a shuffle per operation; lambdas cost zero). Arrays serialize to
+    CSV strings at the comparison boundary per repo convention."""
+    li = t(spark, sf_dir, "lineitem")
+    a = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.col("l_quantity").cast("int"))).alias("q")
+    )
+    return a.select(
+        "l_orderkey",
+        F.size("q").alias("n_lines"),
+        F.array_join(F.col("q"), ",").alias("qty_csv"),
+        F.expr("aggregate(q, 0L, (acc, x) -> acc + x)").alias("total_qty"),
+        F.size(F.expr("filter(q, x -> x >= 25)")).alias("n_big"),
+        F.array_join(
+            F.expr("transform(slice(q, 1, 3), x -> x * 2)"), ","
+        ).alias("doubled_head"),
+    )

@@ -407,3 +407,74 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share_pct"),
         )
     )
+
+
+# --- information-theoretic column profiling -----------------------------------
+@query(
+    "column_entropy",
+    oracle="""
+    WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c),
+    hx AS (
+        SELECT SUM(-(n * 1.0 / t) * ln(n * 1.0 / t) / ln(2)) AS h
+        FROM c CROSS JOIN tot
+    ),
+    ch AS (
+        SELECT EXTRACT(hour FROM ts) AS hr, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    chn AS (SELECT hr, CAST(SUM(n) AS BIGINT) AS nh FROM ch GROUP BY 1),
+    hc AS (
+        SELECT SUM((nh * 1.0 / t)
+                   * (-(n * 1.0 / nh) * ln(n * 1.0 / nh) / ln(2))) AS h
+        FROM ch JOIN chn USING (hr) CROSS JOIN tot
+    )
+    SELECT 'entropy_event_type' AS measure, ROUND(hx.h, 6) AS bits FROM hx
+    UNION ALL
+    SELECT 'cond_entropy_given_hour', ROUND(hc.h, 6) FROM hc
+    UNION ALL
+    SELECT 'mutual_information', ROUND(hx.h - hc.h, 6) FROM hx CROSS JOIN hc
+    """,
+    tags=("maintenance", "profile", "entropy"),
+)
+def column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-theoretic column profile: Shannon entropy of the
+    event-type distribution, its conditional entropy given hour-of-day,
+    and their difference (mutual information — how much the clock
+    predicts the event mix; the drift/feature-relevance statistic a
+    monitoring pipeline tracks). All probabilities are exact count
+    ratios; the log2 folds run over category×hour cells (bounded,
+    tiny), so the profile costs two small aggregations no matter how
+    many rows stream through. The 1-row totals ride broadcast cross
+    joins."""
+    from ..exprs import r6
+
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum("n").cast("long").alias("t"))
+    log2 = float(__import__("math").log(2.0))
+    p = F.col("n") * 1.0 / F.col("t")
+    hx = (
+        c.crossJoin(F.broadcast(tot))
+        .agg(F.sum(-p * F.log(p) / log2).alias("h"))
+    )
+    ch = ev.groupBy(
+        F.hour("ts").alias("hr"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    chn = ch.groupBy("hr").agg(F.sum("n").cast("long").alias("nh"))
+    pt = F.col("n") * 1.0 / F.col("nh")
+    hc = (
+        ch.join(chn, "hr")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum((F.col("nh") * 1.0 / F.col("t")) * (-pt * F.log(pt) / log2)).alias("h"))
+    )
+    hxv = hx.select(F.lit("entropy_event_type").alias("measure"), r6(F.col("h")).alias("bits"))
+    hcv = hc.select(F.lit("cond_entropy_given_hour").alias("measure"), r6(F.col("h")).alias("bits"))
+    mi = (
+        hx.crossJoin(hc.select(F.col("h").alias("h2")))
+        .select(
+            F.lit("mutual_information").alias("measure"),
+            r6(F.col("h") - F.col("h2")).alias("bits"),
+        )
+    )
+    return hxv.unionAll(hcv).unionAll(mi)

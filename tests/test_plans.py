@@ -107,6 +107,8 @@ _NL_JOIN_OK = {
     # 1-row global-scalar cross joins (corpus size / key total)
     "pagerank_iteration",
     "key_skew_report",
+    # 1-row global-scalar cross joins (entropy totals)
+    "column_entropy",
     "vocab_coverage",
 }
 
