@@ -95,6 +95,8 @@ _NL_JOIN_OK = {
     "trading_day_offsets",
     # 1-row global-scalar cross join (regime selector)
     "regime_weighted_score",
+    # 1-row global-scalar threshold compare (positive-balance average)
+    "q22_dormant_balance",
     # 1-row × 1-row scalar assembly (streamed-registers estimate × exact)
     "streaming_hll_users",
     # 1-row global-scalar cross join (corpus size for idf)
