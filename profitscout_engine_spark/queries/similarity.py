@@ -1330,3 +1330,174 @@ def pagerank_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pr_next"),
         )
     )
+
+
+# ---- graph analytics: triangle census over the near-dup graph ----------------
+@query(
+    "triangle_count",
+    oracle=f"""
+    WITH {_minhash_bands_ctes()},
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    ),
+    tri AS (
+        SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.d1 = e1.d2
+        JOIN pairs e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2
+    ),
+    tcnt AS (
+        SELECT node, COUNT(*) AS n_triangles
+        FROM (SELECT a AS node FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+        GROUP BY node
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS degree
+        FROM (SELECT d1 AS node FROM pairs UNION ALL SELECT d2 FROM pairs)
+        GROUP BY node
+    )
+    SELECT deg.node AS doc_id, deg.degree,
+           COALESCE(t.n_triangles, 0) AS n_triangles,
+           ROUND(CASE WHEN deg.degree >= 2
+                      THEN COALESCE(t.n_triangles, 0) * 2E0
+                           / (deg.degree * (deg.degree - 1))
+                      ELSE 0E0 END, 4) AS clustering_coeff
+    FROM deg LEFT JOIN tcnt t ON t.node = deg.node
+    """,
+    tags=("graph", "clustering", "dedup"),
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + local clustering coefficient over the MinHash
+    near-dup graph — the density diagnostic that separates tight dup
+    clusters (coeff → 1) from chains of borderline matches (coeff → 0),
+    i.e. whether transitive-closure dedup (neardup_components) is safe
+    or will over-merge. Algorithm: edges are already ORIENTED (d1 < d2
+    from the band join), so each triangle materializes exactly once as
+    e1=(a,b), e2=(b,c), e3=(a,c) — the standard oriented wedge-closure
+    join, linear in wedge count, never an undirected 3-cycle blow-up.
+    At 100 TB orientation-by-degree (lowest-degree vertex first) bounds
+    wedge fan-out on hot nodes; with the band join's cluster sizes the
+    id orientation is equivalent. Reads the session-shared pair frame —
+    zero extra shingle/LSH work. Division is guarded (degree < 2 → 0)."""
+    pairs = _mh_pairs(spark, sf_dir)
+    e1 = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    e2 = pairs.select(F.col("d1").alias("b"), F.col("d2").alias("c"))
+    e3 = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tcnt = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        pairs.select(F.col("d1").alias("node"))
+        .unionAll(pairs.select(F.col("d2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    ntri = F.coalesce(F.col("n_triangles"), F.lit(0).cast("long"))
+    return deg.join(tcnt, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        "degree",
+        ntri.alias("n_triangles"),
+        r4(
+            F.when(
+                F.col("degree") >= 2,
+                ntri * F.lit(2.0) / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(F.lit(0.0))
+        ).alias("clustering_coeff"),
+    )
+
+
+# ---- fuzzy dedup: blocked edit-distance pairs --------------------------------
+EDIT_RADIUS = 3  # max Levenshtein distance on the prefix signature
+EDIT_PREFIX = 96  # chars of text compared (bounds the O(m*n) DP per pair)
+EDIT_BUCKET = 32  # n_chars block width
+EDIT_MAXLEN_DIFF = 16  # declared max |n_chars| gap; <= bucket so +/-1 probing is exact
+
+
+@query(
+    "fuzzy_dedup_edit",
+    oracle=f"""
+    WITH sig AS (
+        SELECT doc_id, lang, n_chars,
+               n_chars // {EDIT_BUCKET} AS bucket,
+               substr(text, 1, {EDIT_PREFIX}) AS prefix
+        FROM documents
+    ),
+    probe AS (
+        SELECT doc_id, lang, n_chars, prefix, bucket FROM sig
+        UNION ALL
+        SELECT doc_id, lang, n_chars, prefix, bucket + 1 FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+               a.prefix AS p1, b.prefix AS p2
+        FROM probe a JOIN sig b
+          ON a.lang = b.lang AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+         AND abs(a.n_chars - b.n_chars) <= {EDIT_MAXLEN_DIFF}
+    )
+    SELECT d1, d2, CAST(levenshtein(p1, p2) AS BIGINT) AS edit_dist
+    FROM cand
+    WHERE levenshtein(p1, p2) <= {EDIT_RADIUS}
+    """,
+    tags=("dedup", "fuzzy", "edit-distance"),
+)
+def fuzzy_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dedup with length blocking — the fuzzy layer
+    between exact_dedup (hash) and minhash_lsh_pairs (set overlap):
+    catches small in-place edits (typo fixes, token swaps) that shift
+    every downstream shingle. Match predicate: same lang, |n_chars| gap
+    <= EDIT_MAXLEN_DIFF, prefix edit distance <= EDIT_RADIUS. Candidate
+    generation is an EQUI-join on (lang, length-bucket): with the length
+    gap bounded by the bucket width a qualifying pair differs by at most
+    one bucket, so probing each doc's own bucket and bucket+1 (both
+    orientations exist in the full self-join) finds every pair EXACTLY —
+    never an all-pairs scan. The Levenshtein DP runs only on surviving candidates and only
+    over a fixed {EDIT_PREFIX}-char prefix signature, bounding per-pair
+    cost; both engines' levenshtein are the same unit-cost DP. Pair
+    volume = sum over (lang, bucket) of group_size², the same bounded-
+    block shape as skewsafe_pair_gen — salt hot buckets if a length
+    spike appears."""
+    sig = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.col("n_chars") / EDIT_BUCKET).cast("long").alias("bucket"),
+        F.substring("text", 1, EDIT_PREFIX).alias("prefix"),
+    )
+    probe = sig.unionAll(
+        sig.select(
+            "doc_id", "lang", "n_chars", (F.col("bucket") + 1).alias("bucket"), "prefix"
+        )
+    )
+    b = sig.select(
+        F.col("doc_id").alias("d2"),
+        F.col("lang").alias("lang2"),
+        F.col("n_chars").alias("nc2"),
+        F.col("bucket").alias("bucket2"),
+        F.col("prefix").alias("p2"),
+    )
+    cand = (
+        probe.join(
+            b,
+            (F.col("lang") == F.col("lang2"))
+            & (F.col("bucket") == F.col("bucket2"))
+            & (F.col("doc_id") < F.col("d2"))
+            & (F.abs(F.col("n_chars") - F.col("nc2")) <= EDIT_MAXLEN_DIFF),
+        )
+        .select(F.col("doc_id").alias("d1"), "d2", F.col("prefix").alias("p1"), "p2")
+        .distinct()
+    )
+    dist = F.levenshtein("p1", "p2")
+    return cand.where(dist <= EDIT_RADIUS).select(
+        "d1", "d2", dist.cast("long").alias("edit_dist")
+    )

@@ -822,3 +822,117 @@ def image_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "new_width", "new_height", r4(F.col("resized_mean")).alias("resized_mean")
     )
+
+
+# --- BM25 retrieval scoring over the corpus -----------------------------------
+BM25_TERMS = ("join", "vector", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 100
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n               ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{term}')) AS tf{i}"
+        for i, term in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n               ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    score = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN "
+        f"((n_docs - df{i} + 0.5E0) / (df{i} + 0.5E0))"
+        f" * (tf{i} * {BM25_K1 + 1.0}E0)"
+        f" / (tf{i} + {BM25_K1}E0 * ({1.0 - BM25_B}E0 + {BM25_B}E0 * dl / avgdl))"
+        f" ELSE 0E0 END)"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS dl,
+               {tf_cols}
+        FROM documents
+    ),
+    g AS (
+        SELECT SUM(dl) * 1.0 / COUNT(*) AS avgdl,
+               COUNT(*) AS n_docs,
+               {df_cols}
+        FROM base
+    )
+    SELECT doc_id, ROUND({score}, 4) AS bm25
+    FROM base, g
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """
+
+
+def _term_eq(term: str):
+    """Unary HOF predicate for F.filter (a default-arg closure would raise
+    the lambda's arity to 2, making PySpark bind the array INDEX to it)."""
+    return lambda x: x == F.lit(term)
+
+
+@query("bm25_search", oracle=_bm25_oracle(), tags=("retrieval", "bm25", "textops"))
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval for a fixed query — the sparse-ranking
+    complement to the dense ANN family (cosine_topk / ivf_search): a
+    100 TB corpus serves keyword search off exactly this plan, with the
+    per-term statistics coming from the same token stream the tf-idf
+    query shares. Design for determinism and scale:
+
+    - per-doc term frequencies via higher-order array ops on the split
+      text (filter-length), ZERO explode/shuffle on the corpus;
+    - corpus statistics (avgdl, N, per-term df) fold into ONE 1-row
+      aggregate, cross-joined back as a broadcast scalar (constant
+      cost — the allowlisted 1-row nested-loop shape);
+    - the classic log-idf is replaced by its division form
+      ((N - df + 0.5)/(df + 0.5)) so both engines evaluate identical
+      IEEE arithmetic (ln differs in the last ulp across libms — the
+      same reasoning as tfidf_top_terms);
+    - the score is a FIXED-ORDER sum of per-term components (one CASE
+      per query term, summed left-to-right), never a float SUM over an
+      exploded term table whose partial-sum order is engine-defined;
+    - top-k orders by the ROUNDED score with doc_id tie-break."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _term_eq(term))).alias(f"tf{i}")
+            for i, term in enumerate(BM25_TERMS)
+        ],
+    )
+    g = base.agg(
+        (F.sum("dl") * F.lit(1.0) / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(BM25_TERMS)):
+        tf = F.col(f"tf{i}")
+        idf = (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5)) / (
+            F.col(f"df{i}") + F.lit(0.5)
+        )
+        comp = F.when(
+            tf > 0,
+            idf
+            * (tf * F.lit(BM25_K1 + 1.0))
+            / (
+                tf
+                + F.lit(BM25_K1)
+                * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+            ),
+        ).otherwise(F.lit(0.0))
+        score = comp if score is None else score + comp
+    return (
+        base.join(F.broadcast(g))
+        .select("doc_id", r4(score).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )

@@ -313,3 +313,55 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --- streaming-window extension: sliding (hopping) event-time window ----------
+@query(
+    "sliding_window_rate",
+    oracle="""
+    WITH b AS (
+        SELECT to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800)
+                   AS bucket,
+               event_type, value
+        FROM events
+    ),
+    member AS (
+        SELECT bucket AS window_start, event_type, value FROM b
+        UNION ALL
+        SELECT bucket - INTERVAL 30 MINUTE, event_type, value FROM b
+    )
+    SELECT window_start,
+           window_start + INTERVAL 60 MINUTE AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value,
+           ROUND(COUNT(*) / 60.0, 4) AS events_per_min
+    FROM member
+    GROUP BY window_start, event_type
+    """,
+    tags=("streaming", "W-sliding"),
+)
+def sliding_window_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time window — 1-hour windows advancing every
+    30 minutes, the smoothing form a rate/alerting dashboard uses where
+    tumbling windows would alias bursts at bucket edges. Native
+    ``F.window(ts, '1 hour', '30 minutes')``: each event lands in exactly
+    width/slide = 2 windows; Spark expands membership BEFORE the shuffle,
+    so the cost is 2× the tumbling agg, not a self-join. The oracle
+    replays the same membership by epoch-floor bucketing each event to
+    its slide bucket and the one before. In a true stream this plan runs
+    under a watermark with identical results (the batch/stream parity
+    contract pinned for the tumbling twin in tests/test_streaming.py)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), r2(F.sum("value")).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+            r4(F.col("n") / F.lit(60.0)).alias("events_per_min"),
+        )
+    )

@@ -101,6 +101,8 @@ _NL_JOIN_OK = {
     "streaming_hll_users",
     # 1-row global-scalar cross join (corpus size for idf)
     "tfidf_top_terms",
+    # 1-row global-scalar cross join (avgdl / N / per-term df)
+    "bm25_search",
     # 1-row global-scalar cross joins (corpus total / floor count)
     "unigram_freq_quality",
     "domain_mix_rebalance",
