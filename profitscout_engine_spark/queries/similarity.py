@@ -1433,12 +1433,14 @@ EDIT_MAXLEN_DIFF = 16  # declared max |n_chars| gap; <= bucket so +/-1 probing i
         FROM documents
     ),
     probe AS (
+        SELECT doc_id, lang, n_chars, prefix, bucket - 1 AS bucket FROM sig
+        UNION ALL
         SELECT doc_id, lang, n_chars, prefix, bucket FROM sig
         UNION ALL
         SELECT doc_id, lang, n_chars, prefix, bucket + 1 FROM sig
     ),
     cand AS (
-        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
                a.prefix AS p1, b.prefix AS p2
         FROM probe a JOIN sig b
           ON a.lang = b.lang AND a.bucket = b.bucket
@@ -1459,11 +1461,15 @@ def fuzzy_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= EDIT_MAXLEN_DIFF, prefix edit distance <= EDIT_RADIUS. Candidate
     generation is an EQUI-join on (lang, length-bucket): with the length
     gap bounded by the bucket width a qualifying pair differs by at most
-    one bucket, so probing each doc's own bucket and bucket+1 (both
-    orientations exist in the full self-join) finds every pair EXACTLY —
-    never an all-pairs scan. The Levenshtein DP runs only on surviving candidates and only
+    one bucket; with pairs oriented d1 < d2 the probe side fans each
+    doc to buckets {b-1, b, b+1} so EVERY qualifying pair is found
+    exactly once (whichever side has the smaller id, one and only one
+    probe row lands on the other side's bucket) — never an all-pairs
+    scan, and no distinct pass over wide prefix strings. The Levenshtein DP runs only on surviving candidates and only
     over a fixed {EDIT_PREFIX}-char prefix signature, bounding per-pair
-    cost; both engines' levenshtein are the same unit-cost DP. Pair
+    cost, and Spark runs the THRESHOLD (banded) DP — O(len * radius)
+    per pair, -1 past the radius — while the oracle's full DP agrees on
+    every surviving row. Pair
     volume = sum over (lang, bucket) of group_size², the same bounded-
     block shape as skewsafe_pair_gen — salt hot buckets if a length
     spike appears."""
@@ -1474,9 +1480,15 @@ def fuzzy_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / EDIT_BUCKET).cast("long").alias("bucket"),
         F.substring("text", 1, EDIT_PREFIX).alias("prefix"),
     )
-    probe = sig.unionAll(
+    probe = (
         sig.select(
-            "doc_id", "lang", "n_chars", (F.col("bucket") + 1).alias("bucket"), "prefix"
+            "doc_id", "lang", "n_chars", (F.col("bucket") - 1).alias("bucket"), "prefix"
+        )
+        .unionAll(sig)
+        .unionAll(
+            sig.select(
+                "doc_id", "lang", "n_chars", (F.col("bucket") + 1).alias("bucket"), "prefix"
+            )
         )
     )
     b = sig.select(
@@ -1495,9 +1507,10 @@ def fuzzy_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.abs(F.col("n_chars") - F.col("nc2")) <= EDIT_MAXLEN_DIFF),
         )
         .select(F.col("doc_id").alias("d1"), "d2", F.col("prefix").alias("p1"), "p2")
-        .distinct()
     )
-    dist = F.levenshtein("p1", "p2")
-    return cand.where(dist <= EDIT_RADIUS).select(
-        "d1", "d2", dist.cast("long").alias("edit_dist")
-    )
+    # Banded DP: the threshold form costs O(len * r) per pair instead of
+    # O(len^2) and returns -1 past the radius — exact for surviving rows.
+    dist = F.levenshtein("p1", "p2", EDIT_RADIUS)
+    return cand.withColumn("edit_dist", dist).where(
+        (F.col("edit_dist") >= 0) & (F.col("edit_dist") <= EDIT_RADIUS)
+    ).select("d1", "d2", F.col("edit_dist").cast("long").alias("edit_dist"))
