@@ -840,3 +840,85 @@ def order_line_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(slice(q, 1, 3), x -> x * 2)"), ","
         ).alias("doubled_head"),
     )
+
+
+# --- A-grouping-sets: multi-grain traffic rollup in one pass ------------------
+@query(
+    "grouping_sets_traffic",
+    oracle="""
+    SELECT COALESCE(event_type, 'ALL') AS etype,
+           COALESCE(CAST(EXTRACT(HOUR FROM ts) AS BIGINT), -1) AS hr,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (EXTRACT(HOUR FROM ts)), ())
+    """,
+    tags=("A-grouping-sets", "aggregation"),
+)
+def grouping_sets_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the generalized form of cube/rollup (both already
+    registered): per-type totals, per-hour-of-day totals, and the grand
+    total in ONE aggregation pass. Spark plans this as a single Expand +
+    hash aggregate — one scan, one shuffle — where three separate
+    groupBys would scan three times; the same Expand strategy carries a
+    1000-executor rollup fan-out. Group keys are non-null in the events
+    fixture, so COALESCE sentinels ('ALL' / -1) are unambiguous grouping
+    markers on both engines."""
+    ev = t(spark, sf_dir, "events").withColumn("hr", F.hour("ts").cast("long"))
+    return (
+        ev.groupingSets(
+            [[F.col("event_type")], [F.col("hr")], []],
+            F.col("event_type"),
+            F.col("hr"),
+        )
+        .agg(F.count("*").alias("n"), r2(F.sum("value")).alias("total_value"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("etype"),
+            F.coalesce(F.col("hr"), F.lit(-1).cast("long")).alias("hr"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+# --- A-running-distinct: cumulative distinct users by day ---------------------
+@query(
+    "running_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+    ),
+    daily AS (SELECT d, COUNT(*) AS new_users FROM first_seen GROUP BY d),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+    SELECT days.d AS day,
+           COALESCE(daily.new_users, 0) AS new_users,
+           CAST(SUM(COALESCE(daily.new_users, 0))
+                OVER (ORDER BY days.d ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cumulative_users
+    FROM days LEFT JOIN daily ON daily.d = days.d
+    """,
+    tags=("A-running-distinct", "W5", "streaming"),
+)
+def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-user curve — the growth metric every events
+    warehouse reports. A naive COUNT(DISTINCT) OVER (ORDER BY day) holds
+    every user id in window state; this plan is the scalable rewrite:
+    distinct collapses to each user's FIRST-SEEN day (one shuffle on
+    user_id), daily first-seen counts are a tiny aggregate, and the
+    running sum is a window over #days rows — the only unpartitioned
+    window, bounded by the calendar, not the data. Days with zero new
+    users still appear (distinct-days spine, left join)."""
+    ev = t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    daily = first_seen.groupBy("d").agg(F.count("*").alias("new_users"))
+    days = ev.select(F.to_date("ts").alias("d")).distinct()
+    new_users = F.coalesce(F.col("new_users"), F.lit(0).cast("long"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(daily, "d", "left")
+        .select(
+            F.col("d").alias("day"),
+            new_users.alias("new_users"),
+            F.sum(new_users).over(w).alias("cumulative_users"),
+        )
+    )

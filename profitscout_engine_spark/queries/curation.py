@@ -690,3 +690,67 @@ def rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.percent_rank().over(wp)).alias("pr_len"),
         r6(F.cume_dist().over(wc)).alias("cd_len"),
     )
+
+
+# --- robust outlier detection: median absolute deviation ----------------------
+MAD_K = 1.4826  # consistency constant: MAD * k estimates sigma under normality
+MAD_Z = 3.0
+
+
+@query(
+    "mad_outliers",
+    oracle=f"""
+    WITH med AS (
+        SELECT lang, median(n_chars) AS med_nc FROM documents GROUP BY lang
+    ),
+    dev AS (
+        SELECT d.doc_id, d.lang, d.n_chars, m.med_nc,
+               abs(d.n_chars - m.med_nc) AS adev
+        FROM documents d JOIN med m ON m.lang = d.lang
+    ),
+    mad AS (SELECT lang, median(adev) AS mad_nc FROM dev GROUP BY lang)
+    SELECT dev.doc_id, dev.lang, dev.n_chars,
+           ROUND((dev.n_chars - dev.med_nc)
+                 / ({MAD_K}E0 * NULLIF(mad.mad_nc, 0E0)), 4) AS robust_z,
+           CASE WHEN mad.mad_nc > 0E0
+                THEN dev.adev > {MAD_Z}E0 * {MAD_K}E0 * mad.mad_nc
+                ELSE FALSE END AS is_outlier
+    FROM dev JOIN mad ON mad.lang = dev.lang
+    """,
+    tags=("curation", "robust-stats", "A13"),
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-language outlier flags via Median Absolute Deviation —
+    the curation filter that survives the exact heavy tails that break
+    zscore_normalize (a handful of giant documents inflate stddev until
+    nothing is an outlier; the median/MAD pair is 50%-breakdown robust).
+    Two grouped exact medians (same cross-engine interpolation contract
+    as group_quantiles), each a broadcast join-back onto the corpus —
+    no window over the full table, no sort. Zero-MAD groups (over half
+    the group at the median) yield NULL robust_z and FALSE flags by the
+    NULLIF guard, per the division trap rule."""
+    docs = t(spark, sf_dir, "documents")
+    med = docs.groupBy("lang").agg(F.expr("percentile(n_chars, 0.5)").alias("med_nc"))
+    dev = docs.join(F.broadcast(med), "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "med_nc",
+        F.abs(F.col("n_chars") - F.col("med_nc")).alias("adev"),
+    )
+    mad = dev.groupBy("lang").agg(F.expr("percentile(adev, 0.5)").alias("mad_nc"))
+    return dev.join(F.broadcast(mad), "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        r4(
+            (F.col("n_chars") - F.col("med_nc"))
+            / (F.lit(MAD_K) * F.nullif(F.col("mad_nc"), F.lit(0.0)))
+        ).alias("robust_z"),
+        F.when(
+            F.col("mad_nc") > 0.0,
+            F.col("adev") > F.lit(MAD_Z) * F.lit(MAD_K) * F.col("mad_nc"),
+        )
+        .otherwise(F.lit(False))
+        .alias("is_outlier"),
+    )

@@ -580,3 +580,47 @@ def q22_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.count("*").alias("numcust"), r2(F.sum("c_acctbal")).alias("totacctbal"))
     )
+
+
+# --- Q17 shape: small-quantity revenue (correlated scalar aggregate) ----------
+Q17_BRAND = "Brand#11"
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH pa AS (
+        SELECT l_partkey, 0.5E0 * AVG(l_quantity) AS half_avg
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0E0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa    ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = '{Q17_BRAND}'
+      AND l.l_quantity < pa.half_avg
+    """,
+    tags=("tpch-q17", "J8", "A12"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: a CORRELATED scalar aggregate — each lineitem
+    compares against the average quantity OF ITS OWN PART — decorrelated
+    the way every modern optimizer rewrites it: pre-aggregate per-part
+    averages once, join back on the part key, filter. The brand filter
+    prunes the part side to a broadcast; the per-part average is the one
+    shuffle. The comparison is exact cross-engine because l_quantity is
+    integral: the partial sums are integer-valued doubles (< 2^53), so
+    AVG is bit-identical regardless of accumulation order. At 100 TB the
+    decorrelated form is mandatory — a row-per-row subquery re-scan is
+    quadratic."""
+    li = t(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+    )
+    p = t(spark, sf_dir, "part").where(F.col("p_brand") == Q17_BRAND)
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(pa, "l_partkey")
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(r2(F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )

@@ -152,3 +152,40 @@ def test_ema_weighted_sum_50k_rows_matches_pandas(spark):
     )
     assert np.isfinite(got["ema"].to_numpy()).all()
     np.testing.assert_allclose(got["ema"].to_numpy(), exp["ema"].to_numpy(), rtol=1e-9)
+
+
+def test_sliding_stream_batch_parity(spark, sf_dir):
+    """The 1h/30m hopping aggregation produces identical window membership
+    through the batch planner and through Structured Streaming
+    (AvailableNow) — each event must land in exactly width/slide = 2
+    windows on both paths."""
+    from profitscout_engine_spark.streaming import run_stream_aggregation
+
+    def sliding(events):
+        return (
+            events.groupBy(
+                F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+            )
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("w.start").alias("window_start"), "event_type", "n"
+            )
+        )
+
+    streamed = (
+        run_stream_aggregation(spark, sf_dir, agg_builder=sliding)
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        REGISTRY["sliding_window_rate"].fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert len(streamed) == len(batch)
+    assert (streamed["n"].values == batch["n"].values).all()
+    assert (streamed["window_start"].values == batch["window_start"].values).all()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert int(batch["n"].sum()) == 2 * n_events
