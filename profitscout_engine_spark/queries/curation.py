@@ -754,3 +754,53 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(False))
         .alias("is_outlier"),
     )
+
+
+# --- privacy: k-anonymity audit over quasi-identifiers ------------------------
+KANON_K = 5
+KANON_BUCKET = 100  # n_chars coarsening applied before auditing
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH cells AS (
+        SELECT lang, source, n_chars // {KANON_BUCKET} AS size_bucket,
+               COUNT(*) AS group_n
+        FROM documents
+        GROUP BY lang, source, size_bucket
+    ),
+    tot AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT lang, source, size_bucket, group_n,
+           group_n < {KANON_K} AS is_risky,
+           ROUND(group_n * 1.0E2 / n_docs, 4) AS pct_of_corpus
+    FROM cells, tot
+    """,
+    tags=("curation", "privacy", "k-anonymity"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit — the privacy gate that runs AFTER pii_scrub:
+    even with direct identifiers gone, a quasi-identifier combination
+    (here language × source × coarsened length) that isolates fewer
+    than k documents re-identifies them by linkage. One hash aggregation
+    over the coarsened keys; the corpus total joins back as a broadcast
+    1-row scalar. Cells under k come back flagged for suppression or
+    further coarsening — at 100 TB this is the same single-shuffle
+    rollup, and the coarsening knobs (bucket width, dropped columns)
+    are the levers a curator tunes until the risky-cell share hits
+    zero."""
+    docs = t(spark, sf_dir, "documents")
+    cells = docs.groupBy(
+        "lang",
+        "source",
+        (F.col("n_chars") / KANON_BUCKET).cast("long").alias("size_bucket"),
+    ).agg(F.count("*").alias("group_n"))
+    tot = docs.agg(F.count("*").alias("n_docs"))
+    return cells.join(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "size_bucket",
+        "group_n",
+        (F.col("group_n") < KANON_K).alias("is_risky"),
+        r4(F.col("group_n") * F.lit(100.0) / F.col("n_docs")).alias("pct_of_corpus"),
+    )

@@ -17,7 +17,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..exprs import r2, r4
@@ -364,4 +364,79 @@ def sliding_window_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
             r4(F.col("n") / F.lit(60.0)).alias("events_per_min"),
         )
+    )
+
+
+# --- monitoring: CUSUM drift detection per entity -----------------------------
+CUSUM_H = 3.0  # alarm threshold in standardized units
+
+
+@query(
+    "cusum_drift",
+    oracle=f"""
+    WITH stats AS (
+        SELECT user_id,
+               SUM(value) / COUNT(*) AS mu,
+               sqrt((SUM(value * value) - SUM(value) * SUM(value) / COUNT(*))
+                    / (COUNT(*) - 1)) AS sigma
+        FROM events
+        GROUP BY user_id
+        HAVING COUNT(*) >= 2
+    ),
+    walk AS (
+        SELECT e.user_id, e.event_id,
+               SUM((e.value - s.mu) / NULLIF(s.sigma, 0E0))
+                   OVER (PARTITION BY e.user_id
+                         ORDER BY e.ts, e.event_id
+                         ROWS UNBOUNDED PRECEDING) AS cusum
+        FROM events e JOIN stats s ON s.user_id = e.user_id
+    )
+    SELECT user_id, event_id, ROUND(cusum, 4) AS cusum,
+           abs(cusum) > {CUSUM_H}E0 AS is_alarm
+    FROM walk
+    """,
+    tags=("timeseries", "monitoring", "W5"),
+)
+def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift walk per entity — the classic change-point monitor: a
+    running sum of standardized deviations that stays near zero under a
+    stable mean and ramps linearly once the level shifts. Per-entity
+    moments come from ONE aggregation (explicit sum/sumsq, the
+    beta_to_market moment-sum pattern), broadcast back; the walk itself
+    is an ordered per-entity running-sum window — both engines
+    accumulate in the identical (ts, event_id) order, so the float path
+    is the same sequence of IEEE adds. Zero-variance entities are
+    guarded to NULL by NULLIF per the division trap rule; singleton
+    entities drop at the HAVING."""
+    ev = t(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+        F.count("*").alias("n"),
+    ).where(F.col("n") >= 2).select(
+        "user_id",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sigma"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walk = ev.join(stats, "user_id").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(
+            (F.col("value") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0))
+        ).over(w).alias("cusum"),
+    )
+    return walk.select(
+        "user_id",
+        "event_id",
+        r4(F.col("cusum")).alias("cusum"),
+        (F.abs(F.col("cusum")) > F.lit(CUSUM_H)).alias("is_alarm"),
     )
