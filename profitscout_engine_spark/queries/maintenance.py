@@ -478,3 +478,113 @@ def column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hxv.unionAll(hcv).unionAll(mi)
+
+
+# --- data-quality audit: one report row per invariant -------------------------
+@query(
+    "dq_audit",
+    oracle="""
+    SELECT 'orphan_lineitems' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    UNION ALL
+    SELECT 'duplicate_order_keys',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'nonpositive_price',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_out_of_range',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 1.0
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'ship_before_order',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    UNION ALL
+    SELECT 'customer_nation_orphans',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    """,
+    tags=("maintenance", "data-quality", "J-anti"),
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit — the assertion suite a warehouse runs after
+    every load, emitted as a report table (one row per invariant:
+    checked count, violation count). Covers the failure classes the
+    reference's diagnostics scripts probe ad hoc (schema/null checks,
+    range sanity — scripts/tests_and_diagnostics/task1_verify_schema.py,
+    check_liquidity.py): referential integrity as outer-join null
+    counts (orphan facts, orphan dims), key uniqueness as
+    count-vs-distinct, domain ranges as conditional sums, and
+    cross-table temporal ordering. Each check is a single pruned
+    scan-aggregate or one keyed join; the checks union into one report.
+    At 100 TB each stays a partial→final agg — the joins shuffle on the
+    same keys the tables are bucketed by, and a scheduler can run
+    checks independently (the union is presentation, not a barrier)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    lng = lambda col: col.cast("long")  # noqa: E731
+
+    def report(name: str, checked, violations) -> DataFrame:
+        return F.lit(name).alias("check_name"), lng(checked).alias(
+            "n_checked"
+        ), lng(violations).alias("n_violations")
+
+    orphan = (
+        li.join(o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left")
+        .agg(*report(
+            "orphan_lineitems",
+            F.count("*"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)),
+        ))
+    )
+    dupkeys = o.agg(*report(
+        "duplicate_order_keys",
+        F.count("*"),
+        F.count("*") - F.countDistinct("o_orderkey"),
+    ))
+    price = li.agg(*report(
+        "nonpositive_price",
+        F.count("*"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0.0, 1).otherwise(0)),
+    ))
+    disc = li.agg(*report(
+        "discount_out_of_range",
+        F.count("*"),
+        F.sum(F.when((F.col("l_discount") < 0.0) | (F.col("l_discount") > 1.0), 1)
+              .otherwise(0)),
+    ))
+    shiporder = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .agg(*report(
+            "ship_before_order",
+            F.count("*"),
+            F.sum(F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)),
+        ))
+    )
+    cust_nation = (
+        c.join(F.broadcast(n.select("n_nationkey")),
+               c["c_nationkey"] == n["n_nationkey"], "left")
+        .agg(*report(
+            "customer_nation_orphans",
+            F.count("*"),
+            F.sum(F.when(F.col("n_nationkey").isNull(), 1).otherwise(0)),
+        ))
+    )
+    return orphan.unionAll(dupkeys).unionAll(price).unionAll(disc).unionAll(
+        shiporder
+    ).unionAll(cust_nation)

@@ -936,3 +936,50 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(BM25_TOPK)
     )
+
+
+# --- inverted index build: posting lists per term -----------------------------
+@query(
+    "inverted_index_build",
+    oracle="""
+    WITH tk AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM tk
+    GROUP BY term
+    """,
+    tags=("retrieval", "inverted-index", "textops"),
+)
+def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the materialization step behind
+    bm25_search: per term, document frequency plus the sorted posting
+    list (serialized CSV per the repo's array convention). One
+    explode→distinct→groupBy chain; the distinct and the grouping
+    shuffle on the SAME key (term is a function of the pair), so AQE
+    collapses them into one exchange. At 100 TB posting lists for
+    stop-words are the skew hazard — production shards a hot term's
+    postings into fixed-size segment rows (the same salting shape as
+    skewsafe_pair_gen) and the index itself is written partitioned by
+    term hash; the fixture's closed vocabulary keeps every list
+    bounded here. Posting lists sort before serialization so both
+    engines emit identical strings."""
+    docs = _docs(spark, sf_dir)
+    tk = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    return tk.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.min("doc_id").alias("first_doc"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
