@@ -1514,3 +1514,73 @@ def fuzzy_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn("edit_dist", dist).where(
         (F.col("edit_dist") >= 0) & (F.col("edit_dist") <= EDIT_RADIUS)
     ).select("d1", "d2", F.col("edit_dist").cast("long").alias("edit_dist"))
+
+
+# ---- kNN classification eval over the LSH neighbor frame ---------------------
+def _knn_eval_oracle() -> str:
+    return f"""
+    WITH topk AS ({_lsh_oracle()}),
+    votes AS (
+        SELECT t.a_id, eb.label AS nbr_label, COUNT(*) AS votes
+        FROM topk t JOIN embeddings eb ON eb.vec_id = t.b_id
+        GROUP BY t.a_id, eb.label
+    ),
+    pred AS (
+        SELECT a_id, nbr_label AS pred_label
+        FROM (
+            SELECT a_id, nbr_label,
+                   ROW_NUMBER() OVER (PARTITION BY a_id
+                                      ORDER BY votes DESC, nbr_label) AS rn
+            FROM votes
+        ) WHERE rn = 1
+    )
+    SELECT ea.label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN p.pred_label = ea.label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           ROUND(SUM(CASE WHEN p.pred_label = ea.label THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS accuracy
+    FROM pred p JOIN embeddings ea ON ea.vec_id = p.a_id
+    GROUP BY ea.label
+    """
+
+
+@query("knn_label_eval", oracle=_knn_eval_oracle(), tags=("similarity", "knn-eval"))
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification evaluation — the quality loop every embedding
+    pipeline closes: predict each vector's label by majority vote of its
+    LSH top-k neighbors (ties break to the smaller label id) and score
+    accuracy per true label. Composes on the SAME session-shared scored
+    frame as cosine_lsh_topk / embedding_neardup_lsh — evaluating a kNN
+    index costs two small aggregations beyond the index itself, no new
+    scoring pass. A label-skew drop here is the canary for a bad
+    quantization or hash-table count at 100 TB."""
+    topk = cosine_lsh_topk(spark, sf_dir)
+    labels = t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    votes = (
+        topk.join(
+            F.broadcast(labels.select(F.col("vec_id").alias("b_id"),
+                                      F.col("label").alias("nbr_label"))),
+            "b_id",
+        )
+        .groupBy("a_id", "nbr_label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("votes"), F.asc("nbr_label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("a_id", F.col("nbr_label").alias("pred_label"))
+    )
+    correct = F.when(F.col("pred_label") == F.col("label"), 1).otherwise(0)
+    return (
+        pred.join(
+            F.broadcast(labels.select(F.col("vec_id").alias("a_id"), "label")), "a_id"
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(correct).alias("n_correct"),
+            r4(F.sum(correct) * F.lit(1.0) / F.count("*")).alias("accuracy"),
+        )
+    )
