@@ -1551,7 +1551,8 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline closes: predict each vector's label by majority vote of its
     LSH top-k neighbors (ties break to the smaller label id) and score
     accuracy per true label. Composes on the SAME session-shared scored
-    frame as cosine_lsh_topk / embedding_neardup_lsh — evaluating a kNN
+    frame (packed-vector Arrow dot) as cosine_lsh_topk /
+    embedding_neardup_lsh — evaluating a kNN
     index costs two small aggregations beyond the index itself, no new
     scoring pass. A label-skew drop here is the canary for a bad
     quantization or hash-table count at 100 TB."""
@@ -1583,4 +1584,78 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(correct).alias("n_correct"),
             r4(F.sum(correct) * F.lit(1.0) / F.count("*")).alias("accuracy"),
         )
+    )
+
+
+# ---- prefix-filtered set-similarity join (AllPairs/PPJoin candidate scheme) --
+PF_JACCARD_MIN = 0.5
+
+
+@query(
+    "prefix_filter_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           ROUND(c * 1.0 / (ca.n + cb.n - c), 4) AS jaccard
+    FROM common
+    JOIN counts ca ON ca.doc_id = d1
+    JOIN counts cb ON cb.doc_id = d2
+    WHERE c * 1.0 / (ca.n + cb.n - c) >= {PF_JACCARD_MIN}
+    """,
+    tags=("dedup", "ngram-jaccard", "prefix-filter"),
+)
+def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join by PREFIX FILTERING (the AllPairs/PPJoin
+    candidate scheme) — the third candidate generator in the dedup
+    family, complementing MinHash banding (probabilistic) and the full
+    inverted-index join (exact but quadratic in hot shingles). Order
+    every shingle by a global total order (ascending document frequency,
+    shingle text as tie-break) and keep only each doc's PREFIX — its
+    |A| - ceil(t*|A|) + 1 rarest shingles: two sets with Jaccard >= t
+    MUST collide inside their prefixes, so joining prefixes alone loses
+    nothing, while the stop-shingles that melt reducers sit at the END
+    of the order and never enter the join. Candidates verify against
+    the session-shared exact-intersection frame. The oracle is the
+    NAIVE all-pairs Jaccard — a hash match therefore PROVES the
+    completeness property, not just the arithmetic. At 100 TB prefix
+    filtering is the classic exact-similarity plan (cost tracks rare-
+    token collisions, not corpus²)."""
+    sh = _sh_distinct(spark, sf_dir)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sizes = _sh_sizes(spark, sf_dir)  # (doc_id, n)
+    wd = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+    prefix_len = (
+        F.col("n") - F.ceil(F.lit(PF_JACCARD_MIN) * F.col("n")) + 1
+    ).cast("long")
+    prefix = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") <= prefix_len)
+        .select("doc_id", "shingle")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    common = _sh_common_counts(spark, sf_dir)  # (d1, d2, c)
+    j = F.col("c") / (F.col("ca.n") + F.col("cb.n") - F.col("c"))
+    return (
+        cand.join(common, ["d1", "d2"])
+        .join(sizes.alias("ca"), F.col("d1") == F.col("ca.doc_id"))
+        .join(sizes.alias("cb"), F.col("d2") == F.col("cb.doc_id"))
+        .where(j >= PF_JACCARD_MIN)
+        .select("d1", "d2", r4(j).alias("jaccard"))
     )

@@ -440,3 +440,53 @@ def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("cusum")).alias("cusum"),
         (F.abs(F.col("cusum")) > F.lit(CUSUM_H)).alias("is_alarm"),
     )
+
+
+# --- robust smoothing: rolling order-statistic median --------------------------
+ROLLMED_WINDOW = 11  # current row + 10 preceding
+
+
+@query(
+    "rolling_median_value",
+    oracle=f"""
+    WITH walk AS (
+        SELECT user_id, event_id, value,
+               list_sort(list(value) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS BETWEEN {ROLLMED_WINDOW - 1} PRECEDING
+                                           AND CURRENT ROW)) AS buf
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(len(buf) AS BIGINT) AS n_window,
+           buf[(len(buf) + 1) // 2] AS rolling_median
+    FROM walk
+    """,
+    tags=("timeseries", "W1", "robust-stats"),
+)
+def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling MEDIAN per entity — the robust twin of the SMA (W1): one
+    outlier tick poisons a rolling mean for the whole window, while the
+    order-statistic median shrugs it off. Spark has no native rolling
+    percentile, but for a BOUNDED window the exact form is pure Column
+    algebra: collect the frame into an array, sort, index the lower
+    middle (a type-1 order statistic — no interpolation arithmetic to
+    drift cross-engine). Window state is capped at {ROLLMED_WINDOW}
+    values per row on both engines, so memory is O(window), not O(n) —
+    the same bounded-buffer a streaming implementation keeps. The
+    fixture's doubles pass through untouched (no rounding needed:
+    both engines pick the identical stored value)."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLLMED_WINDOW - 1), 0)
+    )
+    buf = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(buf)
+    return ev.select(
+        "user_id",
+        "event_id",
+        n.cast("long").alias("n_window"),
+        F.element_at(buf, ((n + 1) / 2).cast("int")).alias("rolling_median"),
+    )

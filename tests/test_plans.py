@@ -97,6 +97,8 @@ _NL_JOIN_OK = {
     "regime_weighted_score",
     # 1-row global-scalar threshold compare (positive-balance average)
     "q22_dormant_balance",
+    # 1-row global-scalar cross join (corpus total for cell share)
+    "k_anonymity_audit",
     # 1-row × 1-row scalar assembly (streamed-registers estimate × exact)
     "streaming_hll_users",
     # 1-row global-scalar cross join (corpus size for idf)
