@@ -922,3 +922,59 @@ def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(new_users).over(w).alias("cumulative_users"),
         )
     )
+
+
+# --- A-equidepth: CBO-style equi-depth histogram build ------------------------
+EQUIDEPTH_BUCKETS = 10
+
+
+@query(
+    "equi_depth_histogram",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT quantile_cont(l_extendedprice,
+                   [{", ".join(str((i + 1) / 10.0) for i in range(9))}]) AS qs
+        FROM lineitem
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(l_extendedprice), 2) AS lo,
+           ROUND(MAX(l_extendedprice), 2) AS hi
+    FROM (
+        SELECT l_extendedprice,
+               CAST(len(list_filter(bounds.qs, q -> q < l_extendedprice)) AS BIGINT)
+                   AS bucket
+        FROM lineitem, bounds
+    )
+    GROUP BY bucket
+    """,
+    tags=("A-equidepth", "A13", "aggregation"),
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram construction — the statistics object a
+    cost-based optimizer keeps per column (Spark's own ANALYZE TABLE
+    FOR COLUMNS builds exactly this). Two passes: ONE exact-percentile
+    aggregation produces the 9 internal bucket boundaries, which
+    broadcast back (1-row array) and each row finds its bucket by
+    counting boundaries strictly below it — a higher-order array fold,
+    no per-boundary CASE ladder to keep in sync. Bucket populations come
+    back near-equal by construction (ties at boundaries land in the
+    lower bucket on both engines because the comparison is strict).
+    Both engines interpolate percentiles identically, so the boundary
+    doubles — and therefore every bucket assignment — are bit-equal."""
+    li = t(spark, sf_dir, "lineitem")
+    qs = ", ".join(str((i + 1) / 10.0) for i in range(9))
+    bounds = li.agg(
+        F.expr(f"percentile(l_extendedprice, array({qs}))").alias("qs")
+    )
+    bucketed = li.join(F.broadcast(bounds)).select(
+        "l_extendedprice",
+        F.expr("size(filter(qs, q -> q < l_extendedprice))")
+        .cast("long")
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        r2(F.min("l_extendedprice")).alias("lo"),
+        r2(F.max("l_extendedprice")).alias("hi"),
+    )

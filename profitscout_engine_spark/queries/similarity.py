@@ -1659,3 +1659,103 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(j >= PF_JACCARD_MIN)
         .select("d1", "d2", r4(j).alias("jaccard"))
     )
+
+
+# ---- entity-resolution consensus: three generators, one cluster graph --------
+def _dedup_consensus_oracle() -> str:
+    from . import REGISTRY
+
+    mh = REGISTRY["minhash_lsh_pairs"].oracle
+    sh_ = REGISTRY["simhash_pairs"].oracle
+    ed = REGISTRY["fuzzy_dedup_edit"].oracle
+    return f"""
+    WITH RECURSIVE tagged AS (
+        SELECT d1, d2, 'minhash' AS src_gen FROM ({mh}) m
+        UNION ALL
+        SELECT d1, d2, 'simhash' FROM ({sh_}) s
+        UNION ALL
+        SELECT d1, d2, 'edit' FROM ({ed}) e
+    ),
+    edges AS (SELECT DISTINCT d1, d2 FROM tagged),
+    sym AS (SELECT d1 AS a, d2 AS b FROM edges UNION SELECT d2, d1 FROM edges),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach AS (
+        SELECT node AS d, node AS m FROM nodes
+        UNION
+        SELECT r.d, s.b FROM reach r JOIN sym s ON s.a = r.m
+    ),
+    comp AS (SELECT d AS node, MIN(m) AS component FROM reach GROUP BY d),
+    edge_src AS (
+        SELECT c.component, t.src_gen, COUNT(*) AS n_edges
+        FROM tagged t JOIN comp c ON c.node = t.d1
+        GROUP BY 1, 2
+    )
+    SELECT c.component,
+           CAST(COUNT(DISTINCT c.node) AS BIGINT) AS cluster_size,
+           CAST(COALESCE(MAX(CASE WHEN e.src_gen = 'minhash' THEN e.n_edges END), 0)
+                AS BIGINT) AS edges_minhash,
+           CAST(COALESCE(MAX(CASE WHEN e.src_gen = 'simhash' THEN e.n_edges END), 0)
+                AS BIGINT) AS edges_simhash,
+           CAST(COALESCE(MAX(CASE WHEN e.src_gen = 'edit' THEN e.n_edges END), 0)
+                AS BIGINT) AS edges_edit
+    FROM comp c LEFT JOIN edge_src e ON e.component = c.component
+    GROUP BY c.component
+    """
+
+
+@query(
+    "dedup_consensus",
+    oracle=_dedup_consensus_oracle(),
+    tags=("dedup", "clustering", "entity-resolution"),
+)
+def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution consensus — the three independent near-dup
+    generators (MinHash set overlap, SimHash bit distance, blocked edit
+    distance) vote into ONE pair graph, and connected components over
+    the union produce the final clusters with per-generator edge
+    provenance. This is how a production dedup actually ships: no
+    single generator catches every duplication mode (token swaps break
+    edit distance, sub-document copies break SimHash, short docs break
+    MinHash), and the provenance counts are the per-cluster audit
+    showing WHICH evidence merged it. All three pair frames are
+    session-shared or banded equi-joins — the union is linear in edge
+    count, the hash-min label propagation (operators/graph.py) scales
+    as the dedup graphs' shallow diameters. The oracle replays all
+    three generators and walks reachability with a recursive CTE."""
+    mh = _mh_pairs(spark, sf_dir).select("d1", "d2").withColumn(
+        "src_gen", F.lit("minhash")
+    )
+    sh_ = simhash_pairs(spark, sf_dir).select("d1", "d2").withColumn(
+        "src_gen", F.lit("simhash")
+    )
+    ed = fuzzy_dedup_edit(spark, sf_dir).select("d1", "d2").withColumn(
+        "src_gen", F.lit("edit")
+    )
+    tagged = mh.unionByName(sh_).unionByName(ed)
+    from ..operators.graph import connected_components
+
+    comp = connected_components(tagged.select("d1", "d2").distinct())
+    edge_src = (
+        tagged.join(comp, tagged["d1"] == comp["node"])
+        .groupBy("comp", "src_gen")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    per_src = lambda g: F.coalesce(  # noqa: E731
+        F.max(F.when(F.col("src_gen") == g, F.col("n_edges"))), F.lit(0).cast("long")
+    )
+    sizes = comp.groupBy("comp").agg(F.countDistinct("node").alias("cluster_size"))
+    provenance = edge_src.groupBy("comp").agg(
+        per_src("minhash").alias("edges_minhash"),
+        per_src("simhash").alias("edges_simhash"),
+        per_src("edit").alias("edges_edit"),
+    )
+    return (
+        sizes.join(provenance, "comp", "left")
+        .select(
+            F.col("comp").alias("component"),
+            "cluster_size",
+            F.coalesce("edges_minhash", F.lit(0).cast("long")).alias("edges_minhash"),
+            F.coalesce("edges_simhash", F.lit(0).cast("long")).alias("edges_simhash"),
+            F.coalesce("edges_edit", F.lit(0).cast("long")).alias("edges_edit"),
+        )
+    )
