@@ -99,6 +99,8 @@ _NL_JOIN_OK = {
     "q22_dormant_balance",
     # 1-row global-scalar cross join (corpus total for cell share)
     "k_anonymity_audit",
+    # 1-row boundary-array cross join (percentile bucket bounds)
+    "equi_depth_histogram",
     # 1-row × 1-row scalar assembly (streamed-registers estimate × exact)
     "streaming_hll_users",
     # 1-row global-scalar cross join (corpus size for idf)
