@@ -1722,16 +1722,22 @@ def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, the hash-min label propagation (operators/graph.py) scales
     as the dedup graphs' shallow diameters. The oracle replays all
     three generators and walks reachability with a recursive CTE."""
-    mh = _mh_pairs(spark, sf_dir).select("d1", "d2").withColumn(
-        "src_gen", F.lit("minhash")
-    )
-    sh_ = simhash_pairs(spark, sf_dir).select("d1", "d2").withColumn(
-        "src_gen", F.lit("simhash")
-    )
-    ed = fuzzy_dedup_edit(spark, sf_dir).select("d1", "d2").withColumn(
-        "src_gen", F.lit("edit")
-    )
-    tagged = mh.unionByName(sh_).unionByName(ed)
+    def build_tagged() -> DataFrame:
+        mh = _mh_pairs(spark, sf_dir).select("d1", "d2").withColumn(
+            "src_gen", F.lit("minhash")
+        )
+        sh_ = simhash_pairs(spark, sf_dir).select("d1", "d2").withColumn(
+            "src_gen", F.lit("simhash")
+        )
+        ed = fuzzy_dedup_edit(spark, sf_dir).select("d1", "d2").withColumn(
+            "src_gen", F.lit("edit")
+        )
+        return mh.unionByName(sh_).unionByName(ed)
+
+    # Session-shared: the tagged edge list feeds BOTH the component loop
+    # (checkpoint materialization) and the provenance aggregation — without
+    # the persist the SimHash/edit generators would run twice.
+    tagged = shared(spark, sf_dir, "dedup_consensus_edges", build_tagged)
     from ..operators.graph import connected_components
 
     comp = connected_components(tagged.select("d1", "d2").distinct())
