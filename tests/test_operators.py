@@ -108,3 +108,12 @@ def test_exit_reason_distribution(spark, sf_dir):
     df = REGISTRY["bracket_exit_scan"].fn(spark, sf_dir)
     reasons = {r["exit_reason"] for r in df.select("exit_reason").distinct().collect()}
     assert reasons == {"stop", "target", "timeout"}
+
+
+def test_cli_list_and_unknown(capsys):
+    from profitscout_engine_spark.__main__ import main
+
+    assert main(["list", "q1_pricing"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary" in out and "oracle" in out
+    assert main(["run", "no_such_query"]) == 2
