@@ -1560,8 +1560,8 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = t(spark, sf_dir, "embeddings").select("vec_id", "label")
     votes = (
         topk.join(
-            F.broadcast(labels.select(F.col("vec_id").alias("b_id"),
-                                      F.col("label").alias("nbr_label"))),
+            labels.select(F.col("vec_id").alias("b_id"),
+                          F.col("label").alias("nbr_label")),
             "b_id",
         )
         .groupBy("a_id", "nbr_label")
@@ -1575,9 +1575,7 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     correct = F.when(F.col("pred_label") == F.col("label"), 1).otherwise(0)
     return (
-        pred.join(
-            F.broadcast(labels.select(F.col("vec_id").alias("a_id"), "label")), "a_id"
-        )
+        pred.join(labels.select(F.col("vec_id").alias("a_id"), "label"), "a_id")
         .groupBy("label")
         .agg(
             F.count("*").alias("n_vectors"),

@@ -96,7 +96,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, fact-fact join to lineitem on the order key, revenue rollup,
     distributed top-10. Ordering uses the ROUNDED revenue with the order
     key as tie-break so both engines cut identical rows. The filtered
-    customer side is small → broadcast; orders⋈lineitem shuffles on
+    customer side carries no hint: AQE broadcasts it at fixture scale
+    and switches to a shuffled join once the segment outgrows the
+    threshold at warehouse scale; orders⋈lineitem shuffles on
     o_orderkey (co-partitionable/bucketable at scale)."""
     c = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders").where(
@@ -107,7 +109,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             r2(
@@ -141,11 +143,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: six-table snowflake join — region→nation→customer
-    dimension chain broadcast onto orders, fact-fact to lineitem, then
+    dimension chain joined onto orders, fact-fact to lineitem, then
     the 'local supplier' same-nation constraint closes the loop. The
     only big shuffles are orders⋈lineitem on the order key and the final
-    nation rollup; every dimension side broadcasts. The join-reorder /
-    broadcast-selection showcase."""
+    nation rollup. Nation/region carry explicit broadcast hints (they
+    are bounded dims); the customer-derived chain does NOT — AQE
+    broadcasts it at fixture scale and shuffles it once customers
+    outgrow the threshold. The join-reorder / broadcast-selection
+    showcase."""
     r = t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
     n = t(spark, sf_dir, "nation")
     c = t(spark, sf_dir, "customer")
@@ -162,7 +167,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(dims), o["o_custkey"] == dims["c_custkey"])
+        .join(dims, o["o_custkey"] == dims["c_custkey"])
         .join(
             F.broadcast(s),
             (s["s_suppkey"] == li["l_suppkey"])
@@ -222,7 +227,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(r2(F.sum("l_quantity")).alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -313,7 +318,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(s), s["s_suppkey"] == li["l_suppkey"])
-        .join(F.broadcast(c), c["c_custkey"] == o["o_custkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nkey"))
         .where(
@@ -391,7 +396,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"], "left_semi")
+        .join(cust, o["o_custkey"] == cust["c_custkey"], "left_semi")
         .join(F.broadcast(supp), supp["s_suppkey"] == li["l_suppkey"])
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
@@ -524,7 +529,7 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = t(spark, sf_dir, "lineitem").join(F.broadcast(bad), "l_suppkey", "left_anti")
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -607,8 +612,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares against the average quantity OF ITS OWN PART — decorrelated
     the way every modern optimizer rewrites it: pre-aggregate per-part
     averages once, join back on the part key, filter. The brand filter
-    prunes the part side to a broadcast; the per-part average is the one
-    shuffle. The comparison is exact cross-engine because l_quantity is
+    prunes the part side (AQE broadcasts it while it fits; part is
+    fact-proportional at warehouse scale, so no hard hint); the
+    per-part average is the one shuffle. The comparison is exact cross-engine because l_quantity is
     integral: the partial sums are integer-valued doubles (< 2^53), so
     AVG is bit-identical regardless of accumulation order. At 100 TB the
     decorrelated form is mandatory — a row-per-row subquery re-scan is
@@ -619,7 +625,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = t(spark, sf_dir, "part").where(F.col("p_brand") == Q17_BRAND)
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(pa, "l_partkey")
         .where(F.col("l_quantity") < F.col("half_avg"))
         .agg(r2(F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
