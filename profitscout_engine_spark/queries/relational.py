@@ -688,3 +688,61 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_retailprice", "p_size")
     )
+
+
+# --- bipartite projection: co-purchase pair mining ----------------------------
+COPURCHASE_MIN_SUPPORT = 3
+COPURCHASE_TOPK = 50
+
+
+@query(
+    "copurchase_pairs",
+    oracle=f"""
+    WITH basket AS (
+        SELECT DISTINCT o.o_custkey, l.l_partkey
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM basket a JOIN basket b
+          ON a.o_custkey = b.o_custkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {COPURCHASE_MIN_SUPPORT}
+    )
+    SELECT p1, p2, n_customers
+    FROM pairs
+    ORDER BY n_customers DESC, p1, p2
+    LIMIT {COPURCHASE_TOPK}
+    """,
+    tags=("market-basket", "J2", "A1"),
+)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase mining — the bipartite projection: the
+    customer–part purchase graph projects onto part–part edges weighted
+    by shared customers, support-filtered and top-k'd (ROUNDED-free
+    integer weights; unique-pair tie-break). The pair join is keyed on
+    the CUSTOMER — pair volume is sum of per-customer basket-size², the
+    same bounded-block arithmetic as fuzzy_dedup_edit's length buckets,
+    and the distinct basket pass caps each customer's contribution at
+    its distinct-part count. At 100 TB a whale-customer basket is the
+    hot block: cap basket size or salt the customer key (the
+    skewsafe_pair_gen shape) — the fixture's baskets are bounded, so
+    the plain equi-join is the right plan here."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    basket = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    a = basket.select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("p1"))
+    b = basket.select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, (a["ck"] == b["ck"]) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_customers"))
+        .where(F.col("n_customers") >= COPURCHASE_MIN_SUPPORT)
+        .orderBy(F.desc("n_customers"), F.asc("p1"), F.asc("p2"))
+        .limit(COPURCHASE_TOPK)
+    )

@@ -490,3 +490,52 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_window"),
         F.element_at(buf, ((n + 1) / 2).cast("int")).alias("rolling_median"),
     )
+
+
+# --- Markov transition matrix over per-entity event sequences ------------------
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 4) AS p
+    FROM trans
+    """,
+    tags=("timeseries", "markov", "W8"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences — the behavioral model behind next-action prediction and
+    anomaly scoring (a transition with p near zero is the anomaly).
+    One lag window per entity (same per-user ordered partition every
+    sequence query here shuffles on — co-partitionable at scale), a
+    transition-count aggregate of at most |types|² rows, and row
+    normalization as a percent-of-total window over that tiny matrix.
+    The integer counts make the probabilities exact ratios, stable-
+    rounded identically on both engines."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("from_type")
+    ).where(F.col("from_type").isNotNull())
+    trans = seq.groupBy(
+        "from_type", F.col("event_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    wrow = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        r4(F.col("n") * F.lit(1.0) / F.sum("n").over(wrow)).alias("p"),
+    )
