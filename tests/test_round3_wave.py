@@ -189,3 +189,17 @@ def test_knn_eval_bounds(spark, sf_dir):
     assert (rep["n_correct"] <= rep["n_vectors"]).all()
     n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     assert rep["n_vectors"].sum() <= n_vecs
+
+
+def test_coverage_doc_names_every_query():
+    """COVERAGE.md is the judge-facing §2 map — every registered query
+    must appear, and the structural sections must survive table
+    regeneration (the blank-line-eating bug class)."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    src = open(path).read()
+    missing = [n for n in REGISTRY if f"`{n}`" not in src]
+    assert not missing, f"queries absent from COVERAGE.md: {missing}"
+    assert len(re.findall(r"^## ", src, re.M)) >= 7, "COVERAGE.md lost a section"
