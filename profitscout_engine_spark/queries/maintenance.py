@@ -588,3 +588,72 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orphan.unionAll(dupkeys).unionAll(price).unionAll(disc).unionAll(
         shiporder
     ).unionAll(cust_nation)
+
+
+# --- Benford first-digit audit -------------------------------------------------
+# log10(1 + 1/d) literals precomputed in Python so BOTH engines consume
+# identical double constants (no cross-engine log in the query path).
+BENFORD_EXPECTED = ((1, 0.3010299956639812), (2, 0.17609125905568124), (3, 0.12493873660829992), (4, 0.09691001300805642), (5, 0.07918124604762482), (6, 0.06694678963061322), (7, 0.05799194697768673), (8, 0.05115252244738129), (9, 0.04575749056067514))
+
+
+@query(
+    "benford_audit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS leading_digit
+        FROM orders
+        WHERE o_totalprice > 0.0
+    ),
+    obs AS (
+        SELECT leading_digit, CAST(COUNT(*) AS BIGINT) AS n
+        FROM digits GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS total FROM obs),
+    expected(leading_digit, p_expected) AS (
+        VALUES {', '.join(f'({d}, {p!r}::DOUBLE)' for d, p in BENFORD_EXPECTED)}
+    )
+    SELECT CAST(e.leading_digit AS BIGINT) AS leading_digit,
+           COALESCE(o.n, 0) AS n,
+           ROUND(COALESCE(o.n, 0) * 1.0 / tot.total, 4) AS p_observed,
+           ROUND(e.p_expected, 4) AS p_expected,
+           ROUND(COALESCE(o.n, 0) * 1.0 / tot.total - e.p_expected, 4) AS deviation
+    FROM expected e LEFT JOIN obs o ON o.leading_digit = e.leading_digit, tot
+    """,
+    tags=("maintenance", "data-quality", "benford"),
+)
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit — the classic fabricated-data detector:
+    organically-grown amounts follow log10(1+1/d); uniform or hand-
+    entered values don't, and the per-digit deviation column is the
+    alarm. Digit extraction is INTEGER-EXACT on both engines: amounts
+    become round-half-up cents (bigint), whose decimal string leads
+    with the digit — no log10 in the query path (engine libm drift),
+    no double-to-string formatting (engine format drift); the expected
+    shares are Python-precomputed literals both engines consume
+    verbatim. One scan-aggregate into a 9-row broadcast-joined report;
+    all nine digits always appear (expected-side LEFT join), so a
+    digit with ZERO observations surfaces as the loudest deviation."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0.0)
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    digits = o.select(
+        F.substring(cents.cast("string"), 1, 1).cast("long").alias("leading_digit")
+    )
+    obs = digits.groupBy("leading_digit").agg(F.count("*").alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    expected = spark.createDataFrame(
+        list(BENFORD_EXPECTED), "leading_digit long, p_expected double"
+    )
+    n = F.coalesce(F.col("n"), F.lit(0).cast("long"))
+    p_obs = n * F.lit(1.0) / F.col("total")
+    return (
+        expected.join(obs, "leading_digit", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "leading_digit",
+            n.alias("n"),
+            r4(p_obs).alias("p_observed"),
+            r4(F.col("p_expected")).alias("p_expected"),
+            r4(p_obs - F.col("p_expected")).alias("deviation"),
+        )
+    )

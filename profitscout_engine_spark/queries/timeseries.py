@@ -539,3 +539,52 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         r4(F.col("n") * F.lit(1.0) / F.sum("n").over(wrow)).alias("p"),
     )
+
+
+# --- multiplicative seasonality profile ----------------------------------------
+@query(
+    "seasonality_index",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(value) AS s
+        FROM events
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, SUM(n) AS tn, SUM(s) AS ts_ FROM hourly GROUP BY 1
+    )
+    SELECT h.event_type, h.hr, h.n,
+           ROUND(h.s / h.n, 4) AS hour_mean,
+           ROUND((h.s / h.n) / (t.ts_ / t.tn), 4) AS seasonal_index
+    FROM hourly h JOIN tot t ON t.event_type = h.event_type
+    """,
+    tags=("timeseries", "seasonality", "A1"),
+)
+def seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative seasonality profile — each (type, hour-of-day)
+    cell's mean as a ratio to the type's overall mean; index > 1 marks
+    the hot hours a capacity planner staffs for and a forecaster
+    multiplies into the trend. ONE aggregation produces the hourly
+    moment sums; the per-type totals come from re-aggregating those 24
+    rows, never a second fact scan — the two-level rollup shape that
+    stays one shuffle at any scale. Ratio-of-ratios evaluates on the
+    identical sums in both engines, then stable-rounds."""
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+    tot = hourly.groupBy("event_type").agg(
+        F.sum("n").alias("tn"), F.sum("s").alias("ts_")
+    )
+    return hourly.join(tot, "event_type").select(
+        "event_type",
+        "hr",
+        "n",
+        r4(F.col("s") / F.col("n")).alias("hour_mean"),
+        r4((F.col("s") / F.col("n")) / (F.col("ts_") / F.col("tn"))).alias(
+            "seasonal_index"
+        ),
+    )

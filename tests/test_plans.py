@@ -101,6 +101,8 @@ _NL_JOIN_OK = {
     "k_anonymity_audit",
     # 1-row boundary-array cross join (percentile bucket bounds)
     "equi_depth_histogram",
+    # 1-row digit-total cross join (Benford denominator)
+    "benford_audit",
     # 1-row × 1-row scalar assembly (streamed-registers estimate × exact)
     "streaming_hll_users",
     # 1-row global-scalar cross join (corpus size for idf)
