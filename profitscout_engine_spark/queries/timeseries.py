@@ -588,3 +588,75 @@ def seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_index"
         ),
     )
+
+
+# --- per-entity OLS trend fit ---------------------------------------------------
+@query(
+    "trend_fit_ols",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value AS y,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS DOUBLE) AS x
+        FROM events
+    ),
+    m AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+        FROM seq GROUP BY user_id
+        HAVING COUNT(*) >= 3
+    )
+    SELECT user_id, n,
+           ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0E0), 4) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0E0) * sx) / n,
+                 4) AS intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0E0), 4)
+               AS r_squared
+    FROM m
+    """,
+    tags=("timeseries", "trend", "A9"),
+)
+def trend_fit_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity OLS trend — slope/intercept/R² of value against the
+    observation index, closing the forecasting trio (seasonality_index
+    for the cycle, ewm_ema for the level, this for the trend). The
+    regressor is the per-entity ROW NUMBER cast to double: its sums are
+    integer-valued doubles, exact under any accumulation order, so only
+    the y-moments carry float rounding — absorbed by the stable-rounded
+    outputs (the beta_to_market moment-sum contract). One window for
+    the index, ONE aggregation for all five moments, closed-form
+    normal equations; zero-variance regressors/responses NULL-guarded.
+    At 100 TB this is a per-key reduction — no iteration, no solver."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("value").alias("y"),
+        F.row_number().over(w).cast("double").alias("x"),
+    )
+    m = (
+        seq.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        .where(F.col("n") >= 3)
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / F.nullif(denx, F.lit(0.0))
+    return m.select(
+        "user_id",
+        "n",
+        r4(slope).alias("slope"),
+        r4((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+        r4(num * num / F.nullif(denx * deny, F.lit(0.0))).alias("r_squared"),
+    )
