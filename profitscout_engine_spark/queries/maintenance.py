@@ -657,3 +657,138 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(p_obs - F.col("p_expected")).alias("deviation"),
         )
     )
+
+
+# --- distribution drift: month-over-month mix shift ----------------------------
+@query(
+    "mix_shift_monitor",
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS mon, o_orderpriority AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    tot AS (SELECT mon, SUM(n) AS tn FROM monthly GROUP BY 1),
+    shares AS (
+        SELECT m.mon, m.grp, m.n, m.n * 1.0 / t.tn AS share
+        FROM monthly m JOIN tot t ON t.mon = m.mon
+    ),
+    delta AS (
+        SELECT mon, grp, n, share,
+               share - LAG(share) OVER (PARTITION BY grp ORDER BY mon) AS d
+        FROM shares
+    )
+    SELECT mon, ROUND(SUM(abs(d)) / 2.0, 4) AS tv_distance,
+           CAST(SUM(n) AS BIGINT) AS n_rows
+    FROM delta
+    WHERE d IS NOT NULL
+    GROUP BY mon
+    """,
+    tags=("maintenance", "drift", "A10"),
+)
+def mix_shift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor — month-over-month total-variation
+    distance of the order-priority mix: TV = ½·Σ|share_t − share_{t−1}|,
+    the alarm a data-quality pipeline fires when an upstream producer
+    changes behavior (the L1 form of PSI, chosen because it needs no
+    cross-engine ln). The share table is |months|×|groups| rows — the
+    fact scan aggregates ONCE, every later step (total join, lag
+    window per group, per-month fold) runs on that tiny matrix.
+    Integer counts → exact ratios → stable-rounded distances. Months
+    with no predecessor drop out (the first month has no baseline)."""
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+        F.col("o_orderpriority").alias("grp"),
+    ).agg(F.count("*").alias("n"))
+    tot = monthly.groupBy("mon").agg(F.sum("n").alias("tn"))
+    shares = monthly.join(tot, "mon").select(
+        "mon", "grp", "n", (F.col("n") * F.lit(1.0) / F.col("tn")).alias("share")
+    )
+    w = Window.partitionBy("grp").orderBy("mon")
+    delta = shares.withColumn("d", F.col("share") - F.lag("share").over(w))
+    return (
+        delta.where(F.col("d").isNotNull())
+        .groupBy("mon")
+        .agg(
+            r4(F.sum(F.abs(F.col("d"))) / F.lit(2.0)).alias("tv_distance"),
+            F.sum("n").cast("long").alias("n_rows"),
+        )
+    )
+
+
+# --- RFM customer segmentation --------------------------------------------------
+RFM_ASOF = "2001-09-01 00:00:00"
+
+
+@query(
+    "rfm_segmentation",
+    oracle=f"""
+    WITH rfm AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(o_orderdate),
+                         TIMESTAMP '{RFM_ASOF}') AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               SUM(o_totalprice) AS monetary
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '{RFM_ASOF}'
+        GROUP BY o_custkey
+    ),
+    bounds AS (
+        SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rq,
+               quantile_cont(frequency,    [0.25, 0.5, 0.75]) AS fq,
+               quantile_cont(monetary,     [0.25, 0.5, 0.75]) AS mq
+        FROM rfm
+    )
+    SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           frequency, ROUND(monetary, 2) AS monetary,
+           CAST(4 - len(list_filter(bounds.rq, q -> q < recency_days)) AS BIGINT)
+               AS r_score,
+           CAST(1 + len(list_filter(bounds.fq, q -> q < frequency)) AS BIGINT)
+               AS f_score,
+           CAST(1 + len(list_filter(bounds.mq, q -> q < monetary)) AS BIGINT)
+               AS m_score
+    FROM rfm, bounds
+    """,
+    tags=("maintenance", "rfm", "A12", "A20"),
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quartile scores, the classic value-tiering every retention team
+    runs. One aggregation produces the per-customer RFM triple; ONE
+    exact-percentile pass produces all nine quartile boundaries, which
+    broadcast back as a 1-row array frame and each customer scores by a
+    strict higher-order boundary count (the equi_depth_histogram
+    bucketing shape — no ntile, whose single-partition global window
+    dies at warehouse scale). Recency inverts (recent = high score);
+    ties land in the lower bucket identically on both engines."""
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(RFM_ASOF).cast("timestamp")
+    )
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_ASOF).cast("timestamp"), F.max("o_orderdate")
+        ).cast("long").alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    bounds = rfm.agg(
+        F.expr("percentile(recency_days, array(0.25, 0.5, 0.75))").alias("rq"),
+        F.expr("percentile(frequency,    array(0.25, 0.5, 0.75))").alias("fq"),
+        F.expr("percentile(monetary,     array(0.25, 0.5, 0.75))").alias("mq"),
+    )
+    return rfm.join(F.broadcast(bounds)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        r2(F.col("monetary")).alias("monetary"),
+        (F.lit(4) - F.expr("size(filter(rq, q -> q < recency_days))"))
+        .cast("long")
+        .alias("r_score"),
+        (F.lit(1) + F.expr("size(filter(fq, q -> q < frequency))"))
+        .cast("long")
+        .alias("f_score"),
+        (F.lit(1) + F.expr("size(filter(mq, q -> q < monetary))"))
+        .cast("long")
+        .alias("m_score"),
+    )

@@ -103,6 +103,8 @@ _NL_JOIN_OK = {
     "equi_depth_histogram",
     # 1-row digit-total cross join (Benford denominator)
     "benford_audit",
+    # 1-row quartile-boundary cross join (RFM score bounds)
+    "rfm_segmentation",
     # 1-row × 1-row scalar assembly (streamed-registers estimate × exact)
     "streaming_hll_users",
     # 1-row global-scalar cross join (corpus size for idf)
