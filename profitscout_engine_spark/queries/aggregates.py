@@ -978,3 +978,82 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.min("l_extendedprice")).alias("lo"),
         r2(F.max("l_extendedprice")).alias("hi"),
     )
+
+
+# --- A/B experiment readout (deterministic assignment, closed-form stats) -----
+@query(
+    "ab_test_stats",
+    oracle="""
+    WITH assigned AS (
+        SELECT event_type, value,
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 'A' ELSE 'B' END AS arm
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(CASE WHEN arm = 'A' THEN 1 END) AS BIGINT) AS na,
+               CAST(COUNT(CASE WHEN arm = 'B' THEN 1 END) AS BIGINT) AS nb,
+               SUM(CASE WHEN arm = 'A' THEN value ELSE 0.0 END) AS sa,
+               SUM(CASE WHEN arm = 'B' THEN value ELSE 0.0 END) AS sb,
+               SUM(CASE WHEN arm = 'A' THEN value * value ELSE 0.0 END) AS qa,
+               SUM(CASE WHEN arm = 'B' THEN value * value ELSE 0.0 END) AS qb
+        FROM assigned GROUP BY event_type
+    )
+    SELECT event_type, na, nb,
+           ROUND(sa / na, 4) AS mean_a,
+           ROUND(sb / nb, 4) AS mean_b,
+           ROUND(sb / nb - sa / na, 4) AS lift,
+           ROUND((sb / nb - sa / na)
+                 / sqrt((qa - sa * sa / na) / (na * (na - 1.0))
+                        + (qb - sb * sb / nb) / (nb * (nb - 1.0))), 4) AS t_stat
+    FROM m
+    WHERE na >= 2 AND nb >= 2
+    """,
+    tags=("A9", "experiment", "aggregation"),
+)
+def ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout — Welch-style mean lift and t-statistic per
+    metric slice, with DETERMINISTIC md5 arm assignment (the hash_split
+    convention: same user always lands in the same arm, on any engine,
+    with no stored assignment table). One conditional-moment aggregation
+    per slice yields both arms' count/sum/sumsq — a single fact scan,
+    single shuffle; the t-statistic is closed-form arithmetic on those
+    six numbers (sqrt is correctly-rounded IEEE, so both engines agree;
+    no erf/p-value, which WOULD drift cross-engine — the consumer
+    thresholds |t|). Under-powered slices (n < 2 in either arm) drop."""
+    ev = t(spark, sf_dir, "events")
+    arm_a = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+        *"01234567"
+    )
+    a = lambda c: F.when(arm_a, c).otherwise(F.lit(0.0))  # noqa: E731
+    b = lambda c: F.when(~arm_a, c).otherwise(F.lit(0.0))  # noqa: E731
+    v = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.when(arm_a, 1)).alias("na"),
+        F.count(F.when(~arm_a, 1)).alias("nb"),
+        F.sum(a(v)).alias("sa"),
+        F.sum(b(v)).alias("sb"),
+        F.sum(a(v * v)).alias("qa"),
+        F.sum(b(v * v)).alias("qb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    sa, sb, qa, qb = F.col("sa"), F.col("sb"), F.col("qa"), F.col("qb")
+    lift = sb / nb - sa / na
+    se = F.sqrt(
+        (qa - sa * sa / na) / (na * (na - F.lit(1.0)))
+        + (qb - sb * sb / nb) / (nb * (nb - F.lit(1.0)))
+    )
+    return (
+        m.where((na >= 2) & (nb >= 2))
+        .select(
+            "event_type",
+            "na",
+            "nb",
+            r4(sa / na).alias("mean_a"),
+            r4(sb / nb).alias("mean_b"),
+            r4(lift).alias("lift"),
+            r4(lift / se).alias("t_stat"),
+        )
+    )

@@ -746,3 +746,59 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_customers"), F.asc("p1"), F.asc("p2"))
         .limit(COPURCHASE_TOPK)
     )
+
+
+# --- T-keyset: keyset pagination (the scale-safe OFFSET) ----------------------
+PAGE_SIZE = 25
+
+
+def _keyset_oracle() -> str:
+    # Page 3's anchor = the last row of page 2, derived the same way a real
+    # API would: by running the first two pages. The oracle reproduces the
+    # anchor with a scalar subquery so both engines paginate identically.
+    return f"""
+    WITH ordered AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                   AS rn
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM ordered
+    WHERE rn > {2 * PAGE_SIZE} AND rn <= {3 * PAGE_SIZE}
+    ORDER BY o_totalprice DESC, o_orderkey
+    """
+
+
+@query("keyset_pagination", oracle=_keyset_oracle(), tags=("T2", "keyset"))
+def keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek-method) pagination — page 3 of the price-ranked order
+    feed WITHOUT the OFFSET anti-pattern: the query seeks past the
+    previous page's last (price, key) anchor tuple and takes the next
+    PAGE_SIZE rows, so cost is one pushed-down range filter + a bounded
+    top-k, independent of page depth — where OFFSET n scans and
+    discards n rows (at page 10,000 of a 100 TB feed, that difference
+    is the whole query). The anchor is computed here exactly as an API
+    server stores it: the tail of the prior page's bounded top-k (a tiny
+    driver-side lookup of 1 row, the same bounded pattern as the
+    idempotency guards). The composite (price DESC, key ASC) tuple-seek
+    predicate makes the cut deterministic under price ties; the oracle
+    replays the same page via row-number bounds."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    page2 = (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(2 * PAGE_SIZE)
+        .orderBy(F.asc("o_totalprice"), F.desc("o_orderkey"))
+        .limit(1)
+    )
+    anchor = page2.collect()[0]
+    ap, ak = anchor["o_totalprice"], anchor["o_orderkey"]
+    seek = (F.col("o_totalprice") < F.lit(ap)) | (
+        (F.col("o_totalprice") == F.lit(ap)) & (F.col("o_orderkey") > F.lit(ak))
+    )
+    return (
+        o.where(seek)
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(PAGE_SIZE)
+        .select("o_orderkey", "o_custkey", r2(F.col("o_totalprice")).alias("o_totalprice"))
+    )
