@@ -792,3 +792,84 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("m_score"),
     )
+
+
+# --- LTV cohort triangle --------------------------------------------------------
+@query(
+    "ltv_cohort_curve",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    sized AS (
+        SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_n FROM firsts GROUP BY 1
+    ),
+    spend AS (
+        SELECT f.cohort,
+               CAST(date_diff('month', f.cohort,
+                              date_trunc('month', o.o_orderdate)) AS BIGINT)
+                   AS months_since,
+               SUM(o.o_totalprice) AS rev
+        FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT s.cohort, s.months_since, z.cohort_n,
+           CAST(FLOOR(s.rev * 100.0 + 0.5) AS BIGINT) / 100.0 AS period_revenue,
+           ROUND(SUM(CAST(FLOOR(s.rev * 100.0 + 0.5) AS BIGINT))
+                     OVER (PARTITION BY s.cohort ORDER BY s.months_since
+                           ROWS UNBOUNDED PRECEDING) / 100.0 / z.cohort_n, 2)
+               AS cum_ltv_per_customer
+    FROM spend s JOIN sized z ON z.cohort = s.cohort
+    """,
+    tags=("maintenance", "ltv", "A11", "W5"),
+)
+def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTV cohort triangle — the monetary twin of retention_cohorts:
+    cohort = first-order month, and each (cohort, months-since) cell
+    carries the period revenue plus the running cumulative LTV per
+    cohort member — the curve a growth team compares against
+    acquisition cost. Plan: one shuffle computes first-order months,
+    the fact re-joins on the customer key (same key → co-partitioned),
+    the triangle is |cohorts|×|months| rows, and the cumulative window
+    runs over that tiny matrix, never the fact. Cohort sizes join back
+    so later-month cells divide by the FULL cohort (dormant customers
+    still dilute LTV — the standard definition)."""
+    o = t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    sized = firsts.groupBy("cohort").agg(F.count("*").alias("cohort_n"))
+    spend = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort",
+            (
+                (F.year(F.date_trunc("month", "o_orderdate")) - F.year("cohort")) * 12
+                + (F.month(F.date_trunc("month", "o_orderdate")) - F.month("cohort"))
+            ).cast("long").alias("months_since"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("months_since")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return spend.join(sized, "cohort").select(
+        "cohort",
+        "months_since",
+        "cohort_n",
+        # integer CENTS make the cumulative exact under ANY accumulation
+        # order — DuckDB's window sum uses a segment tree (pairwise adds),
+        # Spark's a running total, and float cells drift a rounding boundary
+        # between the two; bigint cells cannot.
+        (F.floor(F.col("rev") * 100.0 + 0.5).cast("long") / F.lit(100.0)).alias(
+            "period_revenue"
+        ),
+        r2(
+            F.sum(F.floor(F.col("rev") * 100.0 + 0.5).cast("long")).over(w)
+            / F.lit(100.0)
+            / F.col("cohort_n")
+        ).alias("cum_ltv_per_customer"),
+    )
