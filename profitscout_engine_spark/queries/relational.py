@@ -802,3 +802,119 @@ def keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PAGE_SIZE)
         .select("o_orderkey", "o_custkey", r2(F.col("o_totalprice")).alias("o_totalprice"))
     )
+
+
+# --- fulfillment latency profile ----------------------------------------------
+@query(
+    "fulfillment_latency",
+    oracle="""
+    WITH lat AS (
+        SELECT o.o_orderpriority,
+               CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+                   AS days_to_ship
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(days_to_ship, 0.5), 4) AS p50_days,
+           ROUND(quantile_cont(days_to_ship, 0.9), 4) AS p90_days,
+           ROUND(SUM(CASE WHEN days_to_ship > 90 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS pct_late
+    FROM lat
+    GROUP BY o_orderpriority
+    """,
+    tags=("A12", "A13", "J4", "ops-analytics"),
+)
+def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment latency profile — ship-lag percentiles and the
+    late-rate per priority class, the SLA dashboard an operations team
+    watches. One fact-fact join on the order key (the bucketable
+    co-partition key), integer day lags, and a grouped exact-percentile
+    aggregate (the group_quantiles machinery — per-group buffers, not a
+    global sort). The late threshold is a conditional sum in the SAME
+    aggregation; negative lags (data errors) are excluded upstream and
+    surface in dq_audit's ship_before_order check instead."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    lat = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "o_orderpriority",
+            F.datediff("l_shipdate", "o_orderdate").cast("long").alias("days_to_ship"),
+        )
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        r4(F.expr("percentile(days_to_ship, 0.5)")).alias("p50_days"),
+        r4(F.expr("percentile(days_to_ship, 0.9)")).alias("p90_days"),
+        r4(
+            F.sum(F.when(F.col("days_to_ship") > 90, 1).otherwise(0))
+            * F.lit(1.0)
+            / F.count("*")
+        ).alias("pct_late"),
+    )
+
+
+# --- duplicate-order detection ------------------------------------------------
+@query(
+    "duplicate_order_scan",
+    oracle="""
+    SELECT a.o_orderkey AS k1, b.o_orderkey AS k2, a.o_custkey,
+           CAST(a.o_orderdate AS DATE) AS order_day,
+           ROUND(a.o_totalprice, 2) AS amount1,
+           ROUND(b.o_totalprice, 2) AS amount2,
+           ROUND(least(a.o_totalprice, b.o_totalprice)
+                 / greatest(a.o_totalprice, b.o_totalprice), 4) AS amount_ratio
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND CAST(a.o_orderdate AS DATE) = CAST(b.o_orderdate AS DATE)
+     AND a.o_orderkey < b.o_orderkey
+    """,
+    tags=("J2", "fraud", "ops-analytics"),
+)
+def duplicate_order_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate/split-order detection — the same customer placing
+    multiple orders on the same calendar day, with the amount ratio as
+    the triage signal (ratio near 1 suggests a double-submit, a low
+    ratio a deliberate split). Candidate generation is a pure EQUI-join
+    on the (customer, day) composite — pair volume is bounded by
+    per-customer daily order multiplicity (tiny by construction), the
+    key-ordered orientation emits each pair once, and positive amounts
+    make the least/greatest ratio division safe. At 100 TB this is a
+    self-join on a high-cardinality composite key — no window, no
+    sort; the same blocked-pair arithmetic as fuzzy_dedup_edit."""
+    o = t(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_orderkey").alias("k1"),
+        "o_custkey",
+        F.to_date("o_orderdate").alias("order_day"),
+        F.col("o_totalprice").alias("p1"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_custkey").alias("ck2"),
+        F.to_date("o_orderdate").alias("day2"),
+        F.col("o_totalprice").alias("p2"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("o_custkey") == F.col("ck2"))
+            & (F.col("order_day") == F.col("day2"))
+            & (F.col("k1") < F.col("k2")),
+        )
+        .select(
+            "k1",
+            "k2",
+            "o_custkey",
+            "order_day",
+            r2(F.col("p1")).alias("amount1"),
+            r2(F.col("p2")).alias("amount2"),
+            r4(
+                F.least(F.col("p1"), F.col("p2"))
+                / F.greatest(F.col("p1"), F.col("p2"))
+            ).alias("amount_ratio"),
+        )
+    )
