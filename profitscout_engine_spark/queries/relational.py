@@ -8,7 +8,7 @@ them into the parquet scan (verified via .explain in tests/test_plans.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..exprs import contract_symbol, pct_change, r2, r4
@@ -917,4 +917,78 @@ def duplicate_order_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.greatest(F.col("p1"), F.col("p2"))
             ).alias("amount_ratio"),
         )
+    )
+
+
+# --- revenue Pareto curve (ABC analysis) --------------------------------------
+PARETO_TOPK = 100
+
+
+@query(
+    "revenue_pareto_curve",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(FLOOR(SUM(o_totalprice) * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT SUM(cents) AS total_cents FROM per_cust),
+    ranked AS (
+        SELECT o_custkey, cents,
+               ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rnk
+        FROM per_cust
+    )
+    SELECT rnk, o_custkey,
+           ROUND(cents / 100.0, 2) AS revenue,
+           ROUND(CAST(SUM(cents) OVER (ORDER BY rnk
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 * 1.0 / tot.total_cents, 4) AS cum_share,
+           CASE WHEN CAST(SUM(cents) OVER (ORDER BY rnk
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     * 1.0 / tot.total_cents <= 0.5 THEN 'A'
+                WHEN CAST(SUM(cents) OVER (ORDER BY rnk
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     * 1.0 / tot.total_cents <= 0.8 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked, tot
+    WHERE rnk <= {PARETO_TOPK}
+    """,
+    tags=("T1", "W11", "ops-analytics"),
+)
+def revenue_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto/ABC) curve — the top-{PARETO_TOPK}
+    customers ranked by lifetime revenue with each rank's cumulative
+    share of TOTAL revenue and its ABC class (A ≤ 50%, B ≤ 80%, C
+    beyond): the account-management classic that shows how few
+    customers carry the book. Scale discipline: per-customer revenue is
+    one hash aggregation; the global top-k BOUNDS the ranked set before
+    the unpartitioned cumulative window touches it (the vocab_coverage
+    pattern — the window runs over k rows, never the customer
+    universe); amounts cumulate as integer CENTS (the ltv_cohort_curve
+    window-sum-order trap); the grand total is a 1-row broadcast. Ranks
+    tie-break on the customer key so both engines cut and label
+    identical rows."""
+    o = t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.floor(F.sum("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents")
+    )
+    tot = per_cust.agg(F.sum("cents").alias("total_cents"))
+    w = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = (
+        per_cust.orderBy(F.desc("cents"), F.asc("o_custkey"))
+        .limit(PARETO_TOPK)
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cents"), F.asc("o_custkey")))
+            .cast("long"),
+        )
+    )
+    cum = F.sum("cents").over(w).cast("long") * F.lit(1.0) / F.col("total_cents")
+    return ranked.join(F.broadcast(tot)).select(
+        "rnk",
+        "o_custkey",
+        r2(F.col("cents") / F.lit(100.0)).alias("revenue"),
+        r4(cum).alias("cum_share"),
+        F.when(cum <= 0.5, "A").when(cum <= 0.8, "B").otherwise("C").alias("abc_class"),
     )
