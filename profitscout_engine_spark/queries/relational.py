@@ -791,8 +791,13 @@ def keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("o_totalprice"), F.desc("o_orderkey"))
         .limit(1)
     )
-    anchor = page2.collect()[0]
-    ap, ak = anchor["o_totalprice"], anchor["o_orderkey"]
+    rows = page2.collect()
+    if not rows:
+        # Empty feed (or fewer than two pages): page 3 is empty — keep the
+        # schema by seeking past an impossible anchor.
+        ap, ak = float("-inf"), 0
+    else:
+        ap, ak = rows[0]["o_totalprice"], rows[0]["o_orderkey"]
     seek = (F.col("o_totalprice") < F.lit(ap)) | (
         (F.col("o_totalprice") == F.lit(ap)) & (F.col("o_orderkey") > F.lit(ak))
     )

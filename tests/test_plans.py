@@ -105,6 +105,8 @@ _NL_JOIN_OK = {
     "benford_audit",
     # 1-row quartile-boundary cross join (RFM score bounds)
     "rfm_segmentation",
+    # 1-row grand-total cross join (Pareto share denominator)
+    "revenue_pareto_curve",
     # 1-row × 1-row scalar assembly (streamed-registers estimate × exact)
     "streaming_hll_users",
     # 1-row global-scalar cross join (corpus size for idf)
