@@ -997,3 +997,74 @@ def revenue_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(cum).alias("cum_share"),
         F.when(cum <= 0.5, "A").when(cum <= 0.8, "B").otherwise("C").alias("abc_class"),
     )
+
+
+# --- revenue inequality: per-nation Gini coefficient --------------------------
+@query(
+    "revenue_gini_by_nation",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_nationkey,
+               o.o_custkey,
+               CAST(FLOOR(SUM(o.o_totalprice) * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT c_nationkey, cents,
+               CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                       ORDER BY cents, o_custkey) AS BIGINT) AS i,
+               CAST(COUNT(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n
+        FROM per_cust
+    )
+    SELECT n.n_name AS nation,
+           CAST(MAX(r.n) AS BIGINT) AS n_customers,
+           ROUND(SUM(r.cents) / 100.0, 2) AS total_revenue,
+           ROUND(SUM((2 * r.i - r.n - 1) * r.cents) * 1.0
+                 / (MAX(r.n) * SUM(r.cents)), 4) AS gini
+    FROM ranked r JOIN nation n ON n.n_nationkey = r.c_nationkey
+    GROUP BY n.n_name
+    HAVING MAX(r.n) >= 2
+    """,
+    tags=("A9", "W11", "inequality"),
+)
+def revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue inequality per nation — the Gini coefficient of customer
+    lifetime value, computed from the rank formula
+    G = Σ(2i − n − 1)·xᵢ / (n·Σxᵢ) over ascending-ranked customers.
+    EVERYTHING left of the final division is INTEGER: revenues become
+    cents (bigint), ranks and counts are bigint, so the numerator and
+    denominator are exact under any accumulation order on both engines
+    (the window-sum-order trap again, solved by construction — terms
+    peak ~1e10 and sums ~1e13, far inside bigint). The ranking window
+    partitions by NATION, so no global sort exists at any scale; ties
+    break on the customer key. Degenerate one-customer nations drop."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation")
+    per_cust = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.floor(F.sum("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents"))
+    )
+    wrank = Window.partitionBy("c_nationkey").orderBy("cents", "o_custkey")
+    wpart = Window.partitionBy("c_nationkey")
+    ranked = per_cust.select(
+        "c_nationkey",
+        "cents",
+        F.row_number().over(wrank).cast("long").alias("i"),
+        F.count("*").over(wpart).cast("long").alias("n"),
+    )
+    term = (F.lit(2) * F.col("i") - F.col("n") - F.lit(1)) * F.col("cents")
+    return (
+        ranked.join(F.broadcast(n), ranked["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            r2(F.sum("cents") / F.lit(100.0)).alias("total_revenue"),
+            r4(
+                F.sum(term) * F.lit(1.0) / (F.max("n") * F.sum("cents"))
+            ).alias("gini"),
+        )
+        .where(F.col("n_customers") >= 2)
+    )
