@@ -804,3 +804,53 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("group_n") < KANON_K).alias("is_risky"),
         r4(F.col("group_n") * F.lit(100.0) / F.col("n_docs")).alias("pct_of_corpus"),
     )
+
+
+# --- novelty scoring: first-occurrence shingle fraction -----------------------
+@query(
+    "ngram_novelty_score",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh_all AS (
+        SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        FROM toks, UNNEST(range(1, greatest(len(tk) - 1, 1))) AS u(i)
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh_all),
+    firsts AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS novelty
+    FROM sh s JOIN firsts f ON f.shingle = s.shingle
+    GROUP BY s.doc_id
+    """,
+    tags=("curation", "novelty", "dedup"),
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence novelty score — per document, the fraction of its
+    word-3-shingles appearing for the FIRST time in ingestion (doc_id)
+    order: the dedup-aware sampling signal a curation pipeline uses to
+    keep information-dense documents and down-weight recombinations of
+    already-seen text (novelty near 0 = stitched from the corpus even
+    when no single near-dup pair fires). Reads the session-shared
+    distinct-shingle frame; first occurrences are ONE min-aggregate on
+    the shingle key, joined back on the same key — two shuffles total,
+    both on shingle, and at 100 TB the firsts table is exactly the
+    incremental signature store incremental_dedup_probe maintains, so
+    ingestion gets this for free."""
+    from .similarity import _sh_distinct
+
+    sh = _sh_distinct(spark, sf_dir)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+            r4(F.sum(novel) * F.lit(1.0) / F.count("*")).alias("novelty"),
+        )
+    )
