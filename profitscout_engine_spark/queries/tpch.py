@@ -630,3 +630,587 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("l_quantity") < F.col("half_avg"))
         .agg(r2(F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
     )
+
+
+# --- Q2 shape: minimum-cost supplier (correlated MIN, adapted) ----------------
+# The fixture has no partsupp table, so "supply cost" derives from observed
+# trade: the minimum unit price (l_extendedprice / l_quantity, order-free MIN
+# of deterministic double divisions — exact cross-engine) each supplier ever
+# charged for the part. The Q2 *shape* survives intact: region-scoped supplier
+# dim, selective part filter, correlated per-part MIN, equality join back.
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    scoped AS (
+        SELECT c.l_partkey, c.l_suppkey, c.unit_cost,
+               eu.s_name, eu.s_acctbal, eu.n_name
+        FROM cost c JOIN eu ON eu.s_suppkey = c.l_suppkey
+        JOIN part p ON p.p_partkey = c.l_partkey
+        WHERE p.p_type = 'LARGE' AND p.p_size <= 10
+    )
+    SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
+           ROUND(unit_cost, 4) AS unit_cost
+    FROM scoped
+    WHERE unit_cost = (
+        SELECT MIN(unit_cost) FROM scoped s2 WHERE s2.l_partkey = scoped.l_partkey
+    )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("tpch-q2", "J8", "A4"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each selectively-filtered part, the
+    region-scoped supplier offering the MINIMUM unit cost — the classic
+    correlated-MIN decorrelated as a window min over the scoped cost
+    table (one shuffle on the part key; ties surface in both engines
+    because MIN of doubles is order-free and the equality is on exact
+    bits). The supplier→nation→region chain broadcasts; the per-pair
+    cost table is the only fact-sized aggregation. Rounding applies
+    only at OUTPUT, after the exact comparison."""
+    li = t(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    scoped = (
+        cost.join(F.broadcast(eu), cost["l_suppkey"] == eu["s_suppkey"])
+        .join(p, cost["l_partkey"] == p["p_partkey"], "left_semi")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        scoped.withColumn("min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            r4(F.col("unit_cost")).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --- Q4 shape: order-priority checking (EXISTS semi-join, adapted) ------------
+# No l_commitdate/l_receiptdate in the fixture; "late" is shipped more than
+# 90 days after the order date. The Q4 shape — quarter-scoped orders that
+# EXISTS-match a correlated lineitem predicate, counted per priority — holds.
+@query(
+    "q4_priority_checking",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("tpch-q4", "J-semi", "A1"),
+)
+def q4_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS → left-semi join on the order
+    key with the lateness predicate folded into the join condition
+    (never a post-filter: the semi join stops at the first matching
+    line, and at 100 TB the quarter-pruned orders side is the small
+    probe against the fact). One count-per-priority agg over the
+    survivors — a 5-row result."""
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (li["l_orderkey"] == o["o_orderkey"])
+        & (li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# --- Q9 shape: product-type profit by nation and year (adapted) ---------------
+# No ps_supplycost; unit cost proxies as half the part's retail price, so
+# profit = revenue − 0.5 · p_retailprice · quantity. The Q9 shape — LIKE-
+# filtered part, supplier-nation × order-year profit rollup — is intact.
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+           ROUND(CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1.0 - l.l_discount)
+                     - 0.5E0 * p.p_retailprice * l.l_quantity) * 1e4 + 0.5)
+                     AS BIGINT)) AS BIGINT) / 1e4, 2) AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, o_year
+    """,
+    tags=("tpch-q9", "J3", "A1"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per order-year over a
+    name-pattern part slice. The LIKE filter prunes part before the
+    fact join (contains-pattern can't push to parquet stats but does
+    evaluate in the scan stage); supplier/nation broadcast; the one big
+    shuffle is lineitem⋈orders on the order key, then a 25×7-group
+    rollup. Profit folds both terms in a single projected expression so
+    the aggregation reads one column. The per-row profit (identical
+    double bits on both engines) is fixed to integral 1e-4 units BEFORE
+    the sum: float-sum accumulation ORDER differs across engines and a
+    group sum of raw doubles can land on opposite sides of the 2dp
+    rounding boundary — integer cells make the sum exact (NOTES.md
+    trap log)."""
+    p = t(spark, sf_dir, "part").where(F.col("p_name").contains("widget"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    profit_1e4 = F.floor(profit * F.lit(1e4) + F.lit(0.5)).cast("long")
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(r2(F.sum(profit_1e4) / F.lit(1e4)).alias("sum_profit"))
+    )
+
+
+# --- Q10 shape: returned-item reporting ---------------------------------------
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+           ROUND(c.c_acctbal, 2) AS c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    tags=("tpch-q10", "J3", "T1"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue ranking of customers who returned
+    goods in a quarter. Return-flag and date filters prune both fact
+    sides before their join; nation broadcasts; the rollup groups on
+    the customer grain and the top-20 orders by ROUNDED revenue with
+    the customer key breaking ties identically in both engines."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            r2(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey", "c_name", "revenue",
+            r2(F.col("c_acctbal")).alias("c_acctbal"), "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --- Q11 shape: important stock (HAVING vs global scalar, adapted) ------------
+# No partsupp availqty; "stock" proxies as shipped quantity (integral, so the
+# per-part sums and the global total are exact BIGINTs — the HAVING boundary
+# cannot flip between engines on float accumulation order).
+Q11_NATION = "NATION_2"
+Q11_FRACTION = 0.001
+
+
+@query(
+    "q11_important_stock",
+    oracle=f"""
+    WITH scoped AS (
+        SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = '{Q11_NATION}'
+    )
+    SELECT l_partkey AS p_partkey, CAST(SUM(qty) AS BIGINT) AS total_qty
+    FROM scoped
+    GROUP BY l_partkey
+    HAVING SUM(qty) > {Q11_FRACTION} * (SELECT SUM(qty) FROM scoped)
+    ORDER BY total_qty DESC, p_partkey
+    """,
+    tags=("tpch-q11", "J8", "A7"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value gated by a fraction of the
+    GLOBAL total — the HAVING-against-scalar-subquery pattern. The
+    nation-scoped frame is computed once and reused for both the
+    per-part rollup and the 1-row total (one exchange, AQE reuse); the
+    total joins back as a broadcast cross of a single row. Quantities
+    stay integral end-to-end so the threshold comparison is exact."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").where(F.col("n_name") == Q11_NATION)
+    scoped = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("l_partkey", F.col("l_quantity").cast("long").alias("qty"))
+    )
+    per_part = scoped.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    total = scoped.agg(F.sum("qty").alias("grand_qty"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("total_qty") > F.lit(Q11_FRACTION) * F.col("grand_qty"))
+        .select(F.col("l_partkey").alias("p_partkey"), "total_qty")
+        .orderBy(F.desc("total_qty"), "p_partkey")
+    )
+
+
+# --- Q12 shape: shipping-delay vs priority (adapted) --------------------------
+# No l_shipmode; lines bucket by shipping delay instead, and the Q12 shape —
+# per-bucket counts of critical vs non-critical order priorities via
+# conditional aggregation — is unchanged. COUNT (not SUM-of-CASE) keeps both
+# engines in BIGINT without the HUGEINT cast dance.
+@query(
+    "q12_delay_priority",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 365
+                THEN 'LATE'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+                THEN 'SLOW' ELSE 'FAST' END AS ship_bucket,
+           COUNT(*) FILTER (o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+               AS high_line_count,
+           COUNT(*) FILTER (o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+               AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY ship_bucket
+    """,
+    tags=("tpch-q12", "A3", "J1"),
+)
+def q12_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional dual-count per shipping bucket —
+    did slow shipping correlate with critical priorities. The year
+    filter pushes to the lineitem scan; one fact-fact join on the order
+    key; the CASE bucket evaluates pre-shuffle so the aggregation key
+    is a 3-value string. datediff on midnight-aligned timestamps is
+    exact in both engines."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay > 365, "LATE").when(delay > 90, "SLOW").otherwise("FAST")
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.count(F.when(crit, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~crit, F.lit(1))).alias("low_line_count"),
+        )
+    )
+
+
+# --- Q14 shape: promotion-revenue share ---------------------------------------
+@query(
+    "q14_promo_share",
+    oracle="""
+    SELECT ROUND(100.0E0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                    THEN l.l_extendedprice * (1.0 - l.l_discount)
+                                    ELSE 0.0 END)
+                 / SUM(l.l_extendedprice * (1.0 - l.l_discount)), 4)
+               AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    tags=("tpch-q14", "A3", "J1"),
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue as a percentage of one month's
+    total — numerator (CASE sum) and denominator in the SAME single
+    aggregation, one part join (AQE broadcasts at fixture scale; part
+    is fact-proportional at warehouse scale so no hard hint), one
+    1-row result. The month filter prunes the fact scan first."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .agg(
+            r4(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0)))
+                / F.sum(disc)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# --- Q19 shape: disjunctive multi-attribute revenue ---------------------------
+@query(
+    "q19_disjunct_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("tpch-q19", "P3", "J1"),
+)
+def q19_disjunct_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of three conjunctive bands mixing part
+    attributes with lineitem attributes. The optimizer-relevant move:
+    the disjunction's part-only and lineitem-only envelopes (brand IN
+    (...), quantity ≤ 30) are IMPLIED filters that push below the join
+    even though the full OR can only evaluate above it — Catalyst
+    derives them via constraint propagation; stating the envelope
+    explicitly costs nothing and guarantees the prune on engines that
+    don't. One join, one 1-row sum."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_quantity").between(1, 30))
+    p = t(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#12", "Brand#21", "Brand#3")
+        & (F.col("p_size") >= 1)
+    )
+    d1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    d2 = (
+        (F.col("p_brand") == "Brand#21")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    d3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .where(d1 | d2 | d3)
+        .agg(
+            r2(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            ).alias("revenue")
+        )
+    )
+
+
+# --- Q20 shape: dominant-supplier promotion (nested agg semi-join, adapted) ---
+# No ps_availqty; a supplier "dominates" a part when it shipped more than 20%
+# of that part's 1997 volume. Quantities are integral → both the pair sums and
+# the part totals are exact, so the dominance threshold can't flip engines.
+Q20_NATION = "NATION_7"
+
+
+@query(
+    "q20_dominant_supplier",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT l.l_suppkey, l.l_partkey,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS pair_qty
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'small%'
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_suppkey, l.l_partkey
+    ),
+    totals AS (
+        SELECT l_partkey, CAST(SUM(pair_qty) AS BIGINT) AS part_qty
+        FROM pairs GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_dominant
+    FROM pairs pr
+    JOIN totals tt ON tt.l_partkey = pr.l_partkey
+    JOIN supplier s ON s.s_suppkey = pr.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE pr.pair_qty > 0.2 * tt.part_qty
+      AND n.n_name = '{Q20_NATION}'
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY s.s_suppkey
+    """,
+    tags=("tpch-q20", "J-semi", "A7"),
+)
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: two-level aggregation with a correlated-threshold
+    join-back — per (supplier, part) volume against 20% of the per-part
+    total, survivors rolled up per nation-scoped supplier. The pair
+    rollup and the part total share one exchange lineage (totals
+    re-aggregate the pair frame — never a second fact scan); the
+    threshold compare joins on the part key. At 100 TB both aggs are
+    the same shuffle key family, so AQE chains them without a second
+    wide exchange."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").where(F.col("p_name").startswith("small"))
+    pairs = (
+        li.join(p, li["l_partkey"] == p["p_partkey"], "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("pair_qty"))
+    )
+    totals = pairs.groupBy("l_partkey").agg(F.sum("pair_qty").alias("part_qty"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").where(F.col("n_name") == Q20_NATION)
+    return (
+        pairs.join(totals, "l_partkey")
+        .where(F.col("pair_qty") > F.lit(0.2) * F.col("part_qty"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"], "left_semi")
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_dominant"))
+        .orderBy("s_suppkey")
+    )
+
+
+# --- Q21 shape: suppliers who kept orders waiting (adapted) -------------------
+# No receipt/commit dates; a supplier is "late" on an order when it shipped
+# more than 180 days after the order date. The Q21 double-correlation — the
+# supplier was late, ANOTHER supplier was on the order, and NO other supplier
+# was late — decorrelates into one per-(order, supplier) flag rollup plus one
+# per-order census, replacing the EXISTS / NOT EXISTS pair with exact integer
+# counts (the form every shuffle engine should run; a correlated re-scan of
+# the fact per row is quadratic at 100 TB).
+Q21_NATION = "NATION_9"
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle=f"""
+    WITH per_supp AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 180 DAY
+                        THEN 1 ELSE 0 END) AS was_late
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY l.l_orderkey, l.l_suppkey
+    ),
+    census AS (
+        SELECT l_orderkey, COUNT(*) AS n_supp,
+               CAST(SUM(was_late) AS BIGINT) AS n_late
+        FROM per_supp GROUP BY l_orderkey
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM per_supp ps
+    JOIN census c ON c.l_orderkey = ps.l_orderkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE ps.was_late = 1 AND c.n_supp > 1 AND c.n_late = 1
+      AND n.n_name = '{Q21_NATION}'
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+    tags=("tpch-q21", "J-anti", "A7"),
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole-blame census — suppliers who were the
+    ONLY late supplier on a multi-supplier finalized order. The classic
+    EXISTS(other supplier) AND NOT EXISTS(other late supplier) pair
+    decorrelates into two chained aggregations on the SAME order-key
+    partitioning (per-(order,supplier) late flag, then per-order
+    supplier/late census) — one wide exchange feeds both, the blame
+    predicate is pure integer arithmetic, and the nation filter
+    broadcasts. Top-100 orders by the count with the name tie-break."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = t(spark, sf_dir, "lineitem")
+    per_supp = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 180 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("was_late")
+        )
+    )
+    census = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("was_late").alias("n_late")
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").where(F.col("n_name") == Q21_NATION)
+    return (
+        per_supp.where(F.col("was_late") == 1)
+        .join(census, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"], "left_semi")
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

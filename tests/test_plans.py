@@ -97,6 +97,8 @@ _NL_JOIN_OK = {
     "regime_weighted_score",
     # 1-row global-scalar threshold compare (positive-balance average)
     "q22_dormant_balance",
+    # 1-row global-scalar cross join (nation-scoped grand total for HAVING)
+    "q11_important_stock",
     # 1-row global-scalar cross join (corpus total for cell share)
     "k_anonymity_audit",
     # 1-row boundary-array cross join (percentile bucket bounds)
