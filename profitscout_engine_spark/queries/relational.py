@@ -731,15 +731,38 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plain equi-join is the right plan here."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # One aggregation per customer (collect_set folds the DISTINCT into the
+    # same shuffle), then C(n,2) ordered pairs generated JVM-side from the
+    # sorted basket array — the self-join form shuffles the basket table
+    # twice and pays join machinery for pairs this transform emits directly.
+    # sort_array makes p1 < p2 by construction. Pair VOLUME is identical
+    # (sum of per-customer basket²) — this changes the constant, not the
+    # asymptotics.
     basket = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select("o_custkey", "l_partkey")
-        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
-    a = basket.select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("p1"))
-    b = basket.select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("p2"))
+    # The basket table is compact (one row per customer), so AQE coalesces
+    # it to a couple of partitions — but the explode below expands each row
+    # to C(basket,2) pairs, and that expansion must run WIDE. Round-robin
+    # the cheap side so the quadratic work spreads across the cluster (the
+    # explode-side twin of fan_out's scan rule).
+    basket = basket.repartition(spark.sparkContext.defaultParallelism)
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "parts",
+                lambda x, i: F.transform(
+                    F.slice("parts", i + F.lit(2), F.size("parts")),
+                    lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+                ),
+            )
+        )
+    )
     return (
-        a.join(b, (a["ck"] == b["ck"]) & (F.col("p1") < F.col("p2")))
+        basket.select(pair.alias("pr"))
+        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .groupBy("p1", "p2")
         .agg(F.count("*").alias("n_customers"))
         .where(F.col("n_customers") >= COPURCHASE_MIN_SUPPORT)

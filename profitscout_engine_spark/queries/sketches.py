@@ -858,3 +858,165 @@ def quantile_digest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.sum(F.col("ns") * F.col("v")) / F.sum("ns")).alias("est"),
         F.sum("ns").cast("long").alias("n_total"),
     )
+
+
+# --- join-size estimation (pre-join optimizer statistic) ----------------------
+JS_D = 4  # count-min rows
+JS_W = 256  # buckets (two hex chars, no modulo bias)
+JS_SAMPLE_RATE = 16  # universe sampling keeps 1/16 of the KEY space
+
+
+def _js_bucket(instr_fn: str, seed: int, value_expr: str) -> str:
+    h = f"md5(concat('{seed}|', {value_expr}))"
+    c1 = _hx(instr_fn, f"substr({h}, 1, 1)")
+    c2 = _hx(instr_fn, f"substr({h}, 2, 1)")
+    return f"(16 * {c1} + {c2})"
+
+
+@query(
+    "join_size_estimate",
+    oracle=f"""
+    WITH a AS (
+        SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY l_partkey
+    ),
+    b AS (
+        SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey
+    ),
+    exact AS (
+        SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS exact_pairs
+        FROM a JOIN b ON a.k = b.k
+    ),
+    cells_a AS (
+        {" UNION ALL ".join(
+            f"SELECT {s} AS seed, {_js_bucket('strpos', s, 'CAST(k AS STRING)')} AS bucket, "
+            f"CAST(SUM(c) AS BIGINT) AS cnt FROM a GROUP BY 1, 2"
+            for s in range(1, JS_D + 1)
+        )}
+    ),
+    cells_b AS (
+        {" UNION ALL ".join(
+            f"SELECT {s} AS seed, {_js_bucket('strpos', s, 'CAST(k AS STRING)')} AS bucket, "
+            f"CAST(SUM(c) AS BIGINT) AS cnt FROM b GROUP BY 1, 2"
+            for s in range(1, JS_D + 1)
+        )}
+    ),
+    cm AS (
+        SELECT CAST(MIN(ip) AS BIGINT) AS cm_est
+        FROM (
+            SELECT ca.seed, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS ip
+            FROM cells_a ca JOIN cells_b cb
+              ON ca.seed = cb.seed AND ca.bucket = cb.bucket
+            GROUP BY ca.seed
+        )
+    ),
+    uni AS (
+        SELECT CAST({JS_SAMPLE_RATE} * COALESCE(SUM(a.c * b.c), 0) AS BIGINT)
+                   AS universe_est
+        FROM a JOIN b ON a.k = b.k
+        WHERE substr(md5(concat('u|', CAST(a.k AS STRING))), 1, 1) = '0'
+    )
+    SELECT exact.exact_pairs,
+           cm.cm_est,
+           CAST(cm.cm_est - exact.exact_pairs AS BIGINT) AS cm_overcount,
+           uni.universe_est,
+           ROUND(100.0E0 * (uni.universe_est - exact.exact_pairs)
+                 / exact.exact_pairs, 4) AS universe_err_pct
+    FROM exact, cm, uni
+    """,
+    tags=("sketch", "join-size", "optimizer"),
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality estimation — the optimizer statistic that
+    decides whether a join is broadcastable, shuffle-safe, or about to
+    explode, WITHOUT running the join. |A ⋈ B| = Σ_k cA(k)·cB(k) is
+    estimated two ways and checked against the exact sum:
+
+    - count-min inner product (AMS-style): each side folds its per-key
+      counts into d×w = 1024 counters; Σ_bucket a·b per seed upper-bounds
+      the true size (collisions only ADD), and min-over-seeds tightens
+      it. Fixed memory regardless of key cardinality — the 100 TB path.
+    - universe sampling: both sides keep the SAME deterministic 1/16 of
+      the KEY space (first md5 hex char = '0'), so matching pairs
+      survive intact and 16 × the sampled pair-sum is unbiased — the
+      estimator of choice when collision noise at d×w memory is too
+      coarse (error pinned in tests/test_sketches.py).
+
+    Every count, product, and sum is integer, so both engines produce
+    bit-identical estimates — the estimates themselves are driver-
+    hashed, not just sanity-checked. Scale shape: two per-key
+    aggregations (map-side combined), then all arithmetic happens on
+    bounded sketch tables; the exact twin exists only as the yardstick
+    column. Probe side here is the returns slice against the full fact
+    on the part key — the asymmetric m×n join whose size a planner
+    actually needs before choosing a strategy."""
+    li = t(spark, sf_dir, "lineitem")
+    a = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    b = (
+        li.where(F.col("l_returnflag") == "R")
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    pairs = a.alias("a").join(b.alias("b"), "k").select(
+        F.col("k"), (F.col("a.c") * F.col("b.c")).alias("p")
+    )
+    exact = pairs.agg(F.sum("p").cast("long").alias("exact_pairs"))
+
+    def cells(side: DataFrame) -> DataFrame:
+        hashed = side.select(
+            "c",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("seed"),
+                            F.expr(
+                                _js_bucket("instr", s, "CAST(k AS STRING)")
+                            ).alias("bucket"),
+                        )
+                        for s in range(1, JS_D + 1)
+                    ]
+                )
+            ).alias("sb"),
+        )
+        return hashed.groupBy(
+            F.col("sb.seed").alias("seed"), F.col("sb.bucket").alias("bucket")
+        ).agg(F.sum("c").cast("long").alias("cnt"))
+
+    ca, cb = cells(a), cells(b)
+    cm = (
+        ca.alias("ca")
+        .join(cb.alias("cb"), ["seed", "bucket"])
+        .groupBy("seed")
+        .agg(F.sum(F.col("ca.cnt") * F.col("cb.cnt")).cast("long").alias("ip"))
+        .agg(F.min("ip").cast("long").alias("cm_est"))
+    )
+    uni = (
+        pairs.where(
+            F.substring(F.md5(F.concat(F.lit("u|"), F.col("k").cast("string"))), 1, 1)
+            == "0"
+        )
+        .agg(
+            (F.lit(JS_SAMPLE_RATE) * F.coalesce(F.sum("p"), F.lit(0)))
+            .cast("long")
+            .alias("universe_est")
+        )
+    )
+    return (
+        exact.join(F.broadcast(cm))
+        .join(F.broadcast(uni))
+        .select(
+            "exact_pairs",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_pairs")).cast("long").alias("cm_overcount"),
+            "universe_est",
+            r4(
+                F.lit(100.0)
+                * (F.col("universe_est") - F.col("exact_pairs"))
+                / F.col("exact_pairs")
+            ).alias("universe_err_pct"),
+        )
+    )

@@ -99,6 +99,8 @@ _NL_JOIN_OK = {
     "q22_dormant_balance",
     # 1-row global-scalar cross join (nation-scoped grand total for HAVING)
     "q11_important_stock",
+    # three 1-row estimator scalars cross-joined into the report row
+    "join_size_estimate",
     # 1-row global-scalar cross join (corpus total for cell share)
     "k_anonymity_audit",
     # 1-row boundary-array cross join (percentile bucket bounds)

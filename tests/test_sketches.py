@@ -146,3 +146,18 @@ def test_weighted_sample_matches_python_reference(spark, sf_dir):
         for rn, (_, doc_id) in enumerate(sorted(rows)[:5], start=1):
             expect[(lang, rn)] = doc_id
     assert got == expect
+
+
+def test_join_size_estimators_bound_and_close(spark, sf_dir):
+    """CM inner product must upper-bound the exact join size (collisions
+    only add mass); universe sampling at 1/16 of the key space must land
+    within a loose ±40% at fixture scale (one deterministic draw, ~125
+    sampled keys — the variance bound, not a bias claim)."""
+    from profitscout_engine_spark.queries import load_registry
+
+    row = (
+        load_registry()["join_size_estimate"].fn(spark, sf_dir).collect()[0].asDict()
+    )
+    assert row["cm_est"] >= row["exact_pairs"]
+    assert row["cm_overcount"] == row["cm_est"] - row["exact_pairs"]
+    assert abs(row["universe_err_pct"]) <= 40.0
