@@ -660,3 +660,35 @@ def trend_fit_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
         r4(num * num / F.nullif(denx * deny, F.lit(0.0))).alias("r_squared"),
     )
+
+
+# --- streaming extension: stream-static dimension enrichment ------------------
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT date_trunc('hour', e.ts) AS window_start,
+           c.c_mktsegment AS segment,
+           COUNT(*) AS n,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "J1"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join run through the REAL streaming engine: events
+    stream ⋈ static customer dim per micro-batch, windowed segment
+    rollup in complete mode (see streaming.run_stream_static_enrich).
+    The oracle is the batch equivalence — the final complete-mode table
+    must equal the one-shot join+group-by, proving the per-batch dim
+    join and incremental window state compose to the batch answer."""
+    from ..streaming import run_stream_static_enrich
+
+    out = run_stream_static_enrich(spark, sf_dir)
+    return out.select(
+        F.col("win.start").alias("window_start"),
+        F.col("c_mktsegment").alias("segment"),
+        "n",
+        r2(F.col("total_value")).alias("total_value"),
+    )

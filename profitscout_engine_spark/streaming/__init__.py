@@ -91,3 +91,39 @@ def run_stream_aggregation(
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join driven to completion: the events
+    STREAM joins the static customer dimension on every micro-batch
+    (Structured Streaming re-plans the static side per batch — the
+    always-fresh-dim lookup pattern), then aggregates per (hour window,
+    market segment) in complete mode.
+
+    Scale shape: the static side is a dimension — Spark broadcasts it
+    into each micro-batch's join; the streaming state is the windowed
+    aggregate only (bounded by windows × segments), never the joined
+    rows. This is the canonical 'enrich the firehose against the
+    warehouse dim' topology; batch parity is the oracle."""
+    import tempfile
+
+    events = stream_events(spark, sf_dir, with_watermark=None)
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    agg = (
+        events.join(dim, "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "c_mktsegment")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+    )
+    name = f"enrich_{next(tempfile._get_candidate_names())}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
