@@ -1763,3 +1763,143 @@ def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("edges_edit", F.lit(0).cast("long")).alias("edges_edit"),
         )
     )
+
+
+# ---- hybrid retrieval: reciprocal-rank fusion of lexical + dense -------------
+RRF_K = 60
+LEX_K = 10
+DENSE_K = 10
+FUSE_K = 5
+
+
+def _fusion_oracle() -> str:
+    bucket_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT vec_id, {t_} AS table_id, {_lsh_bucket_sql('v', t_)} AS bucket FROM e"
+        for t_ in range(sim.LSH_TABLES)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    lex_directed AS (
+        SELECT d1 AS q_id, d2 AS n_id,
+               ROUND(c * 1.0 / (ca.n + cb.n - c), 4) AS s
+        FROM common JOIN counts ca ON ca.doc_id = d1
+                    JOIN counts cb ON cb.doc_id = d2
+        UNION ALL
+        SELECT d2, d1, ROUND(c * 1.0 / (ca.n + cb.n - c), 4)
+        FROM common JOIN counts ca ON ca.doc_id = d1
+                    JOIN counts cb ON cb.doc_id = d2
+    ),
+    lex AS (
+        SELECT q_id, n_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) AS rank
+        FROM lex_directed
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    buckets AS (
+        {bucket_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM buckets a JOIN buckets b
+          ON a.table_id = b.table_id AND a.bucket = b.bucket
+         AND a.vec_id <> b.vec_id
+    ),
+    den AS (
+        SELECT a_id AS q_id, b_id AS n_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a_id
+                   ORDER BY ROUND({_cosine_sql('ea.v', 'eb.v')}, 6) DESC, b_id
+               ) AS rank
+        FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id
+    ),
+    merged AS (
+        SELECT q_id, n_id, rank FROM lex WHERE rank <= {LEX_K}
+        UNION ALL
+        SELECT q_id, n_id, rank FROM den WHERE rank <= {DENSE_K}
+    ),
+    fused AS (
+        SELECT q_id, n_id,
+               SUM(1.0E0 / ({RRF_K} + rank)) AS score,
+               CAST(COUNT(*) AS BIGINT) AS n_sources
+        FROM merged GROUP BY q_id, n_id
+    )
+    SELECT q_id, n_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id)
+                AS BIGINT) AS fused_rank,
+           ROUND(score, 6) AS rrf_score, n_sources
+    FROM fused
+    QUALIFY fused_rank <= {FUSE_K}
+    """
+
+
+@query("hybrid_rank_fusion", oracle=_fusion_oracle(), tags=("retrieval", "hybrid", "rrf"))
+def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion — the RAG-stack pattern
+    of merging a LEXICAL ranking (word-3-gram Jaccard neighbors, from
+    the skew-salted shared shingle frame) with a DENSE ranking
+    (hyperplane-LSH cosine neighbors, from the shared scored frame) per
+    query document (vec_id ≡ doc_id in the fixture): RRF score
+    Σ 1/(60 + rank) over the lists a neighbor appears in. RRF needs no
+    score calibration between the two metrics — only ranks — which is
+    exactly why it's the production fusion default.
+
+    Exactness: each ranking orders by its ROUNDED score with id
+    tie-breaks (both engines cut identical lists); an RRF sum has at
+    most two terms, and IEEE addition of two doubles is commutative, so
+    group order cannot change the fused score. Scale shape: both
+    rankings read session-shared materializations (built once), the
+    fusion itself is one union + one small aggregation — cost is two
+    top-K windows over candidate sets, never corpus²."""
+    counts = _sh_sizes(spark, sf_dir)
+    common = _sh_common_counts(spark, sf_dir)
+    j = F.col("c") / (F.col("ca.n") + F.col("cb.n") - F.col("c"))
+    undirected = (
+        common.join(counts.alias("ca"), F.col("d1") == F.col("ca.doc_id"))
+        .join(counts.alias("cb"), F.col("d2") == F.col("cb.doc_id"))
+        .select("d1", "d2", r4(j).alias("s"))
+    )
+    lex_directed = undirected.select(
+        F.col("d1").alias("q_id"), F.col("d2").alias("n_id"), "s"
+    ).unionByName(
+        undirected.select(F.col("d2").alias("q_id"), F.col("d1").alias("n_id"), "s")
+    )
+    wl = Window.partitionBy("q_id").orderBy(F.desc("s"), F.asc("n_id"))
+    lex = (
+        lex_directed.withColumn("rank", F.row_number().over(wl))
+        .where(F.col("rank") <= LEX_K)
+        .select("q_id", "n_id", "rank")
+    )
+    scored = _lsh_scored(spark, sf_dir)
+    den_directed = scored.select(
+        F.col("d1").alias("q_id"), F.col("d2").alias("n_id"), "sim_raw"
+    ).unionByName(
+        scored.select(F.col("d2").alias("q_id"), F.col("d1").alias("n_id"), "sim_raw")
+    )
+    wd = Window.partitionBy("q_id").orderBy(
+        F.desc(r6(F.col("sim_raw"))), F.asc("n_id")
+    )
+    den = (
+        den_directed.withColumn("rank", F.row_number().over(wd))
+        .where(F.col("rank") <= DENSE_K)
+        .select("q_id", "n_id", "rank")
+    )
+    fused = (
+        lex.unionByName(den)
+        .groupBy("q_id", "n_id")
+        .agg(
+            F.sum(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank"))).alias("score"),
+            F.count("*").cast("long").alias("n_sources"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .where(F.col("fused_rank") <= FUSE_K)
+        .select("q_id", "n_id", "fused_rank", r6(F.col("score")).alias("rrf_score"), "n_sources")
+    )
