@@ -1843,7 +1843,8 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval by reciprocal-rank fusion — the RAG-stack pattern
     of merging a LEXICAL ranking (word-3-gram Jaccard neighbors, from
     the skew-salted shared shingle frame) with a DENSE ranking
-    (hyperplane-LSH cosine neighbors, from the shared scored frame) per
+    (hyperplane-LSH cosine neighbors, from the shared scored frame —
+    exact cosine via the Arrow-batched packed-vector dot) per
     query document (vec_id ≡ doc_id in the fixture): RRF score
     Σ 1/(60 + rank) over the lists a neighbor appears in. RRF needs no
     score calibration between the two metrics — only ranks — which is
