@@ -869,9 +869,12 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Q11 shape: important stock (HAVING vs global scalar, adapted) ------------
 # No partsupp availqty; "stock" proxies as shipped quantity (integral, so the
 # per-part sums and the global total are exact BIGINTs — the HAVING boundary
-# cannot flip between engines on float accumulation order).
+# cannot flip between engines on float accumulation order). The classic query
+# scales its fraction by 1/SF; a fixed fraction empties at larger scales, so
+# the threshold here is MEAN-RELATIVE (parts above 2× the average per-part
+# scoped quantity) — self-normalizing, ~9% selectivity at every fixture SF.
 Q11_NATION = "NATION_2"
-Q11_FRACTION = 0.001
+Q11_MULT = 2.0
 
 
 @query(
@@ -883,22 +886,26 @@ Q11_FRACTION = 0.001
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN nation n   ON n.n_nationkey = s.s_nationkey
         WHERE n.n_name = '{Q11_NATION}'
+    ),
+    pp AS (
+        SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS total_qty
+        FROM scoped GROUP BY l_partkey
     )
-    SELECT l_partkey AS p_partkey, CAST(SUM(qty) AS BIGINT) AS total_qty
-    FROM scoped
-    GROUP BY l_partkey
-    HAVING SUM(qty) > {Q11_FRACTION} * (SELECT SUM(qty) FROM scoped)
+    SELECT l_partkey AS p_partkey, total_qty
+    FROM pp
+    WHERE total_qty > {Q11_MULT}E0 * (SELECT SUM(total_qty) * 1.0E0 / COUNT(*) FROM pp)
     ORDER BY total_qty DESC, p_partkey
     """,
     tags=("tpch-q11", "J8", "A7"),
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: per-part stock value gated by a fraction of the
-    GLOBAL total — the HAVING-against-scalar-subquery pattern. The
-    nation-scoped frame is computed once and reused for both the
-    per-part rollup and the 1-row total (one exchange, AQE reuse); the
-    total joins back as a broadcast cross of a single row. Quantities
-    stay integral end-to-end so the threshold comparison is exact."""
+    """TPC-H Q11 shape: per-part stock value gated against a GLOBAL
+    scalar — the HAVING-against-scalar-subquery pattern. The per-part
+    rollup is computed once and reused for both the rows and the 1-row
+    mean (one exchange, AQE reuse); the mean joins back as a broadcast
+    cross of a single row. Quantities stay integral into the scalar, so
+    2·mean (one double multiply/divide of exact integers) is
+    bit-identical cross-engine and the boundary cannot flip."""
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation").where(F.col("n_name") == Q11_NATION)
@@ -908,10 +915,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", F.col("l_quantity").cast("long").alias("qty"))
     )
     per_part = scoped.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
-    total = scoped.agg(F.sum("qty").alias("grand_qty"))
+    stats = per_part.agg(
+        (F.sum("total_qty") * F.lit(1.0) / F.count("*")).alias("mean_qty")
+    )
     return (
-        per_part.join(F.broadcast(total))
-        .where(F.col("total_qty") > F.lit(Q11_FRACTION) * F.col("grand_qty"))
+        per_part.join(F.broadcast(stats))
+        .where(F.col("total_qty") > F.lit(Q11_MULT) * F.col("mean_qty"))
         .select(F.col("l_partkey").alias("p_partkey"), "total_qty")
         .orderBy(F.desc("total_qty"), "p_partkey")
     )
