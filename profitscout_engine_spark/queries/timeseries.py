@@ -692,3 +692,105 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         r2(F.col("total_value")).alias("total_value"),
     )
+
+
+# --- CEP: MATCH_RECOGNIZE-style sequence pattern over sessions ----------------
+SEQ_GAP_MIN = 30
+SEQ_FUNNEL_RE = "v+c+p"  # browse (1+), click (1+), then purchase — contiguous
+
+
+@query(
+    "sequence_pattern_match",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL {SEQ_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, sess_id,
+               MIN(ts) AS session_start,
+               COUNT(*) AS n_events,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS seq
+        FROM numbered
+        GROUP BY user_id, sess_id
+    )
+    SELECT user_id, session_start, n_events, seq,
+           regexp_matches(seq, '{SEQ_FUNNEL_RE}') AS matched_funnel,
+           contains(seq, 'e') AS had_error
+    FROM sessions
+    """,
+    tags=("cep", "match-recognize", "session"),
+)
+def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style complex-event pattern matching, expressed
+    relationally: sessionize each user's stream (30-min gaps-and-islands),
+    compress every session to its ORDERED event-initial string (one
+    character per event, sorted by (ts, event_id) — a total order, so
+    both engines build the identical string), then run the pattern as a
+    plain regex over that string — 'v+c+p' is views, then clicks, then a
+    purchase, contiguous, the CEP funnel with NO intervening noise that
+    the anchored-min funnel (funnel_stages) cannot express.
+
+    This is the standard Spark answer to SQL:2016 MATCH_RECOGNIZE (which
+    Catalyst lacks): fold the sequence dimension into a value, then
+    pattern-match values. One shuffle to sessionize, one aggregation per
+    session; the regex evaluates in the scan stage of a bounded
+    per-session table. Event strings are bounded by session length —
+    at 100 TB sessions stay human-sized while users/rows scale out."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Exact-microsecond gap test: the fixture's timestamps carry
+    # sub-second precision, and a seconds-truncating cast("long") puts a
+    # pair that straddles the boundary by microseconds on the wrong side
+    # of the oracle's exact INTERVAL compare (bit at sf0.1 — one split).
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(wo))
+            >= SEQ_GAP_MIN * 60 * 1_000_000,
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = (
+        numbered.groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "ts", "event_id",
+                                F.substring("event_type", 1, 1).alias("i"),
+                            )
+                        )
+                    ),
+                    lambda x: x["i"],
+                ),
+                "",
+            ).alias("seq"),
+        )
+    )
+    return sessions.select(
+        "user_id",
+        "session_start",
+        "n_events",
+        "seq",
+        (F.regexp_count("seq", F.lit(SEQ_FUNNEL_RE)) > 0).alias("matched_funnel"),
+        F.col("seq").contains("e").alias("had_error"),
+    )
