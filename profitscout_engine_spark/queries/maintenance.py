@@ -873,3 +873,70 @@ def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("cohort_n")
         ).alias("cum_ltv_per_customer"),
     )
+
+
+# --- chi-square independence test (drift significance) ------------------------
+@query(
+    "chi_square_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+    ct AS (SELECT hr, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS total FROM cells),
+    terms AS (
+        SELECT CAST(FLOOR(
+                   ((cells.o - rt.r * ct.c * 1.0E0 / n.total)
+                    * (cells.o - rt.r * ct.c * 1.0E0 / n.total))
+                   / (rt.r * ct.c * 1.0E0 / n.total) * 1e9 + 0.5)
+               AS BIGINT) AS t_1e9
+        FROM cells JOIN rt USING (event_type) JOIN ct USING (hr), n
+    )
+    SELECT ROUND(CAST(SUM(t_1e9) AS BIGINT) / 1e9, 4) AS chi2,
+           CAST(((SELECT COUNT(*) FROM rt) - 1)
+                * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof
+    FROM terms
+    """,
+    tags=("maintenance", "stats", "drift"),
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test of the event-type mix against
+    hour-of-day — the significance complement to column_entropy's mutual
+    information (MI says HOW related; chi2 says whether the relation
+    beats sampling noise). One contingency aggregation, row/column
+    marginals re-aggregated from the tiny cell table (never a second
+    fact scan), expected counts r·c/N from exact integers.
+
+    Each cell's (o−e)²/e term is an identical double on both engines;
+    the SUM across cells is where engines disagree (accumulation
+    order), so terms are fixed to integral 1e-9 units first — the
+    integer-cells rule from the NOTES trap log applied to a statistic
+    instead of a currency."""
+    ev = t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rt = cells.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    ct = cells.groupBy("hr").agg(F.sum("o").cast("long").alias("c"))
+    n = cells.agg(F.sum("o").cast("long").alias("total"))
+    e = F.col("r") * F.col("c") * F.lit(1.0) / F.col("total")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    terms = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "hr")
+        .join(F.broadcast(n))
+        .select(F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("long").alias("t_1e9"))
+    )
+    dof = (
+        rt.agg(F.count(F.lit(1)).alias("nr"))
+        .join(ct.agg(F.count(F.lit(1)).alias("nc")))
+        .select(((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"))
+    )
+    return (
+        terms.agg(r4(F.sum("t_1e9") / F.lit(1e9)).alias("chi2"))
+        .join(F.broadcast(dof))
+        .select("chi2", "dof")
+    )

@@ -101,6 +101,8 @@ _NL_JOIN_OK = {
     "q11_important_stock",
     # three 1-row estimator scalars cross-joined into the report row
     "join_size_estimate",
+    # 1-row N / dof scalars cross-joined into the statistic row
+    "chi_square_independence",
     # 1-row global-scalar cross join (corpus total for cell share)
     "k_anonymity_audit",
     # 1-row boundary-array cross join (percentile bucket bounds)
