@@ -983,3 +983,120 @@ def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("postings"),
     )
+
+
+# --- corpus filter pipeline: ordered keep/drop gate with reasons --------------
+FILTER_MIN_TOKENS = 20
+FILTER_MIN_QUALITY = 0.62
+FILTER_MAX_TTF = 0.18
+FILTER_MAX_D3F = 0.05
+FILTER_MAX_CONSEC = 6
+
+
+@query(
+    "corpus_filter_pipeline",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tk FROM documents),
+    tri AS (
+        SELECT doc_id, n_chars, tk,
+               list_transform(range(1, greatest(len(tk) - 1, 1)),
+                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS tg
+        FROM tk
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               ROUND(list_max(list_transform(list_distinct(tk),
+                              x -> len(list_filter(tk, y -> y = x))))
+                     * 1.0 / len(tk), 4) AS top_token_frac,
+               ROUND(CASE WHEN len(tg) > 0
+                          THEN 1.0 - len(list_distinct(tg)) * 1.0 / len(tg)
+                          ELSE 0.0 END, 4) AS dup_3gram_frac,
+               CAST(len(list_filter(tk, (x, i) -> i > 1 AND tk[i-1] = x)) AS BIGINT)
+                   AS n_consec_repeat,
+               ROUND(0.4 * least(n_chars / 400.0, 1.0)
+                     + 0.3 * (1.0 - len(list_filter(tk, x -> list_contains(
+                           ['the','a','and','of','to','in','is','on','for','with'], x)))
+                           * 1.0 / len(tk))
+                     + 0.3 * (len(list_distinct(tk)) * 1.0 / len(tk)), 4)
+                   AS quality_score
+        FROM tri
+    )
+    SELECT doc_id, n_tokens, quality_score, top_token_frac, dup_3gram_frac,
+           n_consec_repeat,
+           CASE WHEN n_tokens < {FILTER_MIN_TOKENS} THEN 'too_short'
+                WHEN quality_score < {FILTER_MIN_QUALITY} THEN 'low_quality'
+                WHEN top_token_frac > {FILTER_MAX_TTF} THEN 'repetitive_tokens'
+                WHEN dup_3gram_frac > {FILTER_MAX_D3F} THEN 'dup_3grams'
+                WHEN n_consec_repeat > {FILTER_MAX_CONSEC} THEN 'consec_repeat'
+           END AS drop_reason,
+           CASE WHEN n_tokens >= {FILTER_MIN_TOKENS}
+                 AND quality_score >= {FILTER_MIN_QUALITY}
+                 AND top_token_frac <= {FILTER_MAX_TTF}
+                 AND dup_3gram_frac <= {FILTER_MAX_D3F}
+                 AND n_consec_repeat <= {FILTER_MAX_CONSEC}
+                THEN TRUE ELSE FALSE END AS keep
+    FROM m
+    """,
+    tags=("textops", "curation", "filter-pipeline"),
+)
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4/Gopher-style corpus filter gate: every heuristic metric —
+    token count, composite quality score, top-token fraction, duplicate
+    3-gram fraction, consecutive-repeat count — computed in ONE pass of
+    per-row array algebra (zero shuffle; the whole gate rides the scan),
+    then an ORDERED rule ladder emits the first failing gate as
+    ``drop_reason`` and the survivors as ``keep`` — the auditable form a
+    production pipeline needs (per-reason drop accounting, not a bare
+    boolean). Metrics are rounded BEFORE thresholding so both engines
+    gate identical values. At 100 TB this is the map-only stage before
+    dedup: no aggregation, no join, throughput = scan bandwidth."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars", tokens(F.col("text")).alias("tk")
+    )
+    n = F.size("tk")
+    stop_list = ",".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    stop_ratio = (
+        F.expr(f"size(filter(tk, x -> array_contains(array({stop_list}), x)))") / n
+    )
+    ttr = F.size(F.array_distinct("tk")) / n
+    quality = r4(
+        F.lit(0.4) * F.least(F.col("n_chars") / F.lit(400.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.3) * ttr
+    )
+    ttf = r4(
+        F.expr(
+            "array_max(transform(array_distinct(tk), x -> size(filter(tk, y -> y = x))))"
+        )
+        * F.lit(1.0)
+        / n
+    )
+    tg = word_shingles(3)  # guards the size<3 descending-sequence trap
+    d3f = r4(
+        F.when(
+            F.size(tg) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(tg)) * F.lit(1.0) / F.size(tg),
+        ).otherwise(F.lit(0.0))
+    )
+    ncr = F.expr("size(filter(tk, (x, i) -> i > 0 AND tk[i-1] = x))").cast("long")
+    m = d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        quality.alias("quality_score"),
+        ttf.alias("top_token_frac"),
+        d3f.alias("dup_3gram_frac"),
+        ncr.alias("n_consec_repeat"),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < FILTER_MIN_TOKENS, "too_short")
+        .when(F.col("quality_score") < FILTER_MIN_QUALITY, "low_quality")
+        .when(F.col("top_token_frac") > FILTER_MAX_TTF, "repetitive_tokens")
+        .when(F.col("dup_3gram_frac") > FILTER_MAX_D3F, "dup_3grams")
+        .when(F.col("n_consec_repeat") > FILTER_MAX_CONSEC, "consec_repeat")
+    )
+    return m.select(
+        "*",
+        reason.alias("drop_reason"),
+        reason.isNull().alias("keep"),
+    )
