@@ -854,3 +854,101 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.sum(novel) * F.lit(1.0) / F.count("*")).alias("novelty"),
         )
     )
+
+
+# --- contamination SPREAD: hop-bounded BFS over the near-dup graph ------------
+SPREAD_MAX_HOP = 3
+
+
+def _spread_oracle() -> str:
+    from .similarity import _minhash_bands_ctes
+
+    return f"""
+    WITH RECURSIVE {_minhash_bands_ctes()},
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    ),
+    sym AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+    split AS (
+        SELECT doc_id,
+               CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) IN ('e', 'f')
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents
+    ),
+    test_sh AS (
+        SELECT DISTINCT shingle FROM sh JOIN split USING (doc_id)
+        WHERE split = 'test'
+    ),
+    seeds AS (
+        SELECT sh.doc_id
+        FROM sh JOIN split USING (doc_id) JOIN test_sh USING (shingle)
+        WHERE split = 'train'
+        GROUP BY 1
+        HAVING COUNT(*) >= {CONTAM_NGRAM_MIN}
+    ),
+    reach AS (
+        SELECT doc_id, 0 AS hop FROM seeds
+        UNION
+        SELECT s.b, r.hop + 1
+        FROM reach r JOIN sym s ON s.a = r.doc_id
+        WHERE r.hop < {SPREAD_MAX_HOP}
+    )
+    SELECT doc_id, CAST(MIN(hop) AS BIGINT) AS hop,
+           MIN(hop) = 0 AS is_seed
+    FROM reach GROUP BY doc_id
+    """
+
+
+@query("contamination_spread", oracle=_spread_oracle(), tags=("curation", "contamination", "graph"))
+def contamination_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive contamination: directly contaminated TRAIN docs (≥
+    CONTAM_NGRAM_MIN shingles shared with the test split) are hop-0
+    seeds, and suspicion propagates along near-dup edges (the shared
+    MinHash pair frame) for up to SPREAD_MAX_HOP hops — a near-duplicate
+    of a contaminated doc leaks the same test content even when its own
+    shingle overlap dips under the threshold. The oracle is a recursive
+    CTE; Spark runs the BOUNDED-frontier form — one statically-unrolled
+    level per hop (distinct frontier each level, min-hop fold at the
+    end), the decorrelated plan an engine without recursion should run,
+    with cost per level = frontier ⋈ edges, never corpus × hops. Reads
+    two session-shared materializations (shingles, MinHash pairs), so
+    the marginal cost over contamination_check is the tiny BFS itself."""
+    from .similarity import _mh_pairs, _sh_distinct
+
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    is_test = digit.isin("e", "f")
+    sh = _sh_distinct(spark, sf_dir).withColumn(
+        "split", F.when(is_test, "test").otherwise("train")
+    )
+    test_sh = sh.where(F.col("split") == "test").select("shingle").distinct()
+    seeds = (
+        sh.where(F.col("split") == "train")
+        .join(test_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= CONTAM_NGRAM_MIN)
+        .select("doc_id")
+    )
+    pairs = _mh_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b")).unionByName(
+        pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b"))
+    )
+    levels = [seeds.select("doc_id", F.lit(0).alias("hop"))]
+    frontier = seeds
+    for h in range(1, SPREAD_MAX_HOP + 1):
+        frontier = (
+            frontier.join(edges, frontier["doc_id"] == edges["a"])
+            .select(F.col("b").alias("doc_id"))
+            .distinct()
+        )
+        levels.append(frontier.select("doc_id", F.lit(h).alias("hop")))
+    allr = levels[0]
+    for lv in levels[1:]:
+        allr = allr.unionByName(lv)
+    return allr.groupBy("doc_id").agg(
+        F.min("hop").cast("long").alias("hop"),
+        (F.min("hop") == 0).alias("is_seed"),
+    )
