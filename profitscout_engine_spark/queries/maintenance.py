@@ -940,3 +940,53 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dof))
         .select("chi2", "dof")
     )
+
+
+# --- order-independent table checksum (migration/CDC validation) --------------
+def _rowhash_sql(instr_fn: str) -> str:
+    """60-bit integer from the first 15 hex chars of the canonical row
+    md5 — polynomial fold, no engine-specific hex conversion."""
+    h = (
+        "md5(CAST(o_orderkey AS STRING) || '|' || CAST(o_custkey AS STRING)"
+        " || '|' || o_orderstatus || '|' || CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5)"
+        " AS BIGINT) AS STRING) || '|' || o_orderpriority)"
+    )
+    terms = " + ".join(
+        f"CAST(({instr_fn}('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" AS BIGINT) * {16 ** i}"
+        for i in range(15)
+    )
+    return f"({terms})"
+
+
+@query(
+    "table_checksum",
+    oracle=f"""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS part_year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor({_rowhash_sql('strpos')}) AS BIGINT) AS row_xor
+    FROM orders
+    GROUP BY part_year
+    """,
+    tags=("maintenance", "checksum", "cdc"),
+)
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition order-independent table checksum — the migration /
+    replication / CDC validation primitive: XOR of canonical 60-bit row
+    hashes plus the row count, per year partition. XOR is commutative
+    and associative, so the aggregate is layout- and order-independent
+    (identical across shuffles, engines, and file orders), and a single
+    changed row flips the partition's checksum. Floats enter the hash
+    as exact integer cents (engine float→string formatting differs);
+    the hex→int fold uses the repo's instr bridge, no engine-specific
+    conv(). Map-side combinable — at 100 TB this costs one scan and a
+    25-row result, which is why it's the tool for 'did the copy
+    match' instead of a row-by-row diff."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").cast("long").alias("part_year"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor(F.expr(_rowhash_sql("instr"))).cast("long").alias("row_xor"),
+        )
+    )
