@@ -794,3 +794,126 @@ def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.regexp_count("seq", F.lit(SEQ_FUNNEL_RE)) > 0).alias("matched_funnel"),
         F.col("seq").contains("e").alias("had_error"),
     )
+
+
+# --- autocorrelation function of the hourly event series ----------------------
+ACF_MAX_LAG = 24
+
+
+@query(
+    "autocorrelation_acf",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT CAST(floor(epoch(MIN(ts)) / 3600) AS BIGINT) AS h0,
+               CAST(floor(epoch(MAX(ts)) / 3600) AS BIGINT) AS h1
+        FROM events
+    ),
+    c AS (
+        SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) - bounds.h0 AS tt,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events, bounds GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(SUM(y) AS BIGINT) AS s,
+               CAST(SUM(y * y) AS BIGINT) AS ss,
+               (SELECT h1 - h0 + 1 FROM bounds) AS n
+        FROM c
+    ),
+    lags AS (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS k),
+    p AS (
+        SELECT l.k, CAST(COALESCE(SUM(a.y * b.y), 0) AS BIGINT) AS pk
+        FROM lags l
+        LEFT JOIN c a ON TRUE
+        JOIN c b ON b.tt = a.tt + l.k
+        GROUP BY l.k
+    ),
+    head_cut AS (
+        SELECT l.k, CAST(COALESCE(SUM(c.y), 0) AS BIGINT) AS tail_y
+        FROM lags l LEFT JOIN c ON c.tt > (SELECT n - 1 FROM stats) - l.k
+        GROUP BY l.k
+    ),
+    tail_cut AS (
+        SELECT l.k, CAST(COALESCE(SUM(c.y), 0) AS BIGINT) AS head_y
+        FROM lags l LEFT JOIN c ON c.tt < l.k
+        GROUP BY l.k
+    )
+    SELECT p.k AS lag_hours,
+           ROUND(
+             (pk - (s * 1.0E0 / n) * ((s - hc.tail_y) + (s - tc.head_y))
+                 + (n - p.k) * (s * 1.0E0 / n) * (s * 1.0E0 / n))
+             / (ss - n * (s * 1.0E0 / n) * (s * 1.0E0 / n)), 4) AS acf
+    FROM p JOIN head_cut hc ON hc.k = p.k JOIN tail_cut tc ON tc.k = p.k, stats
+    ORDER BY lag_hours
+    """,
+    tags=("timeseries", "acf", "seasonality"),
+)
+def autocorrelation_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the hourly event-count series at lags
+    1..24 — the statistic that puts a NUMBER on the daily cycle the
+    seasonality index displays (a peak at lag 24 = diurnal rhythm).
+    Zero-filled spine handled WITHOUT materializing empty hours: every
+    moment the estimator needs decomposes into integer sums over the
+    nonzero hours only — lag products Σy_t·y_{t+k} (zeros contribute
+    nothing), boundary corrections from the head/tail cuts, and the
+    global S/SS/n — so the engine never builds or shuffles the dense
+    calendar. All inputs to the float expression are exact BIGINTs and
+    the expression tree is identical text on both engines, so the
+    doubles agree bit-for-bit. Scale shape: one hour-bucket aggregation
+    of the fact (map-side combined), then everything is arithmetic on
+    a bounded (hours × 24) frame."""
+    ev = t(spark, sf_dir, "events")
+    hr = (F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long"))
+    bounds = ev.agg(
+        F.min(hr).alias("h0"), F.max(hr).alias("h1")
+    )
+    c = (
+        ev.select(hr.alias("habs"))
+        .join(F.broadcast(bounds))
+        .groupBy((F.col("habs") - F.col("h0")).alias("tt"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    stats = (
+        c.agg(
+            F.sum("y").cast("long").alias("s"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("ss"),
+        )
+        .join(F.broadcast(bounds))
+        .select("s", "ss", (F.col("h1") - F.col("h0") + 1).alias("n"))
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("k"))
+    a = c.select(F.col("tt").alias("ta"), F.col("y").alias("ya"))
+    b = c.select(F.col("tt").alias("tb"), F.col("y").alias("yb"))
+    p = (
+        F.broadcast(lags)
+        .join(a)
+        .join(b, F.col("tb") == F.col("ta") + F.col("k"))
+        .groupBy("k")
+        .agg(F.coalesce(F.sum(F.col("ya") * F.col("yb")), F.lit(0)).cast("long").alias("pk"))
+    )
+    hc = (
+        F.broadcast(lags)
+        .join(F.broadcast(stats))
+        .join(c, F.col("tt") > F.col("n") - 1 - F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("tail_y"))
+    )
+    tc = (
+        F.broadcast(lags)
+        .join(c, F.col("tt") < F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("head_y"))
+    )
+    mean = F.col("s") * F.lit(1.0) / F.col("n")
+    num = (
+        F.col("pk")
+        - mean * ((F.col("s") - F.col("tail_y")) + (F.col("s") - F.col("head_y")))
+        + (F.col("n") - F.col("k")) * mean * mean
+    )
+    den = F.col("ss") - F.col("n") * mean * mean
+    return (
+        p.join(hc, "k")
+        .join(tc, "k")
+        .join(F.broadcast(stats))
+        .select(F.col("k").alias("lag_hours"), r4(num / den).alias("acf"))
+        .orderBy("lag_hours")
+    )

@@ -103,6 +103,8 @@ _NL_JOIN_OK = {
     "join_size_estimate",
     # 1-row N / dof scalars cross-joined into the statistic row
     "chi_square_independence",
+    # 24-row lag table non-equi-joined against the bounded hourly-count frame
+    "autocorrelation_acf",
     # 1-row global-scalar cross join (corpus total for cell share)
     "k_anonymity_audit",
     # 1-row boundary-array cross join (percentile bucket bounds)
