@@ -54,7 +54,7 @@ def connected_components(
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("comp").alias("neigh_min"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neigh, labels["node"] == neigh["node2"], "left")
             .select(
                 "node",
@@ -64,6 +64,40 @@ def connected_components(
                 F.col("comp").alias("_old"),
             )
         )
+        # Pointer jumping (path compression): follow the label pointer —
+        # label(v) := label(label(v)) — several times WITHIN the round
+        # (cheap chained joins of the narrow label frame, no extra
+        # actions). The label is always the id of a node in v's
+        # component, so jumps stay inside the component and the fixpoint
+        # (min reachable id) is unchanged; what changes is ROUND COUNT:
+        # plain hash-min needs diameter rounds, and sparse percolation-
+        # regime graphs (threshold_sweep_components' loosest level) have
+        # diameters in the hundreds. Each in-round jump roughly doubles
+        # the hop distance a label has traveled, so k jumps give ~2^k
+        # compression per materialized round and the expensive part —
+        # checkpoint + convergence action — runs fewer times. One jump per
+        # round: chaining k lazy jumps doubles the neighbor-join subtree
+        # per jump (2^k plan blow-up), and checkpointing between jumps
+        # costs more than the rounds it saves on fixture-sized graphs.
+        new_labels = stepped
+        for _jump in range(1):
+            new_labels = (
+                new_labels.alias("x")
+                .join(
+                    new_labels.select(
+                        F.col("node").alias("pnode"), F.col("comp").alias("pcomp")
+                    ).alias("y"),
+                    F.col("x.comp") == F.col("y.pnode"),
+                    "left",
+                )
+                .select(
+                    "node",
+                    F.least(
+                        F.col("x.comp"), F.coalesce(F.col("pcomp"), F.col("x.comp"))
+                    ).alias("comp"),
+                    "_old",
+                )
+            )
         # localCheckpoint: truncate lineage so round N's plan doesn't nest
         # all prior rounds; also materializes, so the convergence probe
         # below reads the checkpoint instead of re-running the round.

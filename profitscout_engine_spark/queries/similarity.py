@@ -1904,3 +1904,138 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("fused_rank") <= FUSE_K)
         .select("q_id", "n_id", "fused_rank", r6(F.col("score")).alias("rrf_score"), "n_sources")
     )
+
+
+# ---- clustering stability: components across a Jaccard threshold sweep -------
+SWEEP_THRESHOLDS = (0.05, 0.075, 0.1)
+
+
+def _threshold_sweep_oracle() -> str:
+    pieces = []
+    for i, th in enumerate(SWEEP_THRESHOLDS):
+        pieces.append(f"""
+    e{i} AS (SELECT d1, d2 FROM scored WHERE j >= {th}),
+    sym{i} AS (SELECT d1 AS a, d2 AS b FROM e{i} UNION SELECT d2, d1 FROM e{i}),
+    reach{i} AS (
+        SELECT a AS d, a AS m FROM sym{i}
+        UNION
+        SELECT r.d, s.b FROM reach{i} r JOIN sym{i} s ON s.a = r.m
+    ),
+    comp{i} AS (SELECT d AS node, MIN(m) AS comp FROM reach{i} GROUP BY d),
+    sizes{i} AS (SELECT comp, COUNT(*) AS sz FROM comp{i} GROUP BY comp),
+    summary{i} AS (
+        SELECT {th}E0 AS threshold,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e{i}) AS n_edges,
+               CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS n_nodes,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS max_cluster_size
+        FROM sizes{i}
+    )""")
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT * FROM summary{i}" for i in range(len(SWEEP_THRESHOLDS))
+    )
+    return f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT d1, d2, ROUND(c * 1.0 / (ca.n + cb.n - c), 4) AS j
+        FROM common
+        JOIN counts ca ON ca.doc_id = d1
+        JOIN counts cb ON cb.doc_id = d2
+    ),{",".join(pieces)}
+    {unions}
+    """
+
+
+@query(
+    "threshold_sweep_components",
+    oracle=_threshold_sweep_oracle(),
+    tags=("dedup", "clustering", "stability"),
+)
+def threshold_sweep_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-stability sweep: connected components of the Jaccard
+    similarity graph at several thresholds — the single-linkage
+    dendrogram read at three heights. The fixture shows the percolation
+    transition every dedup engineer tunes against: at a strict
+    threshold only true near-dup clones cluster; loosen it into the
+    background-similarity noise and a giant component swallows the
+    corpus (which is why production dedup picks θ ABOVE the noise
+    mode). Edges come from the session-shared scored pair frame (built
+    once); each threshold runs the hash-min + pointer-jump label
+    propagation (operators/graph.py) over its filtered edge set —
+    per-round cost = one narrow shuffle, rounds bounded by component
+    diameter. The sweep stays ABOVE the noise floor deliberately:
+    below it (θ ≲ 0.03 here) the graph percolates into one giant
+    deep-diameter component, where iterative label propagation is the
+    wrong tool and the right answer is 'don't dedup there' — the query
+    exists to FIND that floor, not to cluster beneath it.
+    The oracle replays each level as a recursive CTE. Comparisons use
+    the 4dp-rounded score on both engines."""
+    from ..operators.graph import connected_components
+
+    counts = _sh_sizes(spark, sf_dir)
+    common = _sh_common_counts(spark, sf_dir)
+    jexpr = F.col("c") / (F.col("ca.n") + F.col("cb.n") - F.col("c"))
+    scored = (
+        common.join(counts.alias("ca"), F.col("d1") == F.col("ca.doc_id"))
+        .join(counts.alias("cb"), F.col("d2") == F.col("cb.doc_id"))
+        .select("d1", "d2", r4(jexpr).alias("j"))
+    )
+    scored = shared(spark, sf_dir, "jaccard_scored_all", lambda: scored)
+    # ALL levels propagate in ONE loop: tag each edge with every threshold
+    # it survives and key the label frame on the composite (level, node) —
+    # the round count becomes the MAX component diameter across levels
+    # instead of the SUM, and the per-round fixed cost (checkpoint +
+    # convergence action) is paid once for the whole dendrogram sweep.
+    lvl = None
+    for i, th in enumerate(SWEEP_THRESHOLDS):
+        tagged = scored.where(F.col("j") >= F.lit(th)).select(
+            F.lit(i).alias("lvl"), "d1", "d2"
+        )
+        lvl = tagged if lvl is None else lvl.unionByName(tagged)
+    edges = lvl.select(
+        (F.col("lvl") * F.lit(1_000_000_000) + F.col("d1")).alias("d1"),
+        (F.col("lvl") * F.lit(1_000_000_000) + F.col("d2")).alias("d2"),
+    )
+    comp = connected_components(edges).select(
+        F.floor(F.col("node") / F.lit(1_000_000_000)).cast("int").alias("lvl"),
+        "comp",
+        "node",
+    )
+    sizes = comp.groupBy("lvl", "comp").agg(F.count("*").alias("sz"))
+    edge_counts = lvl.groupBy("lvl").agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    th_df = None
+    for i, th in enumerate(SWEEP_THRESHOLDS):
+        row = spark.range(1).select(
+            F.lit(i).cast("int").alias("lvl"), F.lit(float(th)).alias("threshold")
+        )
+        th_df = row if th_df is None else th_df.unionByName(row)
+    summary = (
+        sizes.groupBy("lvl")
+        .agg(
+            F.coalesce(F.sum("sz"), F.lit(0)).cast("long").alias("n_nodes"),
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.coalesce(F.max("sz"), F.lit(0)).cast("long").alias("max_cluster_size"),
+        )
+    )
+    # LEFT joins from the threshold spine: a level with zero surviving
+    # edges must still report a zero row (the oracle's aggregate-over-
+    # empty does), not vanish from the result.
+    return (
+        F.broadcast(th_df)
+        .join(edge_counts, "lvl", "left")
+        .join(summary, "lvl", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.coalesce("n_nodes", F.lit(0)).cast("long").alias("n_nodes"),
+            F.coalesce("n_clusters", F.lit(0)).cast("long").alias("n_clusters"),
+            F.coalesce("max_cluster_size", F.lit(0)).cast("long")
+            .alias("max_cluster_size"),
+        )
+    )
