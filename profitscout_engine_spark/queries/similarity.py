@@ -1998,10 +1998,13 @@ def threshold_sweep_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(i).alias("lvl"), "d1", "d2"
         )
         lvl = tagged if lvl is None else lvl.unionByName(tagged)
+    # coalesce: the 3-branch union of the 64-partition cached frame would
+    # otherwise feed CC's first distinct through ~192 near-empty map tasks
+    # — scheduling overhead, not work, for a ~1k-row edge list.
     edges = lvl.select(
         (F.col("lvl") * F.lit(1_000_000_000) + F.col("d1")).alias("d1"),
         (F.col("lvl") * F.lit(1_000_000_000) + F.col("d2")).alias("d2"),
-    )
+    ).coalesce(8)
     comp = connected_components(edges).select(
         F.floor(F.col("node") / F.lit(1_000_000_000)).cast("int").alias("lvl"),
         "comp",
@@ -2027,7 +2030,7 @@ def threshold_sweep_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edges must still report a zero row (the oracle's aggregate-over-
     # empty does), not vanish from the result.
     return (
-        F.broadcast(th_df)
+        th_df
         .join(edge_counts, "lvl", "left")
         .join(summary, "lvl", "left")
         .select(
