@@ -1057,3 +1057,107 @@ def ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(lift / se).alias("t_stat"),
         )
     )
+
+
+# --- multi-touch attribution (first / last / linear) ---------------------------
+ATTR_LOOKBACK_H = 24
+
+
+@query(
+    "multi_touch_attribution",
+    oracle=f"""
+    WITH purchases AS (
+        SELECT user_id, ts AS p_ts, event_id AS p_id, value AS p_value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT user_id, ts AS t_ts, event_id AS t_id, event_type AS touch_type
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    joined AS (
+        SELECT p.p_id, p.p_value, t.touch_type,
+               ROW_NUMBER() OVER (PARTITION BY p.p_id ORDER BY t.t_ts, t.t_id) AS rk,
+               COUNT(*) OVER (PARTITION BY p.p_id) AS n_touch
+        FROM purchases p
+        JOIN touches t
+          ON t.user_id = p.user_id
+         AND t.t_ts >= p.p_ts - INTERVAL {ATTR_LOOKBACK_H} HOUR
+         AND t.t_ts < p.p_ts
+    ),
+    weighted AS (
+        SELECT touch_type, 'first_touch' AS model,
+               CAST(FLOOR(p_value * 1e6 + 0.5) AS BIGINT) AS w_1e6
+        FROM joined WHERE rk = 1
+        UNION ALL
+        SELECT touch_type, 'last_touch',
+               CAST(FLOOR(p_value * 1e6 + 0.5) AS BIGINT)
+        FROM joined WHERE rk = n_touch
+        UNION ALL
+        SELECT touch_type, 'linear',
+               CAST(FLOOR(p_value / n_touch * 1e6 + 0.5) AS BIGINT)
+        FROM joined
+    )
+    SELECT model, touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           ROUND(CAST(SUM(w_1e6) AS BIGINT) / 1e6, 2) AS attributed_value
+    FROM weighted
+    GROUP BY model, touch_type
+    """,
+    tags=("attribution", "J7", "A3"),
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution under three standard models —
+    first-touch, last-touch, linear — over a 24 h lookback: each
+    purchase joins its preceding view/click touchpoints (temporal range
+    join on the user key), per-conversion touch ranks come from one
+    window pass, and each model assigns its credit weights. Per-credit
+    amounts are fixed to integral 1e-6 units BEFORE the cross-model
+    rollup (float-sum order trap); ranks tie-break on (ts, event_id).
+    Scale shape: the range join shuffles both sides on user_id once and
+    AQE handles the per-user fan-out; the batch twin of the streaming
+    interval-join attribution (click_attribution_stream) extended from
+    last-touch to the full model family."""
+    ev = t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        F.col("value").alias("p_value"),
+    )
+    tc = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("touch_type"),
+    )
+    joined = p.join(
+        tc,
+        (p["user_id"] == tc["user_id"])
+        & (tc["t_ts"] >= p["p_ts"] - F.expr(f"INTERVAL {ATTR_LOOKBACK_H} HOURS"))
+        & (tc["t_ts"] < p["p_ts"]),
+    )
+    w = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    ranked = joined.select(
+        "p_id", "p_value", "touch_type",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("p_id")).alias("n_touch"),
+    )
+    fx = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")  # noqa: E731
+    first = ranked.where(F.col("rk") == 1).select(
+        "touch_type", F.lit("first_touch").alias("model"), fx(F.col("p_value")).alias("w")
+    )
+    last = ranked.where(F.col("rk") == F.col("n_touch")).select(
+        "touch_type", F.lit("last_touch").alias("model"), fx(F.col("p_value")).alias("w")
+    )
+    linear = ranked.select(
+        "touch_type", F.lit("linear").alias("model"),
+        fx(F.col("p_value") / F.col("n_touch")).alias("w"),
+    )
+    return (
+        first.unionByName(last).unionByName(linear)
+        .groupBy("model", "touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_credits"),
+            r2(F.sum("w") / F.lit(1e6)).alias("attributed_value"),
+        )
+    )
