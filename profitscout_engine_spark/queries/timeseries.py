@@ -917,3 +917,84 @@ def autocorrelation_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("k").alias("lag_hours"), r4(num / den).alias("acf"))
         .orderBy("lag_hours")
     )
+
+
+# --- seasonal anomaly detection: hour-of-day median/MAD baseline --------------
+SEAS_K = 1.4826  # MAD -> sigma consistency constant (normal kernel)
+SEAS_Z = 3.0
+
+
+@query(
+    "seasonal_anomaly",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, date_trunc('hour', ts) AS window_start,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    hod AS (
+        SELECT *, CAST(EXTRACT(HOUR FROM window_start) AS BIGINT) AS h FROM c
+    ),
+    med AS (
+        SELECT event_type, h, median(y) AS med_y FROM hod GROUP BY 1, 2
+    ),
+    dev AS (
+        SELECT hod.*, med.med_y, abs(hod.y - med.med_y) AS adev
+        FROM hod JOIN med USING (event_type, h)
+    ),
+    mad AS (
+        SELECT event_type, h, median(adev) AS mad_y FROM dev GROUP BY 1, 2
+    )
+    SELECT dev.event_type, dev.window_start, dev.y,
+           ROUND(dev.med_y, 1) AS med_y,
+           ROUND((dev.y - dev.med_y)
+                 / ({SEAS_K}E0 * NULLIF(mad.mad_y, 0E0)), 4) AS robust_z
+    FROM dev JOIN mad USING (event_type, h)
+    WHERE mad.mad_y > 0E0
+      AND dev.adev > {SEAS_Z}E0 * {SEAS_K}E0 * mad.mad_y
+    """,
+    tags=("timeseries", "anomaly", "robust-stats"),
+)
+def seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly detection: each (event_type,
+    hour-of-day) cell learns a robust baseline — exact median and MAD
+    of its historical hourly counts — and hours deviating more than
+    3 robust sigmas flag as anomalies. The hour-of-day conditioning is
+    what separates 'traffic spike' from 'it's always busy at 14:00',
+    and median/MAD survives the outliers being hunted (the
+    mad_outliers contract applied along the time axis). Counts are
+    integers, medians follow the cross-engine interpolation contract,
+    and zero-MAD cells are guarded per the division trap rule. Scale
+    shape: one hour-bucket aggregation of the fact, then all statistics
+    live on the bounded (type × 24) baseline joined back broadcast."""
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("window_start")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    hod = c.withColumn("h", F.hour("window_start").cast("long"))
+    med = hod.groupBy("event_type", "h").agg(
+        F.expr("percentile(y, 0.5)").alias("med_y")
+    )
+    dev = hod.join(F.broadcast(med), ["event_type", "h"]).withColumn(
+        "adev", F.abs(F.col("y") - F.col("med_y"))
+    )
+    mad = dev.groupBy("event_type", "h").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad_y")
+    )
+    return (
+        dev.join(F.broadcast(mad), ["event_type", "h"])
+        .where(
+            (F.col("mad_y") > 0.0)
+            & (F.col("adev") > F.lit(SEAS_Z) * F.lit(SEAS_K) * F.col("mad_y"))
+        )
+        .select(
+            "event_type",
+            "window_start",
+            "y",
+            F.round(F.col("med_y"), 1).alias("med_y"),
+            r4(
+                (F.col("y") - F.col("med_y"))
+                / (F.lit(SEAS_K) * F.nullif(F.col("mad_y"), F.lit(0.0)))
+            ).alias("robust_z"),
+        )
+    )
