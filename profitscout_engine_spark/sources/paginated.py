@@ -36,7 +36,12 @@ FORMAT_NAME = "paged_json"
 
 def paged_json_datasource():
     """Build the DataSource class (fresh per call; see module docstring)."""
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
     from pyspark.sql.types import (
         BooleanType,
         DoubleType,
@@ -131,6 +136,63 @@ def paged_json_datasource():
 
         def reader(self, schema):
             return PagedJsonReader(schema, self.options)
+
+        def simpleStreamReader(self, schema):
+            return PagedJsonStreamReader(schema, self.options)
+
+    class PagedJsonStreamReader(SimpleDataSourceStreamReader):
+        """Tail-follow the cursor chain as an UNBOUNDED stream — the
+        incremental-poll ingest pattern: pages already read are immutable;
+        new data arrives by the tail page growing a ``next`` cursor. The
+        stream offset is ``{"last": <last page read>, "pending": <known-
+        but-unread page or null>}``; each micro-batch walks every page
+        that has appeared since, and when there is no known pending page
+        it re-polls the tail for a fresh cursor (empty batch if none).
+        Offsets are plain dicts → checkpointable; recovery replays any
+        (start, end) range deterministically because pages are immutable
+        (``readBetweenOffsets``)."""
+
+        def __init__(self, schema: StructType, options):
+            self.fields = [f.name for f in schema.fields]
+            starts = _start_uris(options)
+            if len(starts) != 1:
+                raise ValueError("paged_json streaming follows ONE chain per source")
+            self.start = starts[0]
+            self.results_key = options.get("results_key", "results")
+            self.next_key = options.get("next_key", "next_url")
+            self.max_batch_pages = int(options.get("max_batch_pages", 100))
+
+        def initialOffset(self):
+            return {"last": None, "pending": self.start}
+
+        def _rows(self, page: dict):
+            return [
+                tuple(rec.get(f) for f in self.fields)
+                for rec in page.get(self.results_key) or []
+            ]
+
+        def _advance(self, start: dict, stop_last: str | None = None):
+            rows: list[tuple] = []
+            last, pending = start.get("last"), start.get("pending")
+            if not pending and last is not None:
+                # no known unread page: re-poll the tail for a new cursor
+                pending = _fetch(last).get(self.next_key)
+            uri, pages = pending, 0
+            while uri and pages < self.max_batch_pages:
+                page = _fetch(uri)
+                rows.extend(self._rows(page))
+                last, uri, pages = uri, page.get(self.next_key), pages + 1
+                if stop_last is not None and last == stop_last:
+                    break
+            return rows, {"last": last, "pending": uri}
+
+        def read(self, start: dict):
+            rows, end = self._advance(start)
+            return iter(rows), end
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            rows, _ = self._advance(start, stop_last=end.get("last"))
+            return iter(rows)
 
     def _start_uris(options) -> list[str]:
         paths = options.get("paths")

@@ -333,3 +333,57 @@ def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
         back.where("o_totalprice > 100000").select("o_orderkey").explain("formatted")
     plan = buf.getvalue()
     assert "PushedFilters:" in plan and "o_totalprice" in plan.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_paged_json_stream_tail_follow(spark, tmp_path):
+    """S2 streaming twin: the paged_json source tail-follows the cursor
+    chain — a first run drains the existing pages, the tail page then
+    grows a next cursor, and a checkpoint-resumed run emits ONLY the new
+    page's rows (offsets are {last, pending} dicts; pages immutable)."""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from profitscout_engine_spark.sources.paginated import (
+        FORMAT_NAME,
+        register_paged_json,
+    )
+
+    def page(name, rows, nxt=None):
+        p = tmp_path / name
+        p.write_text(json.dumps({"results": rows, "next_url": str(tmp_path / nxt) if nxt else None}))
+        return str(p)
+
+    page("b.json", [{"id": 3, "sym": "C"}])
+    start = page("a.json", [{"id": 1, "sym": "A"}, {"id": 2, "sym": "B"}], nxt="b.json")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("sym", StringType())]
+    )
+    register_paged_json(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format(FORMAT_NAME)
+            .schema(schema)
+            .option("path", start)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "A"), (2, "B"), (3, "C")}
+
+    # the chain grows: the tail page gains a cursor to a new page
+    page("c.json", [{"id": 4, "sym": "D"}])
+    page("b.json", [{"id": 3, "sym": "C"}], nxt="c.json")
+    drain()
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "A"), (2, "B"), (3, "C"), (4, "D")}
