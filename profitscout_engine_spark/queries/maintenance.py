@@ -1013,3 +1013,82 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor(F.expr(_hexfold_sql("instr", "h"))).cast("long").alias("row_xor"),
         )
     )
+
+
+# --- Spearman rank correlation (robust monotone-association statistic) --------
+@query(
+    "spearman_rank_corr",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_custkey,
+               c.c_acctbal AS bal,
+               SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS rev_cents
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    ranked AS (
+        SELECT RANK() OVER (ORDER BY bal)
+                   + (COUNT(*) OVER (PARTITION BY bal) - 1) / 2.0E0 AS rx,
+               RANK() OVER (ORDER BY rev_cents)
+                   + (COUNT(*) OVER (PARTITION BY rev_cents) - 1) / 2.0E0 AS ry
+        FROM rev
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(rx) AS sx, SUM(ry) AS sy,
+               SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+               SUM(rx * ry) AS sxy
+        FROM ranked
+    )
+    SELECT n,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+               AS spearman_rho
+    FROM m
+    """,
+    tags=("maintenance", "stats", "rank-correlation"),
+)
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between customer account balance and
+    realized order revenue — the robust (monotone, outlier-immune)
+    complement to the moment-based Pearson machinery in beta/correlation.
+    Ties get AVERAGE ranks (RANK() + (tie_count−1)/2, the standard
+    Spearman treatment), revenue is summed as exact integer cents before
+    ranking, and every moment sum is a sum of quarter-integers well
+    under 2^53 — exactly representable doubles whose addition is
+    order-independent, so the statistic is bit-identical cross-engine
+    with no fixed-point dance. Scale shape: one join+rollup to the
+    per-customer grain, two rank windows over that bounded frame, one
+    1-row moment fold."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    rev = (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", F.col("c_acctbal").alias("bal"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+            ).alias("rev_cents")
+        )
+    )
+    avg_rank = lambda col: (  # noqa: E731
+        F.rank().over(Window.orderBy(col))
+        + (F.count(F.lit(1)).over(Window.partitionBy(col)) - 1) / F.lit(2.0)
+    )
+    ranked = rev.select(
+        avg_rank(F.col("bal")).alias("rx"), avg_rank(F.col("rev_cents")).alias("ry")
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select("n", r4(num / den).alias("spearman_rho"))
