@@ -952,3 +952,106 @@ def contamination_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("hop").cast("long").alias("hop"),
         (F.min("hop") == 0).alias("is_seed"),
     )
+
+
+# --- hashed n-gram quality classifier (fastText-style linear scorer) ----------
+# The "model-based quality filter" slot of a pretraining pipeline (CCNet /
+# GPT-3 style): a linear classifier over hashed bag-of-features (unigrams +
+# adjacent bigrams). Weights are a fixed md5-derived table — the engine
+# contract is the SERVING shape (feature hashing, weight lookup, mean
+# score, threshold), which is identical whether weights come from md5 or a
+# trained model artifact. All integer arithmetic until the final division.
+QC_BUCKETS = 256  # hashing-trick feature space
+_QC_HEX = "0123456789abcdef"
+
+
+def _qc_hx(instr_fn: str, expr: str) -> str:
+    return f"({instr_fn}('{_QC_HEX}', {expr}) - 1)"
+
+
+def _qc_weight_sql(instr_fn: str, feat: str) -> str:
+    """Fixed-point weight in [-32768, 32767] for one feature string:
+    feature → md5 bucket (hashing trick, collisions intentional) →
+    md5-derived signed 16-bit weight. Pure integer algebra both engines
+    evaluate identically."""
+    bh = f"md5(concat('qc|', {feat}))"
+    bucket = (
+        f"(16 * {_qc_hx(instr_fn, f'substr({bh}, 1, 1)')}"
+        f" + {_qc_hx(instr_fn, f'substr({bh}, 2, 1)')})"
+    )
+    wh = f"md5(concat('qcw|', cast({bucket} as string)))"
+    return (
+        f"(4096 * {_qc_hx(instr_fn, f'substr({wh}, 1, 1)')}"
+        f" + 256 * {_qc_hx(instr_fn, f'substr({wh}, 2, 1)')}"
+        f" + 16 * {_qc_hx(instr_fn, f'substr({wh}, 3, 1)')}"
+        f" + {_qc_hx(instr_fn, f'substr({wh}, 4, 1)')} - 32768)"
+    )
+
+
+def _qc_oracle() -> str:
+    w = _qc_weight_sql("strpos", "f")
+    return f"""
+    WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+    feats AS (
+        SELECT doc_id, lang,
+               list_concat(
+                   tk,
+                   CASE WHEN len(tk) >= 2
+                        THEN list_transform(range(1, len(tk)),
+                                            i -> tk[i] || '_' || tk[i + 1])
+                        ELSE [] END) AS fs
+        FROM tk
+    ),
+    scored AS (
+        SELECT doc_id, lang, len(fs) AS n_feats,
+               list_aggregate(list_transform(fs, f -> CAST({w} AS BIGINT)),
+                              'sum') AS wsum
+        FROM feats
+    )
+    SELECT doc_id, lang, CAST(n_feats AS BIGINT) AS n_feats,
+           ROUND(wsum / (GREATEST(n_feats, 1) * 32768.0), 6) AS score,
+           (wsum > 0) AS keep
+    FROM scored
+    """
+
+
+@query("quality_classifier_score", oracle=_qc_oracle(), tags=("curation", "quality", "classifier"))
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier over hashed bag-of-features — per doc:
+    unigram + adjacent-bigram features, each hashed into QC_BUCKETS via
+    md5 (the hashing trick; collisions are part of the model), each
+    bucket carrying a fixed signed 16-bit weight; score = mean weight,
+    keep = positive sum. Zero shuffle: the whole classifier is one
+    array-algebra projection riding the scan — features never explode
+    into rows, the weight sum is an exact integer fold, and the only
+    float op is the final normalization. At 100 TB this is a map-only
+    pass whose cost is md5 throughput, the cheapest possible shape for
+    a corpus-wide model-based filter."""
+    w = _qc_weight_sql("instr", "f")
+    bigrams = (
+        "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), "
+        "i -> concat(element_at(tk, i), '_', element_at(tk, i + 1))) "
+        "ELSE array() END"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", tokens(F.col("text")).alias("tk"))
+        .withColumn("fs", F.expr(f"concat(tk, {bigrams})"))
+        .select(
+            "doc_id",
+            "lang",
+            F.size("fs").cast("long").alias("n_feats"),
+            F.expr(
+                f"aggregate(transform(fs, f -> CAST({w} AS BIGINT)), 0L, (a, z) -> a + z)"
+            ).alias("wsum"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_feats",
+            r6(F.col("wsum") / (F.greatest(F.col("n_feats"), F.lit(1)) * F.lit(32768.0))).alias(
+                "score"
+            ),
+            (F.col("wsum") > 0).alias("keep"),
+        )
+    )

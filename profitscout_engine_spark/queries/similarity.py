@@ -2042,3 +2042,293 @@ def threshold_sweep_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_cluster_size"),
         )
     )
+
+
+# ---- Product quantization: codebook, encoding, IVF-PQ ADC search -------------
+# The memory-compression half of the billion-scale ANN recipe (IVF routes,
+# PQ compresses): 64-dim float vectors become PQ_M one-byte codes, and
+# search scores candidates from a per-query distance table instead of the
+# raw vectors. Codebooks are deterministically SAMPLED (per-subspace K
+# seed vectors picked by md5 rank — the standard random-subset
+# initialization, made engine-reproducible), so both engines derive
+# bit-identical codebooks, codes and ADC distances with no RNG state.
+PQ_M = 8  # subspaces (DIM / PQ_S)
+PQ_S = 8  # dims per subspace
+PQ_K = 4  # codewords per subspace → 2 bits/subspace, 16 bits/vector
+
+# Sub-distances are fixed to integer 1e-6 units immediately: every
+# downstream sum (encoding error, ADC distance) is exact BIGINT
+# arithmetic, immune to float accumulation order on both engines.
+_PQ_CTES = f"""
+    ms AS (SELECT CAST(i AS INTEGER) AS m FROM UNNEST(range(0, {PQ_M})) AS u(i)),
+    seedrank AS (
+        SELECT ms.m, e.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY ms.m
+                   ORDER BY md5('pq|' || ms.m || '|' || e.vec_id), e.vec_id
+               ) AS rn
+        FROM e CROSS JOIN ms
+    ),
+    cb AS (
+        SELECT s.m, s.rn - 1 AS k,
+               list_transform(range(1, {PQ_S + 1}),
+                              j -> e2.v[s.m * {PQ_S} + j]) AS c
+        FROM seedrank s JOIN e e2 ON e2.vec_id = s.vec_id
+        WHERE s.rn <= {PQ_K}
+    ),
+    pqd AS (
+        SELECT e.vec_id, cb.m, cb.k,
+               CAST(FLOOR(list_aggregate(list_transform(range(1, {PQ_S + 1}),
+                    j -> (e.v[cb.m * {PQ_S} + j] - cb.c[j])
+                       * (e.v[cb.m * {PQ_S} + j] - cb.c[j])), 'sum')
+                    * 1e6 + 0.5) AS BIGINT) AS dfix
+        FROM e CROSS JOIN cb
+    ),
+    pqcodes AS (
+        SELECT vec_id, m, k, dfix
+        FROM (SELECT vec_id, m, k, dfix,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                        ORDER BY dfix, k) AS rn
+              FROM pqd) z
+        WHERE rn = 1
+    )
+"""
+
+
+def _pq_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, k, dfix) — fixed-point (1e-6) squared L2 from every
+    vector's m-th subvector to codeword k. Session-shared: this one small
+    frame (n_vec × PQ_M × PQ_K narrow rows) is both the encoding input
+    (argmin per (vec, m)) and the per-query ADC distance table. The
+    codebook is PQ_M × PQ_K rows — broadcast by construction."""
+
+    def build() -> DataFrame:
+        e = _vecs(spark, sf_dir).select("vec_id", "v")
+        ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+        seeds = (
+            e.select("vec_id")
+            .crossJoin(F.broadcast(ms))
+            .withColumn(
+                "hh",
+                F.md5(F.concat_ws("|", F.lit("pq"), F.col("m"), F.col("vec_id"))),
+            )
+        )
+        w = Window.partitionBy("m").orderBy("hh", "vec_id")
+        seeds = (
+            seeds.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= PQ_K)
+            .select("m", (F.col("rn") - 1).cast("int").alias("k"), "vec_id")
+        )
+        sub = f"transform(sequence(1, {PQ_S}), j -> element_at(v, m * {PQ_S} + j))"
+        cb = seeds.join(e, "vec_id").select("m", "k", F.expr(sub).alias("c"))
+        sq = (
+            f"aggregate(zip_with({sub}, c, (x, y) -> (x - y) * (x - y)), "
+            f"0D, (a, z) -> a + z)"
+        )
+        return e.crossJoin(F.broadcast(cb)).select(
+            "vec_id",
+            "m",
+            "k",
+            F.floor(F.expr(sq) * F.lit(1e6) + F.lit(0.5)).cast("long").alias("dfix"),
+        )
+
+    return shared(spark, sf_dir, "pq_dists", build)
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, k, dfix) — the chosen codeword per (vector, subspace):
+    argmin over the distance table, ties to the lower code."""
+
+    def build() -> DataFrame:
+        d = _pq_dists(spark, sf_dir)
+        w = Window.partitionBy("vec_id", "m").orderBy(F.asc("dfix"), F.asc("k"))
+        return d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+
+    return shared(spark, sf_dir, "pq_codes", build)
+
+
+@query(
+    "pq_encode",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_PQ_CTES}
+    SELECT vec_id,
+           string_agg(CAST(k AS VARCHAR), '-' ORDER BY m) AS code_str,
+           ROUND(SUM(dfix) / 1e6, 4) AS qerr
+    FROM pqcodes
+    GROUP BY vec_id
+    """,
+    tags=("similarity", "pq", "quantization"),
+)
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: each vector compresses to PQ_M
+    codes (2 bits/subspace here — 16 bits replacing 256 bytes of floats)
+    plus its total quantization error. This is the storage layout
+    billion-scale ANN serves from; at 100 TB the codes table is what
+    fits in executor memory when the raw vectors cannot. One argmin
+    window over the session-shared distance table, one exact-integer
+    group sum — no float accumulation anywhere."""
+    codes = _pq_codes(spark, sf_dir)
+    code_str = (
+        "concat_ws('-', transform(array_sort(collect_list(struct(m, k))), "
+        "s -> cast(s.k as string)))"
+    )
+    return codes.groupBy("vec_id").agg(
+        F.expr(code_str).alias("code_str"),
+        r4(F.sum("dfix") / F.lit(1e6)).alias("qerr"),
+    )
+
+
+@query(
+    "ivfpq_search",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_CTES},
+    {_PQ_CTES},
+    cand AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM assign a JOIN assign b
+          ON a.c_label = b.c_label AND a.vec_id <> b.vec_id
+    ),
+    adc AS (
+        SELECT c.a_id, c.b_id, SUM(da.dfix) AS sfix
+        FROM cand c
+        JOIN pqcodes pc ON pc.vec_id = c.b_id
+        JOIN pqd da ON da.vec_id = c.a_id AND da.m = pc.m AND da.k = pc.k
+        GROUP BY 1, 2
+    ),
+    rankedq AS (
+        SELECT a_id, b_id, sfix,
+               ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY sfix, b_id) AS rank
+        FROM adc
+    )
+    SELECT a_id, b_id, CAST(rank AS BIGINT) AS rank,
+           ROUND(sfix / 1e6, 4) AS adc_dist
+    FROM rankedq WHERE rank <= {LSH_TOPK}
+    """,
+    tags=("similarity", "ivf-pq", "ann-pq"),
+)
+def ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search — the full billion-scale ANN shape: IVF routing
+    confines each query to its coarse inverted list (hot lists salted,
+    as in `ivf_search_topk`), and scoring uses PQ asymmetric distance
+    computation instead of raw vectors: approx_dist(q, x) = Σ_m
+    dtable_q[m, code_x[m]]. The per-query distance table IS the
+    session-shared `_pq_dists` frame, so candidate scoring is two narrow
+    equi-joins plus an exact BIGINT group-sum — the raw vectors are
+    never shuffled at all, which is the entire point of PQ at 100 TB.
+    Top-k ranks on the exact integer distance (no float compare)."""
+    from ..operators.skew import skewsafe_directed_pairs
+
+    assign = _ivf_assignments(spark, sf_dir).select("vec_id", "assigned_label")
+    a = assign.select(F.col("vec_id").alias("a_id"), F.col("assigned_label").alias("lst"))
+    b = assign.select(F.col("vec_id").alias("b_id"), F.col("assigned_label").alias("lst"))
+    cand = skewsafe_directed_pairs(
+        a, b, key="lst", probe_id="a_id", build_id="b_id", hot_size=IVF_HOT_LIST
+    )
+    codes_b = _pq_codes(spark, sf_dir).select(F.col("vec_id").alias("b_id"), "m", "k")
+    dists_a = _pq_dists(spark, sf_dir).select(
+        F.col("vec_id").alias("a_id"), "m", "k", "dfix"
+    )
+    par = spark.sparkContext.defaultParallelism
+    adc = (
+        cand.repartition(par, "a_id")
+        .join(codes_b, "b_id")
+        .join(dists_a, ["a_id", "m", "k"])
+        .groupBy("a_id", "b_id")
+        .agg(F.sum("dfix").alias("sfix"))
+    )
+    w = Window.partitionBy("a_id").orderBy(F.asc("sfix"), F.asc("b_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= LSH_TOPK)
+        .select("a_id", "b_id", "rank", r4(F.col("sfix") / F.lit(1e6)).alias("adc_dist"))
+    )
+
+
+# ---- semantic dedup: cluster, then drop near-duplicates of better-ranked ----
+SEMDEDUP_THETA = 0.4  # cosine at/above which a pair is a semantic duplicate
+
+
+@query(
+    "semantic_dedup",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_CTES},
+    asg AS (
+        SELECT d.vec_id, d.c_label, d.dist
+        FROM d JOIN rankedc r ON r.vec_id = d.vec_id AND r.c_label = d.c_label
+        WHERE r.rn = 1
+    ),
+    ordd AS (
+        SELECT vec_id, c_label,
+               ROW_NUMBER() OVER (PARTITION BY c_label
+                                  ORDER BY dist, vec_id) AS r
+        FROM asg
+    ),
+    prs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM ordd a JOIN ordd b ON a.c_label = b.c_label AND a.r > b.r
+    ),
+    dropped AS (
+        SELECT DISTINCT p.a_id
+        FROM prs p JOIN e ea ON ea.vec_id = p.a_id
+                   JOIN e eb ON eb.vec_id = p.b_id
+        WHERE ROUND({_cosine_sql('ea.v', 'eb.v')}, 6) >= {SEMDEDUP_THETA}
+    )
+    SELECT o.vec_id, o.c_label AS cluster, (dr.a_id IS NULL) AS kept
+    FROM ordd o LEFT JOIN dropped dr ON dr.a_id = o.vec_id
+    """,
+    tags=("dedup", "semantic", "clustering"),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space (the session-shared IVF assignment — at 100 TB
+    the clustering bounds pair generation exactly like an inverted
+    list), rank each cluster by distance-to-centroid (centroid-nearest
+    = canonical), and drop any vector whose cosine to a BETTER-ranked
+    cluster-mate reaches the duplicate threshold. Non-iterative and
+    deterministic: rank ties break on vec_id, so both engines drop the
+    identical set. Pair generation reuses the hot-list-salted IVF
+    candidate machinery; scoring reuses the packed-vector Arrow dot.
+    Emits the full per-vector verdict (vec_id, cluster, kept)."""
+    from ..operators.skew import skewsafe_directed_pairs
+
+    ranked = _ivf_ranked(spark, sf_dir)
+    asg = ranked.where(F.col("rn") == 1).select("vec_id", "c_label", "dist")
+    w = Window.partitionBy("c_label").orderBy(F.asc("dist"), F.asc("vec_id"))
+    ordd = asg.withColumn("r", F.row_number().over(w))
+    a = ordd.select(F.col("vec_id").alias("a_id"), F.col("c_label").alias("lst"))
+    b = ordd.select(F.col("vec_id").alias("b_id"), F.col("c_label").alias("lst"))
+    cand = skewsafe_directed_pairs(
+        a, b, key="lst", probe_id="a_id", build_id="b_id", hot_size=IVF_HOT_LIST
+    )
+    ra = ordd.select(F.col("vec_id").alias("a_id"), F.col("r").alias("ra"))
+    rb = ordd.select(F.col("vec_id").alias("b_id"), F.col("r").alias("rb"))
+    prs = (
+        cand.join(ra, "a_id")
+        .join(rb, "b_id")
+        .where(F.col("ra") > F.col("rb"))
+        .select("a_id", "b_id")
+    )
+    ea, eb = _packed_sides(spark, sf_dir)
+    dot = sim.seq_dot_udf()
+    par = spark.sparkContext.defaultParallelism
+    scored = (
+        prs.repartition(par, "a_id")
+        .join(ea, "a_id")
+        .join(eb, "b_id")
+        .select(
+            "a_id",
+            r6(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
+    )
+    dropped = (
+        scored.where(F.col("sim") >= F.lit(SEMDEDUP_THETA))
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return ordd.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        F.col("c_label").alias("cluster"),
+        F.col("_drop").isNull().alias("kept"),
+    )
