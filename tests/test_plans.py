@@ -87,6 +87,12 @@ _NL_JOIN_OK = {
     "ivf_centroid_assign",
     "ivf_search_topk",
     "ivf_search_nprobe",
+    # bounded PQ codebook broadcast (PQ_M × PQ_K = 32 rows) routed to every
+    # vector — the PQ analogue of the k-centroid routing broadcast
+    "pq_encode",
+    "ivfpq_search",
+    # 10-centroid IVF routing broadcast (clustering stage of SemDeDup)
+    "semantic_dedup",
     # same k-centroid broadcast routing shape as the IVF build
     "kmeans_lloyd_step",
     "monte_carlo_paths",
