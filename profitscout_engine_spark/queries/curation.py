@@ -1055,3 +1055,69 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("wsum") > 0).alias("keep"),
         )
     )
+
+
+# --- differentially-private-shaped noisy counts --------------------------------
+# The release mechanism of a DP aggregate (Laplace noise, sensitivity-1
+# count, epsilon=1) with the noise draw derived from md5 instead of an RNG:
+# the engine contract is the MECHANISM shape — inverse-CDF transform of a
+# uniform, one draw per released cell — which both engines replay
+# bit-identically. (A production release would use a sealed RNG and drop
+# the true count; determinism here is what makes the mechanism testable.)
+DP_EPSILON = 1.0
+
+
+def _dp_noise_sql(instr_fn: str, key: str) -> str:
+    """Laplace(1/epsilon) inverse-CDF noise from an md5-derived uniform:
+    u = (hex8(md5('dp|'||key)) + 0.5) / 2^32, noise = sign-split log."""
+    h = f"md5(concat('dp|', {key}))"
+    # CAST the place values to BIGINT: 16^7 * 15 overflows INT32 under
+    # Spark's ANSI arithmetic (DuckDB reads the same text fine).
+    val = " + ".join(
+        f"CAST({16 ** (7 - i)} AS BIGINT) * {_qc_hx(instr_fn, f'substr({h}, {i + 1}, 1)')}"
+        for i in range(8)
+    )
+    # E0 literals: bare decimals parse as DECIMAL in Spark SQL text.
+    u = f"((({val}) + 0.5E0) / 4294967296E0)"
+    b = 1.0 / DP_EPSILON
+    return (
+        f"(CASE WHEN {u} < 0.5E0 THEN {b}E0 * ln(2E0 * {u}) "
+        f"ELSE -{b}E0 * ln(2E0 * (1E0 - {u})) END)"
+    )
+
+
+def _dp_oracle() -> str:
+    noise = _dp_noise_sql("strpos", "event_type")
+    return f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           ROUND(COUNT(*) + {noise}, 4) AS n_noisy,
+           {DP_EPSILON} AS epsilon
+    FROM events
+    GROUP BY event_type
+    """
+
+
+@query("dp_noisy_counts", oracle=_dp_oracle(), tags=("curation", "privacy", "dp"))
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy counts per released cell — the
+    differential-privacy complement to `k_anonymity_audit`: instead of
+    suppressing small cells, every count is perturbed with
+    Laplace(sensitivity/epsilon) noise before release. The draw is the
+    inverse-CDF transform of an md5-derived uniform keyed by the cell,
+    so reruns, retries and both engines release the identical value.
+    Plan: one map-side-combinable count aggregation plus a per-group
+    scalar projection — DP release costs nothing over the plain count
+    at any scale."""
+    noise = _dp_noise_sql("instr", "event_type")
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_true"))
+        .select(
+            "event_type",
+            F.col("n_true").cast("long").alias("n_true"),
+            r4(F.col("n_true") + F.expr(noise)).alias("n_noisy"),
+            F.lit(DP_EPSILON).alias("epsilon"),
+        )
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..exprs import contract_symbol, pct_change, r2, r4
+from ..exprs import contract_symbol, pct_change, r2, r4, r6
 from . import query
 from ._util import t
 
@@ -1090,4 +1090,108 @@ def revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
         .where(F.col("n_customers") >= 2)
+    )
+
+
+# --- ALS half-step: per-user factor solve against fixed item factors ----------
+# One alternating-least-squares M-step of rank-2 implicit matrix
+# factorization, written as pure relational algebra: item factors are a
+# fixed md5-derived table (the engine contract is the SOLVE shape — the
+# same closed-form normal-equations pass runs against trained factors),
+# user factors come from the explicit 2x2 inverse. Every aggregated term
+# is an exact dyadic rational (numerator/2^30 with bounded numerators),
+# so the moment sums are order-independent IEEE-exact on both engines;
+# floats only enter in the final fixed-shape solve expressions.
+ALS_LAMBDA = 0.1
+
+
+def _als_hex4(instr_fn: str, h: str) -> str:
+    hx = lambda i: f"({instr_fn}('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+    return f"(4096 * {hx(1)} + 256 * {hx(2)} + 16 * {hx(3)} + {hx(4)})"
+
+
+def _als_factor_sql(instr_fn: str, comp: int, key: str, str_t: str = "VARCHAR") -> str:
+    h = f"md5(concat('als|{comp}|', CAST({key} AS {str_t})))"
+    # 32768E0: a bare `32768.0` parses as DECIMAL in Spark SQL text and
+    # decimal division rounds (~1e-10) — scientific notation stays DOUBLE.
+    return f"(({_als_hex4(instr_fn, h)} - 32768) / 32768E0)"
+
+
+def _als_oracle() -> str:
+    v1 = _als_factor_sql("strpos", 1, "part")
+    v2 = _als_factor_sql("strpos", 2, "part")
+    lam = f"{ALS_LAMBDA}E0"
+    det = f"((a11 + {lam}) * (a22 + {lam}) - a12 * a12)"
+    return f"""
+    WITH rr AS (
+        SELECT o.o_custkey AS cust, l.l_partkey AS part,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS rq
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    f AS (
+        SELECT cust, rq, {v1} AS v1, {v2} AS v2 FROM rr
+    ),
+    s AS (
+        SELECT cust, COUNT(*) AS n_items,
+               SUM(v1 * v1) AS a11, SUM(v1 * v2) AS a12, SUM(v2 * v2) AS a22,
+               SUM(rq * v1) AS b1, SUM(rq * v2) AS b2
+        FROM f GROUP BY 1
+    )
+    SELECT cust AS cust_id, CAST(n_items AS BIGINT) AS n_items,
+           ROUND(((a22 + {lam}) * b1 - a12 * b2) / {det}, 6) AS x1,
+           ROUND(((a11 + {lam}) * b2 - a12 * b1) / {det}, 6) AS x2
+    FROM s
+    """
+
+
+@query("als_half_step", oracle=_als_oracle(), tags=("recsys", "als", "A9"))
+def als_half_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-2 ALS user-factor solve: ratings = per-(customer, part)
+    ordered quantity; item factors v ∈ R² derived from md5 (exact
+    n/2^15 rationals); per user solve (Σ v vᵀ + λI) x = Σ r·v by the
+    explicit 2×2 inverse. The same bounded-iteration-as-operator
+    contract as `kmeans_lloyd_step`: a full ALS training run is a
+    driver loop alternating this step over users and items. Plan shape
+    at 100 TB: one fact-fact equi-join (orders ⋈ lineitem, both
+    shuffled on orderkey), one map-side-combinable moment aggregation
+    per user, zero driver-side math — the normal-equation sums are
+    decomposable aggregates, so the whole M-step is one shuffle past
+    the ratings join. Exactness: every summed term is a dyadic
+    rational with common denominator 2^30 and bounded numerator, so
+    float accumulation order cannot change the sums; divisions happen
+    once per user in fixed-shape expressions (det ≥ λ² > 0 by PSD+λI,
+    no guard needed)."""
+    v1 = F.expr(_als_factor_sql("instr", 1, "part", str_t="STRING"))
+    v2 = F.expr(_als_factor_sql("instr", 2, "part", str_t="STRING"))
+    ratings = (
+        t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("cust"), "o_orderkey")
+        .join(
+            t(spark, sf_dir, "lineitem").select(
+                F.col("l_orderkey").alias("o_orderkey"),
+                F.col("l_partkey").alias("part"),
+                F.col("l_quantity").cast("long").alias("q"),
+            ),
+            "o_orderkey",
+        )
+        .groupBy("cust", "part")
+        .agg(F.sum("q").alias("rq"))
+    )
+    f = ratings.select("cust", "rq", v1.alias("v1"), v2.alias("v2"))
+    s = f.groupBy("cust").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(F.col("v1") * F.col("v1")).alias("a11"),
+        F.sum(F.col("v1") * F.col("v2")).alias("a12"),
+        F.sum(F.col("v2") * F.col("v2")).alias("a22"),
+        F.sum(F.col("rq") * F.col("v1")).alias("b1"),
+        F.sum(F.col("rq") * F.col("v2")).alias("b2"),
+    )
+    lam = F.lit(ALS_LAMBDA)
+    det = (F.col("a11") + lam) * (F.col("a22") + lam) - F.col("a12") * F.col("a12")
+    return s.select(
+        F.col("cust").alias("cust_id"),
+        "n_items",
+        r6(((F.col("a22") + lam) * F.col("b1") - F.col("a12") * F.col("b2")) / det).alias("x1"),
+        r6(((F.col("a11") + lam) * F.col("b2") - F.col("a12") * F.col("b1")) / det).alias("x2"),
     )

@@ -2332,3 +2332,106 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_label").alias("cluster"),
         F.col("_drop").isNull().alias("kept"),
     )
+
+
+# ---- k-core peeling over the near-dup graph ----------------------------------
+KCORE_K = 2  # minimum degree to stay in the core
+KCORE_ROUNDS = 3  # statically-unrolled peel rounds (the per-round operator)
+
+
+def _kcore_oracle() -> str:
+    ctes = []
+    prev = "ed0"
+    for t in range(1, KCORE_ROUNDS + 1):
+        ctes.append(
+            f"deg{t} AS (SELECT src AS node, COUNT(*) AS deg FROM {prev} GROUP BY 1)"
+        )
+        ctes.append(f"surv{t} AS (SELECT node FROM deg{t} WHERE deg >= {KCORE_K})")
+        ctes.append(
+            f"ed{t} AS MATERIALIZED (SELECT e.src, e.dst FROM {prev} e "
+            f"JOIN surv{t} a ON a.node = e.src JOIN surv{t} b ON b.node = e.dst)"
+        )
+        prev = f"ed{t}"
+    removed = " ".join(
+        f"WHEN s{t}.node IS NULL THEN {t}" for t in range(1, KCORE_ROUNDS + 1)
+    )
+    joins = " ".join(
+        f"LEFT JOIN surv{t} s{t} ON s{t}.node = n.node"
+        for t in range(1, KCORE_ROUNDS + 1)
+    )
+    return f"""
+    WITH {_minhash_bands_ctes()},
+    pairs0 AS MATERIALIZED (
+        SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    ed0 AS MATERIALIZED (
+        SELECT d1 AS src, d2 AS dst FROM pairs0
+        UNION ALL
+        SELECT d2 AS src, d1 AS dst FROM pairs0
+    ),
+    {', '.join(ctes)},
+    degf AS (SELECT src AS node, COUNT(*) AS deg FROM {prev} GROUP BY 1)
+    SELECT n.node AS doc_id,
+           CAST(CASE {removed} ELSE 0 END AS BIGINT) AS removed_round,
+           CAST(COALESCE(df.deg, 0) AS BIGINT) AS core_deg
+    FROM deg1 n {joins}
+    LEFT JOIN degf df ON df.node = n.node
+    """
+
+
+@query("k_core_peel", oracle=_kcore_oracle(), tags=("graph", "k-core"))
+def k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KCORE_ROUNDS statically-unrolled rounds of k-core peeling (k=2)
+    over the undirected near-dup candidate graph: each round removes
+    nodes whose current degree is below k and restricts the edge set to
+    survivors. Emits every initial node with the round it was peeled
+    (0 = survived all rounds) and its residual core degree — the graph
+    decomposition that separates structurally-dense duplicate clusters
+    from chain/pendant noise before expensive pairwise scoring. Same
+    bounded-iteration-as-operator contract as `pagerank_iteration` /
+    `kmeans_lloyd_step`: the full peel is a driver loop of this step,
+    converged when a round removes nothing. All-integer degrees, so the
+    unrolled relational plan is exactly engine-portable; per-round cost
+    is one degree aggregation + two semi-join-shaped hash joins over an
+    edge list that only shrinks."""
+    pairs = _mh_pairs(spark, sf_dir)
+    # coalesce: the symmetric union of the cached 32-partition pair frame
+    # would push ~1k-row edge lists through 64-task shuffle rounds — the
+    # peel loop is scheduling-bound, not data-bound (same rule as the
+    # dendrogram sweep).
+    ed = (
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .unionAll(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+        .coalesce(8)
+    )
+    deg0 = ed.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    survs = []
+    cur = ed
+    for _ in range(KCORE_ROUNDS):
+        deg = cur.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+        surv = deg.where(F.col("deg") >= KCORE_K).select("node")
+        cur = (
+            cur.join(surv.withColumnRenamed("node", "src"), "src")
+            .join(surv.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst")
+        )
+        survs.append(surv)
+    degf = cur.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("_fdeg"))
+    out = deg0.select("node")
+    for i, sv in enumerate(survs, start=1):
+        out = out.join(sv.withColumn(f"_s{i}", F.lit(1)), "node", "left")
+    removed = F.lit(None).cast("long")
+    cond = None
+    for i in range(1, KCORE_ROUNDS + 1):
+        c = F.when(F.col(f"_s{i}").isNull(), F.lit(i))
+        cond = c if cond is None else cond.when(F.col(f"_s{i}").isNull(), F.lit(i))
+    removed = cond.otherwise(F.lit(0)).cast("long")
+    return out.join(degf, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        removed.alias("removed_round"),
+        F.coalesce("_fdeg", F.lit(0)).cast("long").alias("core_deg"),
+    )

@@ -1,0 +1,87 @@
+"""Differential tests for the k-core / DP-counts / ALS wave (value oracles
+run in tests/test_correctness.py; these re-derive the semantics in plain
+Python/NumPy on the same inputs)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+
+from profitscout_engine_spark.queries.curation import DP_EPSILON, dp_noisy_counts
+from profitscout_engine_spark.queries.relational import ALS_LAMBDA, als_half_step
+from profitscout_engine_spark.queries.similarity import (
+    KCORE_K,
+    KCORE_ROUNDS,
+    _mh_pairs,
+    k_core_peel,
+)
+
+
+def test_k_core_peel_matches_python_peel(spark, sf_dir):
+    edges = {(int(r.d1), int(r.d2)) for r in _mh_pairs(spark, sf_dir).toPandas().itertuples()}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    removed_round = {v: 0 for v in adj}
+    alive = set(adj)
+    for t in range(1, KCORE_ROUNDS + 1):
+        doomed = {v for v in alive if len(adj[v] & alive) < KCORE_K}
+        for v in doomed:
+            removed_round[v] = t
+        alive -= doomed
+    got = k_core_peel(spark, sf_dir).toPandas()
+    assert len(got) == len(adj)
+    for r in got.itertuples():
+        v = int(r.doc_id)
+        assert removed_round[v] == int(r.removed_round)
+        expect_deg = len(adj[v] & alive) if v in alive else 0
+        assert expect_deg == int(r.core_deg)
+
+
+def test_dp_noise_matches_python_laplace(spark, sf_dir):
+    got = dp_noisy_counts(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    b = 1.0 / DP_EPSILON
+    for r in got.itertuples():
+        h = hashlib.md5(f"dp|{r.event_type}".encode()).hexdigest()
+        u = (int(h[:8], 16) + 0.5) / 4294967296.0
+        noise = b * math.log(2.0 * u) if u < 0.5 else -b * math.log(2.0 * (1.0 - u))
+        want = math.floor((r.n_true + noise) * 1e4 + 0.5) / 1e4
+        assert abs(r.n_noisy - want) < 1e-9
+        # u in (2^-33, 1) bounds the Laplace tail deterministically
+        assert abs(r.n_noisy - r.n_true) < 23.0
+
+
+def test_als_half_step_solves_normal_equations(spark, sf_dir):
+    """The emitted factors must satisfy (A + λI) x = b for each user's
+    moment sums recomputed independently from the parquet inputs."""
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    j = orders.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    j["q"] = j.l_quantity.astype(np.int64)
+    rq = j.groupby(["o_custkey", "l_partkey"]).q.sum().reset_index()
+
+    def factor(comp: int, part: int) -> float:
+        h = hashlib.md5(f"als|{comp}|{part}".encode()).hexdigest()
+        return (int(h[:4], 16) - 32768) / 32768.0
+
+    rq["v1"] = [factor(1, p) for p in rq.l_partkey]
+    rq["v2"] = [factor(2, p) for p in rq.l_partkey]
+    got = als_half_step(spark, sf_dir).toPandas().set_index("cust_id")
+    for cust, g in rq.groupby("o_custkey"):
+        A = np.array(
+            [
+                [np.sum(g.v1 * g.v1) + ALS_LAMBDA, np.sum(g.v1 * g.v2)],
+                [np.sum(g.v1 * g.v2), np.sum(g.v2 * g.v2) + ALS_LAMBDA],
+            ]
+        )
+        bvec = np.array([np.sum(g.q * g.v1), np.sum(g.q * g.v2)])
+        x = np.linalg.solve(A, bvec)
+        row = got.loc[cust]
+        assert int(row.n_items) == len(g)
+        assert abs(row.x1 - x[0]) < 1e-4
+        assert abs(row.x2 - x[1]) < 1e-4
