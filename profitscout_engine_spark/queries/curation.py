@@ -1121,3 +1121,148 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(DP_EPSILON).alias("epsilon"),
         )
     )
+
+
+# --- overlapping context chunking (RAG-style sliding windows) ------------------
+CHUNK_STRIDE = 32  # window start stride; overlap = CHUNK_TOKENS - CHUNK_STRIDE
+
+
+@query(
+    "chunk_overlap_split",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id, string_split(text, ' ') AS tk, len(string_split(text, ' ')) AS n
+        FROM documents
+    )
+    SELECT doc_id, c AS chunk_id,
+           c * {CHUNK_STRIDE} AS start_token,
+           least({CHUNK_TOKENS}, n - c * {CHUNK_STRIDE}) AS chunk_len,
+           md5(list_aggregate(
+               tk[c * {CHUNK_STRIDE} + 1 :
+                  c * {CHUNK_STRIDE} + least({CHUNK_TOKENS}, n - c * {CHUNK_STRIDE})],
+               'string_agg', ' ')) AS chunk_hash
+    FROM tk, UNNEST(range(0, (greatest(n, 1) - 1) // {CHUNK_STRIDE} + 1)) AS u(c)
+    """,
+    tags=("curation", "chunking", "rag"),
+)
+def chunk_overlap_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap — the retrieval-index twin of
+    `chunk_split`: windows of CHUNK_TOKENS starting every CHUNK_STRIDE
+    tokens, so consecutive chunks share CHUNK_TOKENS − CHUNK_STRIDE
+    tokens of context (the standard RAG indexing layout; boundary facts
+    appear whole in at least one chunk). Tail windows shorten to the
+    remaining tokens. The md5 over each window's exact token slice pins
+    the alignment on both engines. Same zero-shuffle explode-over-scan
+    plan as the disjoint chunker."""
+    d = _docs(spark, sf_dir).select("doc_id", tokens(F.col("text")).alias("tk"))
+    d = d.withColumn("n", F.size("tk").cast("long"))
+    d = d.select(
+        "doc_id",
+        "tk",
+        "n",
+        F.explode(
+            F.expr(f"sequence(0, (greatest(n, 1) - 1) div {CHUNK_STRIDE})")
+        ).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * CHUNK_STRIDE
+    chunk_len = F.least(F.lit(CHUNK_TOKENS).cast("long"), F.col("n") - start)
+    return d.select(
+        "doc_id",
+        "chunk_id",
+        start.alias("start_token"),
+        chunk_len.alias("chunk_len"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    f"slice(tk, chunk_id * {CHUNK_STRIDE} + 1, "
+                    f"least({CHUNK_TOKENS}, n - chunk_id * {CHUNK_STRIDE}))"
+                ),
+                " ",
+            )
+        ).alias("chunk_hash"),
+    )
+
+
+# --- bigram LM fluency score ---------------------------------------------------
+@query(
+    "bigram_lm_logprob",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    bg AS (
+        SELECT doc_id, tk[i] AS w1, tk[i] || ' ' || tk[i + 1] AS big
+        FROM tk, UNNEST(range(1, len(tk))) AS u(i)
+        WHERE len(tk) >= 2
+    ),
+    uni AS (
+        SELECT term, COUNT(*) AS cu
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) z
+        GROUP BY 1
+    ),
+    bfreq AS (SELECT big, COUNT(*) AS cb FROM bg GROUP BY 1),
+    vocab AS (SELECT COUNT(*) AS v FROM uni),
+    cls AS (
+        SELECT b.doc_id, f.cb, u.cu, COUNT(*) AS n_k
+        FROM bg b JOIN bfreq f USING (big) JOIN uni u ON u.term = b.w1
+        GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(SUM(n_k) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(n_k * ln((cb + 1.0) / (cu + v))) / SUM(n_k), 4)
+               AS avg_logprob
+    FROM cls CROSS JOIN vocab
+    GROUP BY doc_id
+    """,
+    tags=("curation", "lm-score", "bigram"),
+)
+def bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    add-one-smoothed bigram LM, P(w2|w1) = (c(w1 w2)+1)/(c(w1)+V) — the
+    order-sensitive fluency complement to `unigram_lm_logprob` (word
+    salad scores low here even when its unigram mix is normal). Same
+    determinism treatment: bigram occurrences collapse into
+    (doc, c_bigram, c_unigram) classes before the float log-sum, so
+    weights are exact integers and the short class sums are order-stable
+    far inside the 4dp rounding. Unigram counts ride the session-shared
+    vocabulary frame; docs under 2 tokens drop out (no bigrams), as in
+    the oracle."""
+    d = _docs(spark, sf_dir).select("doc_id", tokens(F.col("text")).alias("tk"))
+    bg = (
+        d.where(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), "
+                    "i -> struct(element_at(tk, i) AS w1, "
+                    "concat(element_at(tk, i), ' ', element_at(tk, i + 1)) AS big))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.big").alias("big"))
+    )
+    from ._util import shared
+
+    bg = shared(spark, sf_dir, "bigram_stream", lambda: bg)
+    uni = _term_freq(spark, sf_dir).select(F.col("term").alias("w1"), F.col("cnt").alias("cu"))
+    bfreq = bg.groupBy("big").agg(F.count("*").alias("cb"))
+    vocab = uni.agg(F.count("*").alias("v"))
+    cls = (
+        bg.join(bfreq, "big")
+        .join(uni, "w1")
+        .groupBy("doc_id", "cb", "cu")
+        .agg(F.count("*").alias("n_k"))
+    )
+    return (
+        cls.crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_k").cast("long").alias("n_bigrams"),
+            r4(
+                F.sum(
+                    F.col("n_k")
+                    * F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("v")))
+                )
+                / F.sum("n_k")
+            ).alias("avg_logprob"),
+        )
+    )

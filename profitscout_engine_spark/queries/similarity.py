@@ -2435,3 +2435,117 @@ def k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         removed.alias("removed_round"),
         F.coalesce("_fdeg", F.lit(0)).cast("long").alias("core_deg"),
     )
+
+
+# ---- streaming ingest dedup: band-keyed signature store as GroupState --------
+@query(
+    "stream_dedup_bands",
+    oracle=f"""
+    WITH {_minhash_bands_ctes()},
+    fm AS (
+        SELECT a.doc_id, MIN(b.doc_id) AS dup_of
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+         AND b.doc_id < a.doc_id
+        GROUP BY 1
+    )
+    SELECT d.doc_id, (fm.doc_id IS NOT NULL) AS is_dup, fm.dup_of
+    FROM documents d LEFT JOIN fm ON fm.doc_id = d.doc_id
+    """,
+    tags=("dedup", "streaming", "stateful", "minhash-lsh"),
+)
+def stream_dedup_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest near-dedup — the STREAMING twin of
+    `incremental_dedup_probe`: documents arrive as a doc_id-ordered
+    ingest stream, each row derives its MinHash band signatures
+    per-row (array folds — no pre-state aggregation, so the stream
+    stays single-stateful), and an applyInPandasWithState kernel keyed
+    by (band_id, band_sig) holds ONE value per signature — the minimum
+    doc_id seen — and emits each arrival's earliest colliding
+    predecessor. State is the banded signature store itself (exactly
+    what the batch prober persists), bounded by distinct signatures,
+    never pairs. After the stream drains, plain batch algebra folds the
+    per-band verdicts into (doc_id, is_dup, dup_of); the oracle proves
+    the streamed verdicts equal the batch first-occurrence dedup over
+    the same corpus. Python appears only in the licensed
+    applyInPandasWithState kernel (Arrow-batched pandas)."""
+    import tempfile
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..streaming import stream_documents_ordered
+
+    docs = stream_documents_ordered(spark, sf_dir)
+    tk = docs.select("doc_id", tx.tokens(F.col("text")).alias("tk"))
+    sh = tk.select("doc_id", tx.word_shingles().alias("sh")).where(F.size("sh") >= 1)
+    # Per-row MinHash: slot s = array_min over the shingle multiset (equal
+    # to the batch groupBy-min over the distinct set), bands = md5 of the
+    # row-concat — bit-identical to operators.text.minhash_bands.
+    slots = [
+        F.expr(f"array_min(transform(sh, x -> md5(concat('{s}|', x))))").alias(f"h{s}")
+        for s in range(tx.MINHASH_K)
+    ]
+    sig = sh.select("doc_id", *slots)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"h{b * tx.MINHASH_ROWS + r}") for r in range(tx.MINHASH_ROWS)],
+                    )
+                ).alias("band_sig"),
+            )
+            for b in range(tx.MINHASH_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig")
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        mn = state.get[0] if state.exists else None
+        out_docs, out_earlier = [], []
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["doc_id"])
+        for d in sorted(ids):
+            out_docs.append(d)
+            out_earlier.append(mn if mn is not None else -1)
+            mn = d if mn is None or d < mn else mn
+        state.update((int(mn),))
+        yield pd.DataFrame({"doc_id": out_docs, "earlier": out_earlier})
+
+    verdicts = banded.groupBy("band_id", "band_sig").applyInPandasWithState(
+        update,
+        outputStructType="doc_id long, earlier long",
+        stateStructType="mn long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"streamdedup_{next(tempfile._get_candidate_names())}"
+    q = (
+        verdicts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    sink = spark.table(name)
+    fm = (
+        sink.where(F.col("earlier") >= 0)
+        .groupBy("doc_id")
+        .agg(F.min("earlier").alias("dup_of"))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(fm, "doc_id", "left")
+        .select("doc_id", F.col("dup_of").isNotNull().alias("is_dup"), "dup_of")
+    )

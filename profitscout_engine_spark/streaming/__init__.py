@@ -127,3 +127,37 @@ def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+def stream_documents_ordered(
+    spark: SparkSession, sf_dir: str, n_files: int = 5
+) -> DataFrame:
+    """documents as a doc_id-ORDERED ingest stream: the fixture table is
+    staged as ``n_files`` contiguous doc_id slices with strictly increasing
+    modification times, so the file source (oldest-first, one file per
+    trigger) replays the corpus in doc_id order — the ordering contract an
+    incremental ingest pipeline provides by construction (appends arrive
+    after the corpus they extend). Production points this at the ingest
+    directory instead of staging."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stage = f"/tmp/pse_docstream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{n_files}"
+    ready = f"{stage}/_READY"
+    if not os.path.exists(ready):
+        os.makedirs(stage, exist_ok=True)
+        pdf = pd.read_parquet(f"{sf_dir}/documents.parquet").sort_values("doc_id")
+        cuts = [round(i * len(pdf) / n_files) for i in range(n_files + 1)]
+        for i in range(n_files):
+            path = f"{stage}/slice-{i:03d}.parquet"
+            pdf.iloc[cuts[i] : cuts[i + 1]].to_parquet(path, index=False)
+            os.utime(path, (1_000_000 + i, 1_000_000 + i))
+        open(ready, "w").close()
+    return (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )

@@ -132,6 +132,7 @@ _NL_JOIN_OK = {
     "domain_mix_rebalance",
     # 1-row global-scalar cross join (smoothing constants total+vocab)
     "unigram_lm_logprob",
+    "bigram_lm_logprob",
     # 1-row global-scalar cross joins (corpus size / key total)
     "pagerank_iteration",
     "key_skew_report",

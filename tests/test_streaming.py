@@ -370,3 +370,42 @@ def test_stream_merge_to_txn_exactly_once(spark, sf_dir, tmp_path):
     pd.testing.assert_frame_equal(
         old.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_stream_dedup_bands_state_spans_micro_batches(spark, sf_dir):
+    """The banded signature store must carry across micro-batches: at least
+    one detected duplicate's first occurrence lives in an EARLIER ingest
+    slice (file/batch) than the duplicate itself, and every verdict equals
+    the batch first-occurrence recomputation over the same band frame."""
+    from profitscout_engine_spark.operators import text as tx
+    from profitscout_engine_spark.queries.similarity import (
+        _docs,
+        stream_dedup_bands,
+    )
+
+    got = stream_dedup_bands(spark, sf_dir).toPandas().set_index("doc_id")
+    bands = tx.minhash_bands(
+        tx.minhash_signature(tx.shingle_frame(_docs(spark, sf_dir)))
+    ).toPandas()
+    first: dict[tuple, int] = {}
+    expect: dict[int, int | None] = {}
+    for r in bands.sort_values("doc_id").itertuples():
+        k = (r.band_id, r.band_sig)
+        d = int(r.doc_id)
+        prior = first.get(k)
+        if prior is not None and prior < d:
+            expect[d] = prior if expect.get(d) is None else min(expect[d], prior)
+        expect.setdefault(d, None)
+        if prior is None or d < prior:
+            first[k] = d
+    n_docs = len(got)
+    slice_width = max(n_docs // 5, 1)
+    cross_batch = 0
+    for d, e in expect.items():
+        row = got.loc[d]
+        assert bool(row.is_dup) == (e is not None)
+        if e is not None:
+            assert int(row.dup_of) == e
+            if d // slice_width != e // slice_width:
+                cross_batch += 1
+    assert cross_batch > 0, "no duplicate spanned an ingest slice boundary"
