@@ -1161,3 +1161,125 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.sum("w") / F.lit(1e6)).alias("attributed_value"),
         )
     )
+
+
+# --- Poisson-bootstrap confidence intervals ------------------------------------
+# The scale-friendly bootstrap: classical resampling draws N indices per
+# replica (a corpus-wide shuffle per replica); the Poisson bootstrap gives
+# every ROW an independent Poisson(1) weight per replica — a map-only
+# fan-out whose replica sums are one combinable aggregation, the form
+# every large-scale experimentation platform uses. Draws come from md5
+# uniforms through the Poisson(1) inverse-CDF ladder, so both engines
+# (and reruns) produce identical replicas.
+BOOT_R = 64  # replicas
+# cumulative Poisson(1) CDF at k = 0..6, fixed 5dp-truncated constants —
+# written with E0 exponents so both engines compare the same DOUBLEs.
+_BOOT_CDF = ("0.36788", "0.73576", "0.91970", "0.98101", "0.99634", "0.99941", "0.99992")
+BOOT_LO_RANK = 2  # ceil(0.025 * 64): type-1 2.5th percentile of replica means
+BOOT_HI_RANK = 63  # ceil(0.975 * 64)
+
+
+def _boot_w_sql(instr_fn: str, u: str) -> str:
+    ladder = " ".join(
+        f"WHEN {u} < {c}E0 THEN {k}" for k, c in enumerate(_BOOT_CDF)
+    )
+    return f"(CASE {ladder} ELSE {len(_BOOT_CDF)} END)"
+
+
+def _boot_u_sql(instr_fn: str, key: str) -> str:
+    h = f"md5(concat('bs|', {key}))"
+    hx = lambda i: f"({instr_fn}('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+    val = " + ".join(f"CAST({16 ** (7 - i)} AS BIGINT) * {hx(i + 1)}" for i in range(8))
+    return f"((({val}) + 0.5E0) / 4294967296E0)"
+
+
+def _boot_oracle() -> str:
+    key = "CAST(r AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)"
+    u = _boot_u_sql("strpos", key)
+    w = _boot_w_sql("strpos", u)
+    return f"""
+    WITH fanned AS (
+        SELECT e.event_type, e.event_id, r.r,
+               CAST(FLOOR(e.value * 1e6 + 0.5) AS BIGINT) AS vfix,
+               {w} AS w
+        FROM events e CROSS JOIN (SELECT i AS r FROM UNNEST(range(0, {BOOT_R})) AS u(i)) r
+    ),
+    reps AS (
+        SELECT event_type, r,
+               CAST(SUM(w) AS BIGINT) AS sw,
+               CAST(SUM(w * vfix) AS BIGINT) AS svf
+        FROM fanned GROUP BY 1, 2
+    ),
+    means AS (
+        SELECT event_type, r, svf / (NULLIF(sw, 0) * 1e6) AS m,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY svf / (NULLIF(sw, 0) * 1e6), r) AS rk
+        FROM reps
+    ),
+    ci AS (
+        SELECT event_type,
+               MAX(CASE WHEN rk = {BOOT_LO_RANK} THEN m END) AS lo,
+               MAX(CASE WHEN rk = {BOOT_HI_RANK} THEN m END) AS hi
+        FROM means GROUP BY 1
+    ),
+    pt AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sv
+        FROM events GROUP BY 1
+    )
+    SELECT p.event_type, p.n_events,
+           ROUND(p.sv / (p.n_events * 1e6), 4) AS point_mean,
+           ROUND(c.lo, 4) AS ci_lo,
+           ROUND(c.hi, 4) AS ci_hi
+    FROM pt p JOIN ci c ON c.event_type = p.event_type
+    """
+
+
+@query("bootstrap_ci_poisson", oracle=_boot_oracle(), tags=("experiment", "bootstrap", "A9"))
+def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type mean with a 95% Poisson-bootstrap confidence
+    interval: BOOT_R replicas, each row weighted Poisson(1) per replica
+    (md5 inverse-CDF draw — no RNG, no index resampling, no per-replica
+    shuffle of the corpus), replica means ranked and read at the type-1
+    2.5/97.5 percentile ranks with replica-id tie-breaks. Values fix to
+    1e-6-unit BIGINTs before the weighted sums, so every replica sum is
+    exact integer arithmetic and arrival order cannot matter; floats
+    appear only in the final per-replica division. Plan: one 64×
+    fan-out of narrow rows into a map-side-combinable aggregation —
+    cost is R × scan, the canonical distributed-bootstrap budget."""
+    key = "CAST(r AS STRING) || '|' || CAST(event_id AS STRING)"
+    u = _boot_u_sql("instr", key)
+    w = _boot_w_sql("instr", u)
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("vfix"),
+    )
+    fanned = ev.select(
+        "event_type",
+        "event_id",
+        "vfix",
+        F.explode(F.expr(f"sequence(0, {BOOT_R - 1})")).alias("r"),
+    ).withColumn("w", F.expr(w))
+    reps = fanned.groupBy("event_type", "r").agg(
+        F.sum("w").cast("long").alias("sw"),
+        F.sum(F.col("w") * F.col("vfix")).cast("long").alias("svf"),
+    )
+    m = F.col("svf") / (F.nullif(F.col("sw"), F.lit(0)) * F.lit(1e6))
+    wnd = Window.partitionBy("event_type").orderBy(m.asc(), F.col("r").asc())
+    means = reps.withColumn("rk", F.row_number().over(wnd)).withColumn("m", m)
+    ci = means.groupBy("event_type").agg(
+        F.max(F.when(F.col("rk") == BOOT_LO_RANK, F.col("m"))).alias("lo"),
+        F.max(F.when(F.col("rk") == BOOT_HI_RANK, F.col("m"))).alias("hi"),
+    )
+    pt = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("vfix").cast("long").alias("sv"),
+    )
+    return pt.join(ci, "event_type").select(
+        "event_type",
+        "n_events",
+        r4(F.col("sv") / (F.col("n_events") * F.lit(1e6))).alias("point_mean"),
+        r4(F.col("lo")).alias("ci_lo"),
+        r4(F.col("hi")).alias("ci_hi"),
+    )

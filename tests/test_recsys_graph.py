@@ -85,3 +85,23 @@ def test_als_half_step_solves_normal_equations(spark, sf_dir):
         assert int(row.n_items) == len(g)
         assert abs(row.x1 - x[0]) < 1e-4
         assert abs(row.x2 - x[1]) < 1e-4
+
+
+def test_bootstrap_ci_brackets_point_mean(spark, sf_dir):
+    from profitscout_engine_spark.queries.aggregates import (
+        _BOOT_CDF,
+        bootstrap_ci_poisson,
+    )
+
+    got = bootstrap_ci_poisson(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    for r in got.itertuples():
+        assert r.ci_lo < r.ci_hi
+        # with n >= 100 rows per type, the 95% replica band brackets the
+        # point estimate (replica means concentrate at rate 1/sqrt(n))
+        assert r.ci_lo <= r.point_mean <= r.ci_hi
+    # the weight ladder is the Poisson(1) CDF: mean weight == 1 by design
+    cdf = [float(c) for c in _BOOT_CDF]
+    pmf = [cdf[0]] + [b - a for a, b in zip(cdf, cdf[1:])] + [1 - cdf[-1]]
+    mean_w = sum(k * p for k, p in enumerate(pmf))
+    assert abs(mean_w - 1.0) < 0.01
