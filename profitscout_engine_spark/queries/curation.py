@@ -1266,3 +1266,65 @@ def bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# --- temperature-scaled language sampling (the multilingual n^alpha rule) ------
+MIX_ALPHA = "0.7"  # sampling temperature exponent (XLM-R style)
+
+
+@query(
+    "temperature_mix_sample",
+    oracle=f"""
+    WITH counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+    wts AS (SELECT lang, n, power(n, {MIX_ALPHA}E0) AS w FROM counts),
+    tot AS (SELECT SUM(w) AS sw, CAST(SUM(n) AS BIGINT) AS total FROM wts),
+    quota AS (
+        SELECT lang, n, w,
+               CAST(FLOOR(w / t.sw * (t.total // 2)) AS BIGINT) AS m
+        FROM wts CROSS JOIN tot t
+    ),
+    r AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5('tmix|' || doc_id), doc_id) AS rn
+        FROM documents
+    )
+    SELECT r.doc_id, r.lang, r.rn, q.m AS lang_quota,
+           ROUND(q.w / t.sw, 6) AS lang_share,
+           r.rn <= q.m AS sampled
+    FROM r JOIN quota q ON q.lang = r.lang CROSS JOIN tot t
+    """,
+    tags=("curation", "sampling", "domain-mix", "temperature"),
+)
+def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling — the n^α rule (α=0.7,
+    the XLM-R/mBERT recipe): language quotas proportional to count^α
+    re-balance a skewed corpus so low-resource languages are upsampled
+    RELATIVE to their share without flattening to uniform (that is
+    `domain_mix_rebalance`'s floor rule — this is its soft-temperature
+    sibling). The epoch budget is half the corpus; each language keeps
+    its quota's worth of docs in deterministic md5 order, so every
+    engine, rerun and cluster size draws the same epoch. One count
+    aggregation, a 1-row scalar broadcast, and a per-language rank —
+    no data-proportional state anywhere."""
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    wts = counts.select("lang", "n", F.pow(F.col("n"), F.lit(0.7)).alias("w"))
+    tot = wts.agg(F.sum("w").alias("sw"), F.sum("n").cast("long").alias("total"))
+    quota = wts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.floor(F.col("w") / F.col("sw") * F.expr("total div 2")).cast("long").alias("m"),
+        r6(F.col("w") / F.col("sw")).alias("lang_share"),
+    )
+    wnd = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("tmix|"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    )
+    r = d.select("doc_id", "lang").withColumn("rn", F.row_number().over(wnd).cast("long"))
+    return r.join(quota, "lang").select(
+        "doc_id",
+        "lang",
+        "rn",
+        F.col("m").alias("lang_quota"),
+        "lang_share",
+        (F.col("rn") <= F.col("m")).alias("sampled"),
+    )

@@ -2549,3 +2549,78 @@ def stream_dedup_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(fm, "doc_id", "left")
         .select("doc_id", F.col("dup_of").isNotNull().alias("is_dup"), "dup_of")
     )
+
+
+# ---- hard-negative mining over the LSH neighborhood --------------------------
+HARDNEG_K = 3
+
+
+def _hardneg_oracle() -> str:
+    bucket_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT vec_id, {t_} AS table_id, {_lsh_bucket_sql('v', t_)} AS bucket FROM e"
+        for t_ in range(sim.LSH_TABLES)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    buckets AS (
+        {bucket_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM buckets a JOIN buckets b
+          ON a.table_id = b.table_id AND a.bucket = b.bucket
+         AND a.vec_id <> b.vec_id
+    ),
+    sims AS (
+        SELECT c.a_id, c.b_id, ea.label AS a_label, eb.label AS b_label,
+               ROUND({_cosine_sql('ea.v', 'eb.v')}, 6) AS sim
+        FROM cand c JOIN e ea ON ea.vec_id = c.a_id
+                    JOIN e eb ON eb.vec_id = c.b_id
+        WHERE ea.label <> eb.label
+    ),
+    ranked AS (
+        SELECT a_id, b_id, a_label, b_label, sim,
+               ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rank
+        FROM sims
+    )
+    SELECT a_id, b_id, a_label, b_label, CAST(rank AS BIGINT) AS rank, sim
+    FROM ranked WHERE rank <= {HARDNEG_K}
+    """
+
+
+@query(
+    "hard_negatives",
+    oracle=_hardneg_oracle(),
+    tags=("similarity", "contrastive", "hard-negatives"),
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-K most-similar vectors with a DIFFERENT label — the examples a
+    contrastive loss learns most from (random negatives are trivially
+    far; hard ones sit across the decision boundary). Candidates and
+    exact cosines come from the session-shared hyperplane-LSH scored
+    frame — hard negatives are by definition near-collisions, which is
+    precisely what LSH buckets surface, so the miner inherits the LSH
+    scale shape (banded equi-join, packed Arrow-dot scoring, no
+    corpus² pass) and adds only a label filter and a rank window."""
+    labels = _vecs(spark, sf_dir).select("vec_id", "label")
+    s = _lsh_scored(spark, sf_dir)
+    directed = s.select(
+        F.col("d1").alias("a_id"), F.col("d2").alias("b_id"), "sim_raw"
+    ).unionByName(
+        s.select(F.col("d2").alias("a_id"), F.col("d1").alias("b_id"), "sim_raw")
+    )
+    la = labels.select(F.col("vec_id").alias("a_id"), F.col("label").alias("a_label"))
+    lb = labels.select(F.col("vec_id").alias("b_id"), F.col("label").alias("b_label"))
+    scored = (
+        directed.join(la, "a_id")
+        .join(lb, "b_id")
+        .where(F.col("a_label") != F.col("b_label"))
+        .select("a_id", "b_id", "a_label", "b_label", r6(F.col("sim_raw")).alias("sim"))
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= HARDNEG_K)
+        .select("a_id", "b_id", "a_label", "b_label", "rank", "sim")
+    )

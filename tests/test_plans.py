@@ -127,9 +127,10 @@ _NL_JOIN_OK = {
     "tfidf_top_terms",
     # 1-row global-scalar cross join (avgdl / N / per-term df)
     "bm25_search",
-    # 1-row global-scalar cross joins (corpus total / floor count)
+    # 1-row global-scalar cross joins (corpus total / floor count / quota)
     "unigram_freq_quality",
     "domain_mix_rebalance",
+    "temperature_mix_sample",
     # 1-row global-scalar cross join (smoothing constants total+vocab)
     "unigram_lm_logprob",
     "bigram_lm_logprob",

@@ -105,3 +105,36 @@ def test_bootstrap_ci_brackets_point_mean(spark, sf_dir):
     pmf = [cdf[0]] + [b - a for a, b in zip(cdf, cdf[1:])] + [1 - cdf[-1]]
     mean_w = sum(k * p for k, p in enumerate(pmf))
     assert abs(mean_w - 1.0) < 0.01
+
+
+def test_hard_negatives_are_cross_label_and_harder_than_rank(spark, sf_dir):
+    from profitscout_engine_spark.queries.similarity import HARDNEG_K, hard_negatives
+
+    got = hard_negatives(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    assert (got.a_label != got.b_label).all()
+    # per anchor: ranks contiguous from 1, sims non-increasing with rank
+    for _, g in got.groupby("a_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert len(g) <= HARDNEG_K
+        assert (g.sim.diff().dropna() <= 1e-12).all()
+
+
+def test_temperature_mix_upsamples_rare_languages(spark, sf_dir):
+    from profitscout_engine_spark.queries.curation import temperature_mix_sample
+
+    got = temperature_mix_sample(spark, sf_dir).toPandas()
+    per = got.groupby("lang").agg(
+        n=("doc_id", "count"), quota=("lang_quota", "first"), smp=("sampled", "sum")
+    )
+    # exactly quota docs sampled per language (deterministic rank cut)
+    assert (per.smp == per.quota.clip(upper=per.n)).all()
+    # temperature flattens the mix: sampled share of a rare language exceeds
+    # its corpus share, and the largest language's share shrinks
+    per["corpus_share"] = per.n / per.n.sum()
+    per["sample_share"] = per.smp / per.smp.sum()
+    rare, big = per.corpus_share.idxmin(), per.corpus_share.idxmax()
+    if per.loc[rare, "corpus_share"] < per.loc[big, "corpus_share"]:
+        assert per.loc[rare, "sample_share"] >= per.loc[rare, "corpus_share"] - 1e-9
+        assert per.loc[big, "sample_share"] <= per.loc[big, "corpus_share"] + 1e-9
