@@ -145,7 +145,12 @@ def stream_documents_ordered(
     import pandas as pd
 
     static = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    stage = f"/tmp/pse_docstream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{n_files}"
+    # Stage key includes the source file's size+mtime: a regenerated fixture
+    # at the same path must invalidate the staged slices, or the stream
+    # would replay stale data and diverge from the batch oracle.
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    ident = f"{sf_dir}|{st.st_size}|{int(st.st_mtime)}|{n_files}"
+    stage = f"/tmp/pse_docstream_{hashlib.md5(ident.encode()).hexdigest()[:12]}"
     ready = f"{stage}/_READY"
     if not os.path.exists(ready):
         os.makedirs(stage, exist_ok=True)
