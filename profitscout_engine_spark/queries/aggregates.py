@@ -1180,10 +1180,15 @@ BOOT_HI_RANK = 63  # ceil(0.975 * 64)
 
 
 def _boot_w_sql(instr_fn: str, u: str) -> str:
-    ladder = " ".join(
-        f"WHEN {u} < {c}E0 THEN {k}" for k, c in enumerate(_BOOT_CDF)
+    # Indicator SUM, not a CASE ladder: w = #thresholds at/below u. The
+    # addends are evaluated unconditionally, so Spark's subexpression
+    # elimination collapses the repeated md5-uniform to ONE evaluation —
+    # a CASE ladder marks each branch conditional and re-derives u (and
+    # its md5) per WHEN, which benched 5x slower at sf0.1.
+    terms = " + ".join(
+        f"CAST({u} >= {c}E0 AS INT)" for c in _BOOT_CDF
     )
-    return f"(CASE {ladder} ELSE {len(_BOOT_CDF)} END)"
+    return f"({terms})"
 
 
 def _boot_u_sql(instr_fn: str, key: str) -> str:
@@ -1250,7 +1255,12 @@ def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = "CAST(r AS STRING) || '|' || CAST(event_id AS STRING)"
     u = _boot_u_sql("instr", key)
     w = _boot_w_sql("instr", u)
-    ev = t(spark, sf_dir, "events").select(
+    from ._util import fan_out
+
+    # fan_out before the 64x explode: the single-split fixture scan would
+    # otherwise run the whole replica fan-out (and its md5 draws) on one
+    # task — the explode-side twin of the copurchase_pairs rule.
+    ev = fan_out(spark, t(spark, sf_dir, "events")).select(
         "event_type",
         "event_id",
         F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("vfix"),

@@ -2413,11 +2413,19 @@ def k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = ed
     for _ in range(KCORE_ROUNDS):
         deg = cur.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
-        surv = deg.where(F.col("deg") >= KCORE_K).select("node")
+        # eager localCheckpoint: surv feeds the edge filter AND the final
+        # verdict join, cur feeds two consumers next round — materializing
+        # the (tiny) per-round frames truncates the lineage so the final
+        # plan is R shallow joins instead of an O(R^2) re-executed chain.
+        surv = (
+            deg.where(F.col("deg") >= KCORE_K).select("node")
+            .localCheckpoint(eager=True)
+        )
         cur = (
             cur.join(surv.withColumnRenamed("node", "src"), "src")
             .join(surv.withColumnRenamed("node", "dst"), "dst")
             .select("src", "dst")
+            .localCheckpoint(eager=True)
         )
         survs.append(surv)
     degf = cur.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("_fdeg"))
@@ -2438,6 +2446,11 @@ def k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- streaming ingest dedup: band-keyed signature store as GroupState --------
+# 3 ingest slices: still a genuine multi-micro-batch run (cross-batch state
+# is pytest-pinned) at ~2 s fixed micro-batch machinery cost each.
+DEDUP_STREAM_FILES = 3
+
+
 @query(
     "stream_dedup_bands",
     oracle=f"""
@@ -2477,7 +2490,15 @@ def stream_dedup_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming import stream_documents_ordered
 
-    docs = stream_documents_ordered(spark, sf_dir)
+    docs = stream_documents_ordered(spark, sf_dir, n_files=DEDUP_STREAM_FILES)
+    # Each ingest slice is ONE file -> one input partition per micro-batch;
+    # without a repartition the per-row MinHash (16 array folds of md5s)
+    # runs single-task per batch. The narrow pre-shuffle spreads the
+    # CPU-heavy projection across cores; the stateful groupBy shuffles
+    # anyway, so this adds no extra stage at scale (multi-split ingest
+    # files already arrive wide).
+    par = spark.sparkContext.defaultParallelism
+    docs = docs.repartition(par)
     tk = docs.select("doc_id", tx.tokens(F.col("text")).alias("tk"))
     sh = tk.select("doc_id", tx.word_shingles().alias("sh")).where(F.size("sh") >= 1)
     # Per-row MinHash: slot s = array_min over the shingle multiset (equal
@@ -2503,40 +2524,65 @@ def stream_dedup_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     banded = sig.select("doc_id", F.explode(bands).alias("b")).select(
-        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig")
+        "doc_id",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_sig").alias("band_sig"),
+        # Bounded state key: applyInPandasWithState pays a Python call per
+        # GROUP per batch, and per-signature keys mean thousands of tiny
+        # groups each batch. Bucketing signatures by their first hex byte
+        # caps groups at 4 x 256; each bucket's state is the sig -> min-doc
+        # map for that slice of the store (still bounded by distinct
+        # signatures — the same store, coarser shards).
+        F.substring(F.col("b.band_sig"), 1, 2).alias("bucket"),
     )
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        mn = state.get[0] if state.exists else None
-        out_docs, out_earlier = [], []
-        ids: list[int] = []
+        if state.exists:
+            sigs, mins = state.get
+            store = dict(zip(sigs, mins))
+        else:
+            store = {}
+        rows: list[tuple[int, str]] = []
         for pdf in pdfs:
-            ids.extend(int(x) for x in pdf["doc_id"])
-        for d in sorted(ids):
+            rows.extend(zip((int(x) for x in pdf["doc_id"]), pdf["band_sig"]))
+        out_docs, out_earlier = [], []
+        for d, sg in sorted(rows):
+            mn = store.get(sg)
             out_docs.append(d)
             out_earlier.append(mn if mn is not None else -1)
-            mn = d if mn is None or d < mn else mn
-        state.update((int(mn),))
+            if mn is None or d < mn:
+                store[sg] = d
+        state.update((list(store.keys()), [int(v) for v in store.values()]))
         yield pd.DataFrame({"doc_id": out_docs, "earlier": out_earlier})
 
-    verdicts = banded.groupBy("band_id", "band_sig").applyInPandasWithState(
+    verdicts = banded.groupBy("band_id", "bucket").applyInPandasWithState(
         update,
         outputStructType="doc_id long, earlier long",
-        stateStructType="mn long",
+        stateStructType="sigs array<string>, mins array<long>",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"streamdedup_{next(tempfile._get_candidate_names())}"
-    q = (
-        verdicts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    # Narrow the stateful shuffle for the duration of the stream: state
+    # tasks cost a Python worker each, per micro-batch — 5 batches x 32
+    # partitions of near-empty Arrow hops dominated wall time at sf0.1
+    # (state volume is tiny; a real deployment sizes this to state, not
+    # to the session default). Restored after the stream drains.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            verdicts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     sink = spark.table(name)
     fm = (
         sink.where(F.col("earlier") >= 0)

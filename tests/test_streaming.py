@@ -379,6 +379,7 @@ def test_stream_dedup_bands_state_spans_micro_batches(spark, sf_dir):
     the batch first-occurrence recomputation over the same band frame."""
     from profitscout_engine_spark.operators import text as tx
     from profitscout_engine_spark.queries.similarity import (
+        DEDUP_STREAM_FILES,
         _docs,
         stream_dedup_bands,
     )
@@ -399,7 +400,7 @@ def test_stream_dedup_bands_state_spans_micro_batches(spark, sf_dir):
         if prior is None or d < prior:
             first[k] = d
     n_docs = len(got)
-    slice_width = max(n_docs // 5, 1)
+    slice_width = max(n_docs // DEDUP_STREAM_FILES, 1)
     cross_batch = 0
     for d, e in expect.items():
         row = got.loc[d]
