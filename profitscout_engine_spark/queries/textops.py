@@ -1100,3 +1100,152 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.alias("drop_reason"),
         reason.isNull().alias("keep"),
     )
+
+
+# --- BPE trainer merge step: apply the argmax merge, recount symbol pairs -----
+_BPE_PAIRCNT_CTE = """
+    words0 AS (
+        SELECT doc_id, i AS wpos, tk[i] AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             UNNEST(range(1, len(tk) + 1)) AS u(i)
+    ),
+    paircnt AS (
+        SELECT pair, COUNT(*) AS cnt
+        FROM (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2)))
+                     AS pair
+              FROM words0 WHERE length(w) >= 2) z
+        GROUP BY pair
+    ),
+    tp AS (SELECT pair AS mp FROM paircnt ORDER BY cnt DESC, pair LIMIT 1)
+"""
+
+
+@query(
+    "bpe_merge_step",
+    oracle=f"""
+    WITH {_BPE_PAIRCNT_CTE},
+    chars AS (
+        SELECT doc_id * 100000 + wpos AS wid, w, i, substr(w, i, 1) AS c,
+               substr(w, i, 2) = tp.mp AS m, tp.mp
+        FROM words0 CROSS JOIN tp, UNNEST(range(1, length(w) + 1)) AS u(i)
+    ),
+    mrows AS (
+        SELECT wid, i,
+               i - ROW_NUMBER() OVER (PARTITION BY wid ORDER BY i) AS grp
+        FROM chars WHERE m AND i < length(w)
+    ),
+    applied AS (
+        SELECT wid, i
+        FROM (SELECT wid, i, MIN(i) OVER (PARTITION BY wid, grp) AS s FROM mrows) z
+        WHERE (i - s) % 2 = 0
+    ),
+    syms AS (
+        SELECT ch.wid, ch.i,
+               CASE WHEN a.i IS NOT NULL THEN ch.mp ELSE ch.c END AS sym
+        FROM chars ch
+        LEFT JOIN applied a ON a.wid = ch.wid AND a.i = ch.i
+        LEFT JOIN applied cns ON cns.wid = ch.wid AND cns.i = ch.i - 1
+        WHERE cns.i IS NULL
+    ),
+    newpairs AS (
+        SELECT sym || '+' || LEAD(sym) OVER (PARTITION BY wid ORDER BY i) AS pair
+        FROM syms
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt,
+           (SELECT mp FROM tp) AS merged_pair
+    FROM newpairs WHERE pair IS NOT NULL
+    GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT {BPE_PAIR_TOPK}
+    """,
+    tags=("textops", "bpe", "aggregation"),
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full BPE trainer iteration, closing the loop
+    `bpe_pair_counts` opens: pick the argmax pair (count DESC, pair ASC
+    — a 1-row broadcast), APPLY it to every word with the tokenizer's
+    leftmost-non-overlapping rule, and recount adjacent pairs over the
+    new symbol sequences (merged symbols now pair with their
+    neighbors). Overlap chains (runs of a repeated character when the
+    pair is doubled, e.g. 'aaa' under 'aa') resolve by the
+    gaps-and-islands parity trick — consecutive match positions group
+    into islands, every even offset applies — which is exactly the
+    sequential scanner's behavior, expressed as two windows instead of
+    per-row state. The same one-iteration-as-operator contract as
+    `kmeans_lloyd_step`/`pagerank_iteration`: a full vocabulary build
+    is a driver loop of this step. Scale shape: per-word windows
+    partition on a synthetic word id (doc_id x 1e5 + position) so no
+    partition exceeds one word's characters; the recount is the same
+    map-side-combinable pair aggregation as the statistic query."""
+    words0 = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("wpos0", "w"))
+        .select("doc_id", (F.col("wpos0") + 1).alias("wpos"), "w")
+    )
+    paircnt = (
+        words0.where(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tp = paircnt.orderBy(F.col("cnt").desc(), F.col("pair")).limit(1).select(
+        F.col("pair").alias("mp")
+    )
+    chars = (
+        words0.crossJoin(F.broadcast(tp))
+        .select(
+            (F.col("doc_id") * 100000 + F.col("wpos")).alias("wid"),
+            "w",
+            "mp",
+            F.posexplode(F.split("w", "")).alias("i0", "c"),
+        )
+        .select(
+            "wid", "w", "mp", (F.col("i0") + 1).alias("i"), "c"
+        )
+        .withColumn("m", F.expr("substr(w, i, 2) = mp"))
+    )
+    mrows = (
+        chars.where(F.col("m") & (F.col("i") < F.length("w")))
+        .withColumn(
+            "grp",
+            F.col("i") - F.row_number().over(Window.partitionBy("wid").orderBy("i")),
+        )
+    )
+    applied = (
+        mrows.withColumn("s", F.min("i").over(Window.partitionBy("wid", "grp")))
+        .where((F.col("i") - F.col("s")) % 2 == 0)
+        .select("wid", "i")
+    )
+    ap = applied.withColumn("_a", F.lit(1))
+    consumed = applied.select("wid", (F.col("i") + 1).alias("i")).withColumn(
+        "_c", F.lit(1)
+    )
+    syms = (
+        chars.join(ap, ["wid", "i"], "left")
+        .join(consumed, ["wid", "i"], "left")
+        .where(F.col("_c").isNull())
+        .select(
+            "wid",
+            "i",
+            F.when(F.col("_a").isNotNull(), F.col("mp")).otherwise(F.col("c")).alias("sym"),
+            "mp",
+        )
+    )
+    newpairs = syms.select(
+        "mp",
+        F.concat_ws(
+            "+", F.col("sym"), F.lead("sym").over(Window.partitionBy("wid").orderBy("i"))
+        ).alias("pair"),
+        F.lead("sym").over(Window.partitionBy("wid").orderBy("i")).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    return (
+        newpairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.first("mp").alias("merged_pair"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(BPE_PAIR_TOPK)
+        .select("pair", "cnt", "merged_pair")
+    )

@@ -134,6 +134,8 @@ _NL_JOIN_OK = {
     # 1-row global-scalar cross join (smoothing constants total+vocab)
     "unigram_lm_logprob",
     "bigram_lm_logprob",
+    # 1-row argmax-pair cross join (the BPE merge being applied)
+    "bpe_merge_step",
     # 1-row global-scalar cross joins (corpus size / key total)
     "pagerank_iteration",
     "key_skew_report",

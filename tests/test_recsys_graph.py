@@ -138,3 +138,42 @@ def test_temperature_mix_upsamples_rare_languages(spark, sf_dir):
     if per.loc[rare, "corpus_share"] < per.loc[big, "corpus_share"]:
         assert per.loc[rare, "sample_share"] >= per.loc[rare, "corpus_share"] - 1e-9
         assert per.loc[big, "sample_share"] <= per.loc[big, "corpus_share"] + 1e-9
+
+
+def test_bpe_merge_step_matches_python_scanner(spark, sf_dir):
+    """The relational gaps-and-islands merge must equal the sequential
+    leftmost-non-overlapping scanner run over the whole corpus."""
+    from collections import Counter
+
+    from profitscout_engine_spark.queries.textops import bpe_merge_step
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    pc: Counter = Counter()
+    words = []
+    for text in docs.text:
+        for w in text.split(" "):
+            words.append(w)
+            for i in range(len(w) - 1):
+                pc[w[i : i + 2]] += 1
+    mp = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+
+    def merge(w: str) -> list[str]:
+        out, i = [], 0
+        while i < len(w):
+            if w[i : i + 2] == mp:
+                out.append(mp)
+                i += 2
+            else:
+                out.append(w[i])
+                i += 1
+        return out
+
+    newpc: Counter = Counter()
+    for w in words:
+        syms = merge(w)
+        for a, b in zip(syms, syms[1:]):
+            newpc[f"{a}+{b}"] += 1
+    want = sorted(newpc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = bpe_merge_step(spark, sf_dir).toPandas()
+    assert (got.merged_pair == mp).all()
+    assert [(r.pair, int(r.cnt)) for r in got.itertuples()] == want
