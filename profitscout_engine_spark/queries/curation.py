@@ -1328,3 +1328,97 @@ def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_share",
         (F.col("rn") <= F.col("m")).alias("sampled"),
     )
+
+
+# --- one logistic-regression gradient step over hashed features ----------------
+LR_BUCKETS = 256
+
+
+def _lr_bucket_sql(instr_fn: str, term: str) -> str:
+    h = f"md5(concat('lr|', {term}))"
+    return (
+        f"(16 * {_qc_hx(instr_fn, f'substr({h}, 1, 1)')}"
+        f" + {_qc_hx(instr_fn, f'substr({h}, 2, 1)')})"
+    )
+
+
+def _lr_w0_sql(instr_fn: str, bucket: str) -> str:
+    h = f"md5(concat('lrw|', cast({bucket} as string)))"
+    return (
+        f"((4096 * {_qc_hx(instr_fn, f'substr({h}, 1, 1)')}"
+        f" + 256 * {_qc_hx(instr_fn, f'substr({h}, 2, 1)')}"
+        f" + 16 * {_qc_hx(instr_fn, f'substr({h}, 3, 1)')}"
+        f" + {_qc_hx(instr_fn, f'substr({h}, 4, 1)')} - 32768) / 524288E0)"
+    )
+
+
+def _lr_oracle() -> str:
+    bucket = _lr_bucket_sql("strpos", "term")
+    w0 = _lr_w0_sql("strpos", "bucket")
+    return f"""
+    WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    db AS (
+        SELECT doc_id, {bucket} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tk GROUP BY 1, 2
+    ),
+    z AS (
+        SELECT db.doc_id, SUM(db.cnt * {w0}) AS z
+        FROM db GROUP BY 1
+    ),
+    resid AS (
+        SELECT z.doc_id,
+               1.0E0 / (1.0E0 + exp(-z.z))
+                 - (CASE WHEN d.lang = 'en' THEN 1.0E0 ELSE 0.0E0 END) AS r
+        FROM z JOIN documents d ON d.doc_id = z.doc_id
+    ),
+    terms AS (
+        SELECT db.bucket,
+               CAST(FLOOR(db.cnt * resid.r * 1e9 + 0.5) AS BIGINT) AS t
+        FROM db JOIN resid ON resid.doc_id = db.doc_id
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(t) AS BIGINT) / 1e9, 6) AS grad
+    FROM terms GROUP BY bucket
+    """
+
+
+@query("lr_gradient_step", oracle=_lr_oracle(), tags=("curation", "classifier", "glm"))
+def lr_gradient_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full-batch logistic-regression gradient step (predicting
+    lang='en' from a hashed bag-of-words) — the GLM member of the
+    one-ML-step-as-operator family (`als_half_step`, `kmeans_lloyd_step`,
+    `svd_power_step`, `bpe_merge_step`): ∇_b = Σ_docs cnt_{d,b} ·
+    (σ(w₀·x_d) − y_d). Initial weights are exact n/2^19 dyadic
+    rationals, so the per-doc logits are order-independent exact sums;
+    each gradient term fixes to a 1e-9-unit BIGINT before the cross-doc
+    aggregation, so the reduce is pure integer arithmetic. A training
+    loop is a driver iterating this step and updating the (256-row)
+    weight table — the full-batch GD shape warehouses run when the
+    feature space is hashed and the data cannot leave the cluster.
+    Plan: token explode rides the session-shared stream, then three
+    combinable aggregations keyed by (doc, bucket), doc, bucket."""
+    bucket = _lr_bucket_sql("instr", "term")
+    w0 = _lr_w0_sql("instr", "bucket")
+    tk = _term_tokens(spark, sf_dir)
+    db = (
+        tk.withColumn("bucket", F.expr(bucket).cast("long"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    z = db.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * F.expr(w0)).alias("z")
+    )
+    labels = _docs(spark, sf_dir).select(
+        "doc_id", F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y")
+    )
+    resid = z.join(labels, "doc_id").select(
+        "doc_id", (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y")).alias("r")
+    )
+    terms = db.join(resid, "doc_id").select(
+        "bucket",
+        F.floor(F.col("cnt") * F.col("r") * F.lit(1e9) + F.lit(0.5)).cast("long").alias("t"),
+    )
+    return terms.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        r6(F.sum("t").cast("long") / F.lit(1e9)).alias("grad"),
+    )

@@ -2670,3 +2670,97 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= HARDNEG_K)
         .select("a_id", "b_id", "a_label", "b_label", "rank", "sim")
     )
+
+
+# ---- one power-iteration step toward the top singular vector -----------------
+@query(
+    "svd_power_step",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    v0 AS (
+        SELECT i AS dim,
+               (4096 * (strpos('0123456789abcdef', substr(md5('sv|' || i), 1, 1)) - 1)
+              + 256 * (strpos('0123456789abcdef', substr(md5('sv|' || i), 2, 1)) - 1)
+              + 16 * (strpos('0123456789abcdef', substr(md5('sv|' || i), 3, 1)) - 1)
+              + (strpos('0123456789abcdef', substr(md5('sv|' || i), 4, 1)) - 1)
+              - 32768) / 32768E0 AS x
+        FROM UNNEST(range(1, 65)) AS u(i)
+    ),
+    v0arr AS (SELECT list(x ORDER BY dim) AS xs FROM v0),
+    s AS (
+        SELECT e.vec_id,
+               CAST(FLOOR(list_aggregate(list_transform(range(1, 65),
+                    j -> e.v[j] * v0arr.xs[j]), 'sum') * 1e6 + 0.5) AS BIGINT) AS sfix
+        FROM e CROSS JOIN v0arr
+    ),
+    terms AS (
+        SELECT u.i AS dim,
+               CAST(FLOOR(e.v[u.i] * s.sfix + 0.5) AS BIGINT) AS t
+        FROM e JOIN s ON s.vec_id = e.vec_id, UNNEST(range(1, 65)) AS u(i)
+    ),
+    ray AS (SELECT CAST(SUM(sfix * sfix) AS BIGINT) AS ss,
+                   CAST(COUNT(*) AS BIGINT) AS n FROM s)
+    SELECT t.dim, ROUND(CAST(SUM(t.t) AS BIGINT) / 1e12, 6) AS next_v,
+           ROUND(ray.ss / 1e12 / ray.n, 4) AS mean_sq_projection
+    FROM terms t CROSS JOIN ray
+    GROUP BY t.dim, ray.ss, ray.n
+    """,
+    tags=("similarity", "svd", "power-iteration"),
+)
+def svd_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the corpus's top right singular
+    vector (the PCA workhorse): v' = Aᵀ(A v₀) with v₀ an md5-derived
+    start vector — the same bounded-iteration-as-operator contract as
+    `kmeans_lloyd_step`/`pagerank_iteration`, so a full truncated SVD
+    is a driver loop (with re-orthogonalization) of this step. The
+    per-row projection s = ⟨row, v₀⟩ fixes to 1e-6-unit BIGINTs, and
+    each Aᵀ-side term fixes to an integer BEFORE the cross-row sum, so
+    both engines accumulate exactly the same integers in any order —
+    the float-sum-order trap never fires. Plan: one per-row fold riding
+    the scan, one posexplode to (dim, term), one 64-key combinable
+    aggregation; the mean squared projection (Rayleigh numerator) rides
+    a 1-row broadcast."""
+    e = _vecs(spark, sf_dir).select("vec_id", "v")
+    hx = lambda h, i: f"(instr('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+    comps = []
+    for j in range(1, sim.DIM + 1):
+        h = f"md5('sv|{j}')"
+        comps.append(
+            f"((4096 * {hx(h, 1)} + 256 * {hx(h, 2)} + 16 * {hx(h, 3)} + {hx(h, 4)}"
+            f" - 32768) / 32768E0)"
+        )
+    xs = "array(" + ", ".join(comps) + ")"
+    s = e.select(
+        "vec_id",
+        "v",
+        F.floor(
+            F.expr(
+                f"aggregate(zip_with(v, {xs}, (a, b) -> a * b), 0D, (acc, z) -> acc + z)"
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("sfix"),
+    )
+    terms = s.select(
+        F.posexplode(
+            F.expr("transform(v, a -> CAST(FLOOR(a * sfix + 0.5) AS BIGINT))")
+        ).alias("d0", "t")
+    ).select((F.col("d0") + 1).cast("long").alias("dim"), "t")
+    ray = s.agg(
+        F.sum(F.col("sfix") * F.col("sfix")).cast("long").alias("ss"),
+        F.count("*").cast("long").alias("n"),
+    )
+    from ..exprs import r6 as _r6
+
+    return (
+        terms.groupBy("dim")
+        .agg(F.sum("t").cast("long").alias("tt"))
+        .crossJoin(F.broadcast(ray))
+        .select(
+            "dim",
+            _r6(F.col("tt") / F.lit(1e12)).alias("next_v"),
+            r4(F.col("ss") / F.lit(1e12) / F.col("n")).alias("mean_sq_projection"),
+        )
+    )

@@ -123,6 +123,8 @@ _NL_JOIN_OK = {
     "revenue_pareto_curve",
     # 1-row × 1-row scalar assembly (streamed-registers estimate × exact)
     "streaming_hll_users",
+    # 1-row Rayleigh-numerator scalar cross join
+    "svd_power_step",
     # 1-row global-scalar cross join (corpus size for idf)
     "tfidf_top_terms",
     # 1-row global-scalar cross join (avgdl / N / per-term df)

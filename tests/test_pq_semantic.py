@@ -124,3 +124,60 @@ def test_quality_classifier_matches_python(spark, sf_dir):
         score = math.floor(wsum / (max(len(feats), 1) * 32768.0) * 1e6 + 0.5) / 1e6
         assert abs(row.score - score) < 1e-9
         assert bool(row.keep) == (wsum > 0)
+
+
+def test_svd_power_step_matches_numpy(spark, sf_dir):
+    from profitscout_engine_spark.queries.similarity import svd_power_step
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    A = np.stack([np.asarray(v, dtype=np.float64) for v in emb.embedding])
+    x = np.array(
+        [
+            (int(hashlib.md5(f"sv|{j}".encode()).hexdigest()[:4], 16) - 32768) / 32768.0
+            for j in range(1, 65)
+        ]
+    )
+    # replicate the fixed-point protocol exactly
+    s = np.array([math.floor(sum(row * x) * 1e6 + 0.5) for row in A], dtype=np.int64)
+    nxt = {
+        j + 1: sum(math.floor(A[i, j] * s[i] + 0.5) for i in range(len(A)))
+        for j in range(64)
+    }
+    msp = math.floor(int((s.astype(object) ** 2).sum()) / 1e12 / len(A) * 1e4 + 0.5) / 1e4
+    got = svd_power_step(spark, sf_dir).toPandas().set_index("dim")
+    assert len(got) == 64
+    for j in range(1, 65):
+        want = math.floor(nxt[j] / 1e12 * 1e6 + 0.5) / 1e6
+        assert abs(got.loc[j, "next_v"] - want) < 1e-9
+        assert abs(got.loc[j, "mean_sq_projection"] - msp) < 1e-9
+
+
+def test_lr_gradient_step_matches_python(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from profitscout_engine_spark.queries.curation import lr_gradient_step
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    grads: dict[int, int] = defaultdict(int)
+    ndocs: dict[int, int] = defaultdict(int)
+    for r in docs.itertuples():
+        counts = Counter(
+            int(hashlib.md5(f"lr|{t}".encode()).hexdigest()[:2], 16)
+            for t in r.text.split(" ")
+        )
+        z = sum(
+            c
+            * (int(hashlib.md5(f"lrw|{b}".encode()).hexdigest()[:4], 16) - 32768)
+            / 524288.0
+            for b, c in counts.items()
+        )
+        resid = 1.0 / (1.0 + math.exp(-z)) - (1.0 if r.lang == "en" else 0.0)
+        for b, c in counts.items():
+            grads[b] += math.floor(c * resid * 1e9 + 0.5)
+            ndocs[b] += 1
+    got = lr_gradient_step(spark, sf_dir).toPandas().set_index("bucket")
+    assert len(got) == len(grads)
+    for b, g in grads.items():
+        want = math.floor(g / 1e9 * 1e6 + 0.5) / 1e6
+        assert abs(got.loc[b, "grad"] - want) < 1e-9
+        assert int(got.loc[b, "n_docs"]) == ndocs[b]
