@@ -18,7 +18,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..exprs import r4, r6
+from ..exprs import r2, r4, r6
 from ..operators.text import tokens
 from . import query
 from ._util import t
@@ -1421,4 +1421,218 @@ def lr_gradient_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("bucket").agg(
         F.count("*").cast("long").alias("n_docs"),
         r6(F.sum("t").cast("long") / F.lit(1e9)).alias("grad"),
+    )
+
+
+# --- Naive Bayes: train + classify + confusion matrix in one pass --------------
+def _nb_oracle() -> str:
+    bucket = _lr_bucket_sql("strpos", "term")
+    return f"""
+    WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    db AS (
+        SELECT doc_id, {bucket} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tk GROUP BY 1, 2
+    ),
+    cls AS (SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS BIGINT) AS n_cls FROM cls),
+    cb AS (
+        SELECT d.lang AS c, db.bucket, CAST(SUM(db.cnt) AS BIGINT) AS cnt
+        FROM db JOIN documents d ON d.doc_id = db.doc_id
+        GROUP BY 1, 2
+    ),
+    ctot AS (SELECT c, CAST(SUM(cnt) AS BIGINT) AS ctokens FROM cb GROUP BY 1),
+    scores AS (
+        SELECT db.doc_id, cls.c,
+               CAST(FLOOR(ln(cls.n_docs * 1.0E0 / tot.n_total) * 1e9 + 0.5) AS BIGINT)
+               + CAST(SUM(db.cnt * CAST(FLOOR(ln((COALESCE(cb.cnt, 0) + 1.0E0)
+                     / (ctot.ctokens + 256.0E0)) * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sfix
+        FROM db
+        CROSS JOIN cls
+        CROSS JOIN tot
+        JOIN ctot ON ctot.c = cls.c
+        LEFT JOIN cb ON cb.c = cls.c AND cb.bucket = db.bucket
+        GROUP BY db.doc_id, cls.c, cls.n_docs, tot.n_total
+    ),
+    pred AS (
+        SELECT doc_id, c AS lang_pred
+        FROM (SELECT doc_id, c,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY sfix DESC, c) AS rn
+              FROM scores) z
+        WHERE rn = 1
+    )
+    SELECT d.lang AS lang_true, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@query("nb_confusion", oracle=_nb_oracle(), tags=("curation", "classifier", "naive-bayes"))
+def nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained AND evaluated in one relational
+    pass — per-class priors and add-one-smoothed bucket likelihoods are
+    two aggregations over the hashed token stream, per-doc class scores
+    are a (doc-bucket × class) join with the per-term log-likelihoods
+    fixed to 1e-9-unit BIGINTs BEFORE the per-doc sum (so the argmax
+    compares exact integers — float log-sum order cannot flip a
+    prediction on either engine), and the output is the train-set
+    confusion matrix. The in-warehouse language-ID baseline every
+    curation pipeline wants next to its heuristic
+    (`lang_id_heuristic`). Scale: counts tables are (classes ×
+    buckets) tiny; the scoring join fans each doc-bucket row out by
+    n_classes — linear, broadcast-joined against the bounded model."""
+    bucket = _lr_bucket_sql("instr", "term")
+    tk = _term_tokens(spark, sf_dir)
+    db = (
+        tk.withColumn("bucket", F.expr(bucket).cast("long"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    cls = docs.groupBy(F.col("lang").alias("c")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    tot = cls.agg(F.sum("n_docs").cast("long").alias("n_total"))
+    cb = (
+        db.join(docs, "doc_id")
+        .groupBy(F.col("lang").alias("c"), "bucket")
+        .agg(F.sum("cnt").cast("long").alias("ccnt"))
+    )
+    ctot = cb.groupBy("c").agg(F.sum("ccnt").cast("long").alias("ctokens"))
+    model = (
+        cls.join(ctot, "c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c",
+            F.floor(F.log(F.col("n_docs") * F.lit(1.0) / F.col("n_total")) * 1e9 + F.lit(0.5))
+            .cast("long")
+            .alias("prior_fix"),
+            "ctokens",
+        )
+    )
+    # per (class, bucket) fixed log-likelihood, including unseen buckets via
+    # the left join at scoring time
+    ll = cb.join(ctot, "c").select(
+        "c",
+        "bucket",
+        F.floor(
+            F.log((F.col("ccnt") + F.lit(1.0)) / (F.col("ctokens") + F.lit(256.0)))
+            * 1e9
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ll_fix"),
+    )
+    unseen = F.floor(
+        F.log(F.lit(1.0) / (F.col("ctokens") + F.lit(256.0))) * 1e9 + F.lit(0.5)
+    ).cast("long")
+    scores = (
+        db.crossJoin(F.broadcast(model.select("c", "prior_fix", "ctokens")))
+        .join(F.broadcast(ll), ["c", "bucket"], "left")
+        .select(
+            "doc_id",
+            "c",
+            "prior_fix",
+            (F.col("cnt") * F.coalesce(F.col("ll_fix"), unseen)).alias("term"),
+        )
+        .groupBy("doc_id", "c", "prior_fix")
+        .agg(F.sum("term").cast("long").alias("ssum"))
+        .select("doc_id", "c", (F.col("prior_fix") + F.col("ssum")).alias("sfix"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("sfix"), F.asc("c"))
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("c").alias("lang_pred"))
+    )
+    return (
+        pred.join(docs, "doc_id")
+        .groupBy(F.col("lang").alias("lang_true"), "lang_pred")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+# --- binned precision/recall curve (classifier evaluation) ---------------------
+PR_BIN_SCALE = 4  # quarter-logit score bins
+
+
+def _pr_oracle() -> str:
+    bucket = _lr_bucket_sql("strpos", "term")
+    w0 = _lr_w0_sql("strpos", "bucket")
+    return f"""
+    WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    db AS (
+        SELECT doc_id, {bucket} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tk GROUP BY 1, 2
+    ),
+    z AS (SELECT doc_id, SUM(cnt * {w0}) AS z FROM db GROUP BY 1),
+    scored AS (
+        SELECT z.doc_id, CAST(FLOOR(z.z * {PR_BIN_SCALE}) AS BIGINT) AS bin,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM z JOIN documents d ON d.doc_id = z.doc_id
+    ),
+    bins AS (
+        SELECT bin, CAST(SUM(y) AS BIGINT) AS pos, CAST(COUNT(*) AS BIGINT) AS n
+        FROM scored GROUP BY 1
+    ),
+    tp AS (SELECT CAST(SUM(pos) AS BIGINT) AS total_pos FROM bins),
+    cum AS (
+        SELECT bin,
+               CAST(SUM(pos) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_pos,
+               CAST(SUM(n) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_n
+        FROM bins
+    )
+    SELECT ROUND(bin / {PR_BIN_SCALE}.0E0, 2) AS threshold,
+           cum_n AS n_ge, cum_pos AS tp_ge,
+           ROUND(cum_pos * 1.0E0 / cum_n, 6) AS precision_ge,
+           ROUND(cum_pos * 1.0E0 / tp.total_pos, 6) AS recall_ge
+    FROM cum CROSS JOIN tp
+    """
+
+
+@query("pr_curve_binned", oracle=_pr_oracle(), tags=("curation", "classifier", "evaluation"))
+def pr_curve_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned precision/recall curve for the hashed-feature linear
+    scorer against the lang='en' label — the evaluation half of the
+    in-warehouse classifier loop (`lr_gradient_step` trains, this
+    reports). The scale-honest PR shape: instead of the textbook global
+    sort by score (a total order over the corpus), scores land in
+    fixed-width logit bins (exact dyadic logits, so binning is
+    deterministic), per-bin counts are one combinable aggregation, and
+    the cumulative precision/recall sweep is a window over the BOUNDED
+    bin table — corpus-sized sort eliminated, curve resolution traded
+    explicitly via PR_BIN_SCALE."""
+    bucket = _lr_bucket_sql("instr", "term")
+    w0 = _lr_w0_sql("instr", "bucket")
+    tk = _term_tokens(spark, sf_dir)
+    db = (
+        tk.withColumn("bucket", F.expr(bucket).cast("long"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    z = db.groupBy("doc_id").agg(F.sum(F.col("cnt") * F.expr(w0)).alias("z"))
+    labels = _docs(spark, sf_dir).select(
+        "doc_id", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")
+    )
+    scored = z.join(labels, "doc_id").select(
+        F.floor(F.col("z") * PR_BIN_SCALE).cast("long").alias("bin"), "y"
+    )
+    bins = scored.groupBy("bin").agg(
+        F.sum("y").cast("long").alias("pos"), F.count("*").cast("long").alias("n")
+    )
+    tp = bins.agg(F.sum("pos").cast("long").alias("total_pos"))
+    w = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin",
+        F.sum("pos").over(w).cast("long").alias("cum_pos"),
+        F.sum("n").over(w).cast("long").alias("cum_n"),
+    )
+    return cum.crossJoin(F.broadcast(tp)).select(
+        r2(F.col("bin") / F.lit(float(PR_BIN_SCALE))).alias("threshold"),
+        F.col("cum_n").alias("n_ge"),
+        F.col("cum_pos").alias("tp_ge"),
+        r6(F.col("cum_pos") * F.lit(1.0) / F.col("cum_n")).alias("precision_ge"),
+        r6(F.col("cum_pos") * F.lit(1.0) / F.col("total_pos")).alias("recall_ge"),
     )

@@ -125,6 +125,9 @@ _NL_JOIN_OK = {
     "streaming_hll_users",
     # 1-row Rayleigh-numerator scalar cross join
     "svd_power_step",
+    # bounded-model broadcast (n_classes rows) + 1-row total cross joins
+    "nb_confusion",
+    "pr_curve_binned",
     # 1-row global-scalar cross join (corpus size for idf)
     "tfidf_top_terms",
     # 1-row global-scalar cross join (avgdl / N / per-term df)

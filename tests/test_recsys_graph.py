@@ -177,3 +177,35 @@ def test_bpe_merge_step_matches_python_scanner(spark, sf_dir):
     got = bpe_merge_step(spark, sf_dir).toPandas()
     assert (got.merged_pair == mp).all()
     assert [(r.pair, int(r.cnt)) for r in got.itertuples()] == want
+
+
+def test_nb_confusion_is_a_complete_confusion_matrix(spark, sf_dir):
+    from profitscout_engine_spark.queries.curation import nb_confusion
+
+    got = nb_confusion(spark, sf_dir).toPandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    # every doc classified exactly once
+    assert got.n.sum() == len(docs)
+    # row marginals equal true class sizes
+    marg = got.groupby("lang_true").n.sum()
+    truth = docs.lang.value_counts()
+    for lang, cnt in truth.items():
+        assert marg.get(lang, 0) == cnt
+    # NB can never do worse than the prior on its own training set; on this
+    # fixture the hashed buckets are language-neutral, so it lands exactly
+    # ON the majority baseline (prior-dominated prediction is correct NB
+    # behavior for non-informative features)
+    correct = got[got.lang_true == got.lang_pred].n.sum()
+    assert correct / len(docs) >= truth.max() / len(docs)
+
+
+def test_pr_curve_binned_monotone_recall(spark, sf_dir):
+    from profitscout_engine_spark.queries.curation import pr_curve_binned
+
+    got = pr_curve_binned(spark, sf_dir).toPandas().sort_values("threshold")
+    # lowering the threshold can only grow coverage and recall
+    assert got.n_ge.is_monotonic_decreasing
+    assert got.recall_ge.is_monotonic_decreasing
+    # the loosest threshold covers everything: recall == 1
+    assert abs(got.recall_ge.iloc[0] - 1.0) < 1e-9
+    assert (got.precision_ge <= 1.0).all() and (got.precision_ge >= 0.0).all()
