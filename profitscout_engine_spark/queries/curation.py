@@ -1636,3 +1636,194 @@ def pr_curve_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("cum_pos") * F.lit(1.0) / F.col("cum_n")).alias("precision_ge"),
         r6(F.col("cum_pos") * F.lit(1.0) / F.col("total_pos")).alias("recall_ge"),
     )
+
+
+# --- decision-tree split search (the GBDT inner loop) ---------------------------
+TREE_BUCKETS = 16
+
+
+def _tree_oracle() -> str:
+    qlist = ", ".join(str((i + 1) / TREE_BUCKETS) for i in range(TREE_BUCKETS - 1))
+    return f"""
+    WITH feats AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               f.feature, f.val
+        FROM documents,
+        LATERAL (SELECT 'n_chars' AS feature, n_chars * 1.0E0 AS val
+                 UNION ALL
+                 SELECT 'n_words', len(string_split(text, ' ')) * 1.0E0) f
+    ),
+    bounds AS (
+        SELECT feature, quantile_cont(val, [{qlist}]) AS qs
+        FROM feats GROUP BY 1
+    ),
+    bucketed AS (
+        SELECT f.doc_id, f.feature, f.y,
+               CAST(len(list_filter(b.qs, q -> q < f.val)) AS BIGINT) AS bucket
+        FROM feats f JOIN bounds b ON b.feature = f.feature
+    ),
+    bk AS (
+        SELECT feature, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM bucketed GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT feature, bucket,
+               CAST(SUM(n) OVER (PARTITION BY feature ORDER BY bucket) AS BIGINT) AS nl,
+               CAST(SUM(pos) OVER (PARTITION BY feature ORDER BY bucket) AS BIGINT) AS pl,
+               CAST(SUM(n) OVER (PARTITION BY feature) AS BIGINT) AS nt,
+               CAST(SUM(pos) OVER (PARTITION BY feature) AS BIGINT) AS pt
+        FROM bk
+    )
+    SELECT feature, bucket AS split_bucket, nl AS n_left, pl AS pos_left,
+           ROUND((1.0E0 - (pt * 1.0E0 / nt) * (pt * 1.0E0 / nt)
+                        - ((nt - pt) * 1.0E0 / nt) * ((nt - pt) * 1.0E0 / nt))
+               - (nl * 1.0E0 / nt) * (1.0E0 - (pl * 1.0E0 / nl) * (pl * 1.0E0 / nl)
+                        - ((nl - pl) * 1.0E0 / nl) * ((nl - pl) * 1.0E0 / nl))
+               - ((nt - nl) * 1.0E0 / nt)
+                   * (1.0E0 - ((pt - pl) * 1.0E0 / (nt - nl)) * ((pt - pl) * 1.0E0 / (nt - nl))
+                        - ((nt - nl - pt + pl) * 1.0E0 / (nt - nl))
+                          * ((nt - nl - pt + pl) * 1.0E0 / (nt - nl))), 6) AS gini_gain
+    FROM cum
+    WHERE nl > 0 AND nt - nl > 0
+    """
+
+
+@query("tree_split_gain", oracle=_tree_oracle(), tags=("curation", "classifier", "gbdt"))
+def tree_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-tree split search — the inner loop every GBDT/random-
+    forest trainer runs per node: bucket each numeric feature by
+    equi-depth boundaries (the same histogram trick LightGBM uses so
+    split search scans B bins, not N rows), accumulate label counts per
+    bin, and score every candidate split by Gini impurity reduction.
+    All counts are exact integers; the gain arithmetic is fixed-shape
+    per output row, so both engines emit identical rounded gains. Scale:
+    one percentile pass per feature (bounded broadcast), one combinable
+    (feature, bucket) aggregation, and a window over B rows per feature
+    — the node-split cost is independent of corpus size past the scan."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.size(F.split("text", " ")).cast("double").alias("n_words"),
+    )
+    feats = d.select(
+        "doc_id",
+        "y",
+        F.explode(
+            F.expr(
+                "array(struct('n_chars' AS feature, n_chars AS val),"
+                " struct('n_words' AS feature, n_words AS val))"
+            )
+        ).alias("f"),
+    ).select("doc_id", "y", F.col("f.feature").alias("feature"), F.col("f.val").alias("val"))
+    qlist = ", ".join(str((i + 1) / TREE_BUCKETS) for i in range(TREE_BUCKETS - 1))
+    bounds = feats.groupBy("feature").agg(
+        F.expr(f"percentile(val, array({qlist}))").alias("qs")
+    )
+    bucketed = feats.join(F.broadcast(bounds), "feature").select(
+        "feature",
+        "y",
+        F.expr("size(filter(qs, q -> q < val))").cast("long").alias("bucket"),
+    )
+    bk = bucketed.groupBy("feature", "bucket").agg(
+        F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("pos")
+    )
+    wc = Window.partitionBy("feature").orderBy("bucket")
+    wt = Window.partitionBy("feature")
+    cum = bk.select(
+        "feature",
+        "bucket",
+        F.sum("n").over(wc).cast("long").alias("nl"),
+        F.sum("pos").over(wc).cast("long").alias("pl"),
+        F.sum("n").over(wt).cast("long").alias("nt"),
+        F.sum("pos").over(wt).cast("long").alias("pt"),
+    )
+    nl, pl, nt, pt = (F.col(c) * 1.0 for c in ("nl", "pl", "nt", "pt"))
+    gini = lambda p, n: (
+        F.lit(1.0) - (p / n) * (p / n) - ((n - p) / n) * ((n - p) / n)
+    )
+    gain = (
+        gini(pt, nt)
+        - (nl / nt) * gini(pl, nl)
+        - ((nt - nl) / nt) * gini(pt - pl, nt - nl)
+    )
+    return (
+        cum.where((F.col("nl") > 0) & (F.col("nt") - F.col("nl") > 0))
+        .select(
+            "feature",
+            F.col("bucket").alias("split_bucket"),
+            F.col("nl").alias("n_left"),
+            F.col("pl").alias("pos_left"),
+            r6(gain).alias("gini_gain"),
+        )
+    )
+
+
+# --- weight-of-evidence / information value per categorical bucket -------------
+@query(
+    "woe_iv_source",
+    oracle="""
+    WITH lbl AS (
+        SELECT source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents
+    ),
+    grp AS (
+        SELECT source,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+        FROM lbl GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS pt, CAST(SUM(neg) AS BIGINT) AS nt FROM grp),
+    woe AS (
+        SELECT g.source, g.pos, g.neg,
+               ln(((g.pos + 0.5E0) / (t.pt + 0.5E0))
+                / ((g.neg + 0.5E0) / (t.nt + 0.5E0))) AS w,
+               ((g.pos + 0.5E0) / (t.pt + 0.5E0)
+                - (g.neg + 0.5E0) / (t.nt + 0.5E0)) AS dsh
+        FROM grp g CROSS JOIN tot t
+    )
+    SELECT source, pos, neg, ROUND(w, 6) AS woe,
+           ROUND(dsh * w, 6) AS iv_term,
+           ROUND(SUM(CAST(FLOOR(dsh * w * 1e9 + 0.5) AS BIGINT)) OVER () / 1e9, 4)
+               AS iv_total
+    FROM woe
+    """,
+    tags=("curation", "classifier", "feature-engineering"),
+)
+def woe_iv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value scoring of a categorical
+    feature (source) against the lang='en' target — the credit-scoring
+    staple a feature platform computes per candidate column before any
+    model sees it. Laplace-smoothed shares guard empty cells; the IV
+    total fixes each (share-diff x WOE) term to 1e-9-unit integers
+    before the cross-bucket window sum so both engines agree exactly.
+    One count aggregation + a 1-row total + a window over the bounded
+    category table."""
+    lbl = _docs(spark, sf_dir).select(
+        "source", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")
+    )
+    grp = lbl.groupBy("source").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count("*") - F.sum("y")).cast("long").alias("neg"),
+    )
+    tot = grp.agg(
+        F.sum("pos").cast("long").alias("pt"), F.sum("neg").cast("long").alias("nt")
+    )
+    ps = (F.col("pos") + 0.5) / (F.col("pt") + 0.5)
+    ns = (F.col("neg") + 0.5) / (F.col("nt") + 0.5)
+    woe = grp.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "pos",
+        "neg",
+        F.log(ps / ns).alias("w"),
+        (ps - ns).alias("dsh"),
+    )
+    ivfix = F.floor(F.col("dsh") * F.col("w") * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return woe.select(
+        "source",
+        "pos",
+        "neg",
+        r6(F.col("w")).alias("woe"),
+        r6(F.col("dsh") * F.col("w")).alias("iv_term"),
+        r4(F.sum(ivfix).over(Window.partitionBy()) / F.lit(1e9)).alias("iv_total"),
+    )

@@ -128,6 +128,7 @@ _NL_JOIN_OK = {
     # bounded-model broadcast (n_classes rows) + 1-row total cross joins
     "nb_confusion",
     "pr_curve_binned",
+    "woe_iv_source",
     # 1-row global-scalar cross join (corpus size for idf)
     "tfidf_top_terms",
     # 1-row global-scalar cross join (avgdl / N / per-term df)
