@@ -998,3 +998,160 @@ def seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("robust_z"),
         )
     )
+
+
+# --- streaming CUSUM monitor: the in-stream twin of cusum_drift ---------------
+@query(
+    "stream_cusum_monitor",
+    oracle=f"""
+    WITH stats AS (
+        SELECT user_id,
+               SUM(value) / COUNT(*) AS mu,
+               sqrt((SUM(value * value) - SUM(value) * SUM(value) / COUNT(*))
+                    / (COUNT(*) - 1)) AS sigma
+        FROM events
+        GROUP BY user_id
+        HAVING COUNT(*) >= 2
+    ),
+    walk AS (
+        SELECT e.user_id, e.ts, e.event_id,
+               SUM((e.value - s.mu) / NULLIF(s.sigma, 0E0))
+                   OVER (PARTITION BY e.user_id
+                         ORDER BY e.ts, e.event_id
+                         ROWS UNBOUNDED PRECEDING) AS cusum
+        FROM events e JOIN stats s ON s.user_id = e.user_id
+    ),
+    lastrow AS (
+        SELECT user_id, cusum,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM walk
+    )
+    SELECT w.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND((SELECT l.cusum FROM lastrow l
+                  WHERE l.user_id = w.user_id AND l.rn = 1), 4) AS final_cusum,
+           ROUND(MAX(ABS(w.cusum)), 4) AS max_abs_cusum,
+           (MAX(CASE WHEN ABS(w.cusum) > {CUSUM_H}E0 THEN 1 ELSE 0 END) = 1)
+               AS alarmed
+    FROM walk w
+    GROUP BY w.user_id
+    """,
+    tags=("timeseries", "monitoring", "streaming", "stateful"),
+)
+def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity CUSUM drift monitoring run IN the stream — the
+    deployment shape of `cusum_drift`: the baseline (per-user mu/sigma
+    from the training window) is a static frame joined into the event
+    stream per micro-batch, and an applyInPandasWithState kernel keyed
+    by user carries (walk position, running max, alarm flag) as
+    GroupState — fixed-size state per entity, the standardized walk
+    never materializes. Rows standardize and accumulate in strict
+    (ts, event_id) order inside the kernel, the same sequential order
+    the batch window uses, so the streamed walk is bit-identical to the
+    batch one (the oracle proves it: final position, running max and
+    alarm flag all value-match). Python appears only in the licensed
+    pandas state kernel."""
+    import tempfile
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..streaming import stream_events
+
+    ev = t(spark, sf_dir, "events")
+    stats = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("sv"),
+            F.sum(F.col("value") * F.col("value")).alias("svv"),
+        )
+        .where(F.col("n") >= 2)
+        .select(
+            "user_id",
+            (F.col("sv") / F.col("n")).alias("mu"),
+            F.sqrt(
+                (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("sigma"),
+        )
+    )
+    stream = stream_events(spark, sf_dir, with_watermark=None).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = stream.join(F.broadcast(stats), "user_id").select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("value") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0))).alias("z"),
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            n_seen, cusum, mx, alarmed = state.get
+        else:
+            n_seen, cusum, mx, alarmed = 0, 0.0, 0.0, False
+        rows = []
+        for pdf in pdfs:
+            rows.extend(zip(pdf["ts"], pdf["event_id"], pdf["z"]))
+        for _, _, z in sorted(rows, key=lambda r: (r[0], r[1])):
+            cusum = cusum + float(z)
+            a = abs(cusum)
+            if a > mx:
+                mx = a
+            if a > CUSUM_H:
+                alarmed = True
+            n_seen += 1
+        state.update((int(n_seen), float(cusum), float(mx), bool(alarmed)))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_seen": [n_seen],
+                "final_cusum": [cusum],
+                "max_abs_cusum": [mx],
+                "alarmed": [alarmed],
+            }
+        )
+
+    out = joined.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_seen long, final_cusum double, "
+            "max_abs_cusum double, alarmed boolean"
+        ),
+        stateStructType="n_seen long, cusum double, mx double, alarmed boolean",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"cusumstream_{next(tempfile._get_candidate_names())}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    sink = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_seen"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("n_seen").alias("n_events"),
+            r4(F.col("final_cusum")).alias("final_cusum"),
+            r4(F.col("max_abs_cusum")).alias("max_abs_cusum"),
+            "alarmed",
+        )
+    )

@@ -418,15 +418,16 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT l_suppkey, l_shipdate AS day,
-               SUM(l_extendedprice * (1 - l_discount)) AS rev
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1e4 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS rfix
         FROM lineitem GROUP BY l_suppkey, l_shipdate
     )
     SELECT l_suppkey, day,
-           ROUND(rev, 2) AS day_rev,
-           ROUND(SUM(rev) OVER (
+           ROUND(rfix / 1e4, 2) AS day_rev,
+           ROUND(SUM(rfix) OVER (
                PARTITION BY l_suppkey
                ORDER BY date_diff('day', DATE '1970-01-01', CAST(day AS DATE))
-               RANGE BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS rev_3d,
+               RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) / 1e4, 2) AS rev_3d,
            CAST(COUNT(*) OVER (
                PARTITION BY l_suppkey
                ORDER BY date_diff('day', DATE '1970-01-01', CAST(day AS DATE))
@@ -446,8 +447,15 @@ def range_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines). One shuffle (groupBy), one partition-local sort.
     """
     li = t(spark, sf_dir, "lineitem")
+    # per-row revenue fixes to integral 1e-4 units BEFORE the group sum:
+    # the float sum's accumulation order differs across engines and flips
+    # the 2dp rounding by a cent once groups are big enough (bit at sf0.1
+    # only — the full-registry sf0.1 sweep caught it; same rule as q9).
+    rfix_row = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e4) + F.lit(0.5)
+    ).cast("long")
     daily = li.groupBy("l_suppkey", F.col("l_shipdate").alias("day")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+        F.sum(rfix_row).cast("long").alias("rfix")
     )
     w = (
         Window.partitionBy("l_suppkey")
@@ -457,7 +465,7 @@ def range_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "l_suppkey",
         "day",
-        r2(F.col("rev")).alias("day_rev"),
-        r2(F.sum("rev").over(w)).alias("rev_3d"),
+        r2(F.col("rfix") / F.lit(1e4)).alias("day_rev"),
+        r2(F.sum("rfix").over(w) / F.lit(1e4)).alias("rev_3d"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_days_3d"),
     )
