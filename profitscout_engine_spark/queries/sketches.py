@@ -1020,3 +1020,114 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("universe_err_pct"),
         )
     )
+
+
+# --- KMV (theta-style) sketch: set INTERSECTION cardinality -------------------
+KMV_K = 256
+
+
+def _kmv_oracle() -> str:
+    u = _u01("strpos", "md5(concat('kmv|', cast(user_id as string)))")
+    return f"""
+    WITH a AS (
+        SELECT DISTINCT user_id, {u} AS h FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+        SELECT DISTINCT user_id, {u} AS h FROM events WHERE event_type = 'purchase'
+    ),
+    ka AS (SELECT user_id, h FROM a ORDER BY h LIMIT {KMV_K}),
+    kb AS (SELECT user_id, h FROM b ORDER BY h LIMIT {KMV_K}),
+    uni AS (
+        SELECT user_id, h
+        FROM (SELECT user_id, h FROM ka UNION SELECT user_id, h FROM kb) z
+        ORDER BY h LIMIT {KMV_K}
+    ),
+    th AS (SELECT MAX(h) AS hk, CAST(COUNT(*) AS BIGINT) AS ku FROM uni),
+    inter AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS c
+        FROM uni JOIN ka ON ka.user_id = uni.user_id
+                 JOIN kb ON kb.user_id = uni.user_id
+    ),
+    exact AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS na,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS nb,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM a JOIN b ON b.user_id = a.user_id) AS ninter
+    )
+    SELECT exact.na AS exact_a, exact.nb AS exact_b,
+           exact.ninter AS exact_intersection,
+           ROUND(CASE WHEN th.ku < 256 THEN th.ku * 1.0E0
+                      ELSE (th.ku - 1) / th.hk END, 4) AS union_est,
+           ROUND(CASE WHEN th.ku < 256 THEN inter.c * 1.0E0
+                      ELSE inter.c * 1.0E0 / th.ku * ((th.ku - 1) / th.hk) END, 4)
+               AS intersection_est
+    FROM th CROSS JOIN inter CROSS JOIN exact
+    """
+
+
+@query("kmv_intersect_users", oracle=_kmv_oracle(), tags=("sketch", "kmv", "theta"))
+def kmv_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / theta-style) sketch — the set-INTERSECTION
+    member of the sketch family: HLL unions merge losslessly but
+    intersections via inclusion-exclusion blow up in error, which is
+    exactly why theta sketches exist. Each set (clickers, purchasers)
+    keeps its K smallest md5-uniform hashes; the union sketch is the K
+    smallest of the merged samples, union_est = (K−1)/h_K, and the
+    intersection estimate scales the union estimate by the fraction of
+    union-sample members present in BOTH input sketches; a union sample
+    smaller than K means the sketch saw every element, so both
+    estimates switch to the exact sampled counts (the standard KMV
+    exact-below-K rule). All md5
+    arithmetic, so the ESTIMATES get exact driver value-checks (the
+    exact counts ride along for the error to be visible). Scale: each
+    sketch is one distinct pass + a bounded top-K (TakeOrdered, no
+    global sort materialized); combination touches only 3K rows."""
+    u = _u01("instr", "md5(concat('kmv|', cast(user_id as string)))")
+    ev = t(spark, sf_dir, "events")
+
+    def side(etype: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .select("user_id")
+            .distinct()
+            .withColumn("h", F.expr(u))
+        )
+
+    a, b = side("click"), side("purchase")
+    ka = a.orderBy("h").limit(KMV_K)
+    kb = b.orderBy("h").limit(KMV_K)
+    uni = ka.unionByName(kb).distinct().orderBy("h").limit(KMV_K)
+    th = uni.agg(F.max("h").alias("hk"), F.count("*").cast("long").alias("ku"))
+    inter = (
+        uni.join(ka.select("user_id"), "user_id")
+        .join(kb.select("user_id"), "user_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    exact = (
+        a.agg(F.count("*").cast("long").alias("na"))
+        .crossJoin(b.agg(F.count("*").cast("long").alias("nb")))
+        .crossJoin(
+            a.join(b.select("user_id"), "user_id")
+            .agg(F.count("*").cast("long").alias("ninter"))
+        )
+    )
+    return (
+        th.crossJoin(inter)
+        .crossJoin(exact)
+        .select(
+            F.col("na").alias("exact_a"),
+            F.col("nb").alias("exact_b"),
+            F.col("ninter").alias("exact_intersection"),
+            r4(
+                F.when(F.col("ku") < KMV_K, F.col("ku") * F.lit(1.0)).otherwise(
+                    (F.col("ku") - 1) / F.col("hk")
+                )
+            ).alias("union_est"),
+            r4(
+                F.when(F.col("ku") < KMV_K, F.col("c") * F.lit(1.0)).otherwise(
+                    F.col("c") * F.lit(1.0) / F.col("ku")
+                    * ((F.col("ku") - 1) / F.col("hk"))
+                )
+            ).alias("intersection_est"),
+        )
+    )

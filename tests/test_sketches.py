@@ -161,3 +161,22 @@ def test_join_size_estimators_bound_and_close(spark, sf_dir):
     assert row["cm_est"] >= row["exact_pairs"]
     assert row["cm_overcount"] == row["cm_est"] - row["exact_pairs"]
     assert abs(row["universe_err_pct"]) <= 40.0
+
+
+def test_kmv_intersection_error_envelope(spark, sf_dir):
+    """KMV relative error is ~1/sqrt(K-2); pin a 3-sigma envelope, and the
+    exact-below-K branch must be exactly right when it fires."""
+    from profitscout_engine_spark.queries.sketches import KMV_K, kmv_intersect_users
+
+    row = kmv_intersect_users(spark, sf_dir).toPandas().iloc[0]
+    exact_union = row.exact_a + row.exact_b - row.exact_intersection
+    if row.union_est == float(int(row.union_est)) and row.union_est <= KMV_K - 1:
+        # exact-below-K branch: sketches saw everything
+        assert row.union_est == exact_union
+        assert row.intersection_est == row.exact_intersection
+    else:
+        rel = 3.0 / (KMV_K - 2) ** 0.5
+        assert abs(row.union_est - exact_union) <= rel * exact_union
+        assert abs(row.intersection_est - row.exact_intersection) <= max(
+            rel * 2 * max(row.exact_intersection, 1), 2.0
+        )
