@@ -80,17 +80,48 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query detail for the judge / round-over-round diffing.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        "w",
+    ) as f:
+        json.dump(
             {
                 "metric": "engine_query_suite_wall",
                 "value": round(total, 3),
                 "unit": "sec",
+                "sf": sf_val,
+                "n_queries": len(timings),
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            f,
+            indent=1,
+            sort_keys=True,
         )
-    )
+        f.write("\n")
+
+    # The driver captures only the LAST ~2000 chars of stdout and parses the
+    # final JSON line — a line carrying all 200+ per-query timings gets
+    # truncated mid-JSON and never parses (this silently happened rounds 1-3).
+    # Print a compact line: suite total + the slowest queries, trimmed until
+    # the line is guaranteed to fit inside the tail window.
+    slowest = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
+    payload = {
+        "metric": "engine_query_suite_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "detail": "BENCH_FULL.json",
+        "queries": dict(slowest),
+    }
+    line = json.dumps(payload)
+    while len(line) > 1500 and payload["queries"]:
+        slowest = slowest[:-1]
+        payload["queries"] = dict(slowest)
+        line = json.dumps(payload)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -108,68 +108,144 @@ _MODULES = (
     "tpch",
 )
 
-# Round-3 window rotation (VERDICT r2, item 2): front-load (a) the two curation
-# queries whose oracle SQL was fixed this round (HUGEINT→BIGINT casts) so the
-# driver re-verifies them, (b) every query whose only driver row is from round 1
-# (windows/aggregates/relational — rotated out of the r2 window), and (c) the
-# queries NEW this round. Everything else was driver-green in round 2 and stays
-# pinned by tests/test_correctness.py while outside the window. The goal the
-# rotation enforces: no query goes more than one round without a fresh driver row.
+# Round-4 window rotation (NOTES.md plan): every query with NO driver row yet,
+# oldest additions first — the driver's 50-query window takes the first 50, and
+# positions 51+ stay in age order so rounds 5-6 rotate by simple deletion of
+# the verified prefix. Leads with the r3 mid-round additions (sketch family,
+# CUBE/PIVOT, streaming) plus rsi_macd / monte_carlo_paths (r2 rows were
+# rows-only; both now carry full value oracles that deserve a verified row),
+# then the late-r3, final-session, extra-session, and session-4 waves.
+# Everything rotated out was driver-green in r1-r3 and stays pinned by
+# tests/test_correctness.py. Rule enforced: no oracle-paired query ships
+# more than two rounds without a driver row.
 _WINDOW_FRONT = (
-    # (a) fixed oracles — must turn green in CORRECTNESS_r03
-    "seq_packing",
-    "unigram_freq_quality",
-    # (c) new this round
-    "token_stats_bpe",
-    "bpe_pair_counts",
-    # (b) r1-only queries, in original registration order (sma_window was
-    # green in BOTH r1 and r2 windows, so it rotates out to make the count 50)
-    "bollinger_bands",
-    "atr_true_range",
-    "obv_cumulative",
-    "window_extrema",
-    "max_losing_streak",
-    "lead_returns",
-    "chrono_split",
-    "dedup_rank",
-    "funnel_stages",
-    "conditional_aggregates",
-    "argmin_nearest",
-    "best_contract",
-    "pattern_combo_having",
-    "value_counts_pct",
-    "date_span_rates",
-    "group_quantiles",
-    "histogram_buckets",
-    "sweep_rollup",
-    "consensus_tally",
-    "summary_top_lists",
-    "tier_tally",
-    "distinct_pairs",
-    "union_all_patterns",
-    "approx_distinct_sketch",
-    "approx_quantile_sketch",
-    "regime_weighted_score",
-    "pruned_scan",
-    "compound_gate",
-    "negated_conjunction",
-    "null_guard_cast",
-    "membership_semi",
-    "coalesce_fallback",
-    "string_extract",
-    "flag_groups",
-    "dim_enrichment_revenue",
-    "multiway_join",
-    "latest_day_filter",
-    "future_rows_top3",
-    "contract_symbols",
-    "date_arithmetic",
-    "pct_change_guarded",
-    "json_extraction",
-    "top_n_per_group",
-    "two_key_sort_limit",
-    "set_ops_intersect_except",
-    "rollup_totals",
+    "hll_distinct_portable",
+    "countmin_freq_portable",
+    "bloom_semijoin_account",
+    "hll_merge_incremental",
+    "weighted_sample_ares",
+    "streaming_hll_users",
+    "cube_flag_status",
+    "pivot_lang_counts",
+    "unpivot_supplier_metrics",
+    "range_window_revenue",
+    "anti_join_dormant_customers",
+    "pmi_collocations",
+    "kmeans_lloyd_step",
+    "click_attribution_stream",
+    "rsi_macd",
+    "monte_carlo_paths",
+    "ohlc_resample",
+    "vwap_running",
+    "drawdown_stats",
+    "beta_to_market",
+    "pairwise_return_corr",
+    "table_profile",
+    "snapshot_diff",
+    "incremental_agg_maintain",
+    "scd2_history",
+    "retention_cohorts",
+    "key_skew_report",
+    "containment_pairs",
+    "unigram_lm_logprob",
+    "interval_peak_load",
+    "pareto_frontier",
+    "pagerank_iteration",
+    "gap_fill_ffill",
+    "rank_normalize",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q18_large_volume_customer",
+    "quantile_digest_merge",
+    "frame_sample_stride",
+    "image_resize_nn",
+    "column_entropy",
+    "order_line_array_ops",
+    "q6_revenue_delta",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q22_dormant_balance",
+    "fuzzy_dedup_edit",
+    "triangle_count",
+    "bm25_search",
+    "sliding_window_rate",
+    "grouping_sets_traffic",
+    "running_distinct_users",
+    "cusum_drift",
+    "mad_outliers",
+    "k_anonymity_audit",
+    "dq_audit",
+    "inverted_index_build",
+    "knn_label_eval",
+    "prefix_filter_jaccard",
+    "rolling_median_value",
+    "dedup_consensus",
+    "equi_depth_histogram",
+    "copurchase_pairs",
+    "event_transition_matrix",
+    "seasonality_index",
+    "benford_audit",
+    "trend_fit_ols",
+    "mix_shift_monitor",
+    "rfm_segmentation",
+    "ab_test_stats",
+    "keyset_pagination",
+    "ltv_cohort_curve",
+    "fulfillment_latency",
+    "duplicate_order_scan",
+    "revenue_pareto_curve",
+    "revenue_gini_by_nation",
+    "ngram_novelty_score",
+    "q2_min_cost_supplier",
+    "q4_priority_checking",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_delay_priority",
+    "q14_promo_share",
+    "q19_disjunct_revenue",
+    "q20_dominant_supplier",
+    "q21_waiting_supplier",
+    "join_size_estimate",
+    "stream_static_enrich",
+    "hybrid_rank_fusion",
+    "sequence_pattern_match",
+    "chi_square_independence",
+    "corpus_filter_pipeline",
+    "contamination_spread",
+    "table_checksum",
+    "autocorrelation_acf",
+    "threshold_sweep_components",
+    "multi_touch_attribution",
+    "seasonal_anomaly",
+    "pq_encode",
+    "ivfpq_search",
+    "semantic_dedup",
+    "quality_classifier_score",
+    "k_core_peel",
+    "dp_noisy_counts",
+    "als_half_step",
+    "chunk_overlap_split",
+    "bigram_lm_logprob",
+    "stream_dedup_bands",
+    "spearman_rank_corr",
+    "bootstrap_ci_poisson",
+    "hard_negatives",
+    "temperature_mix_sample",
+    "bpe_merge_step",
+    "svd_power_step",
+    "lr_gradient_step",
+    "nb_confusion",
+    "pr_curve_binned",
+    "tree_split_gain",
+    "woe_iv_source",
+    "stream_cusum_monitor",
+    "kmv_intersect_users",
 )
 
 

@@ -18,7 +18,7 @@ from ..exprs import r4, r6, stable_round
 from ..operators import text as tx
 from ..operators import similarity as sim
 from . import query
-from ._util import shared, t
+from ._util import fan_out, shared, t
 
 TOPK = 5
 LSH_TOPK = 3
@@ -2762,5 +2762,134 @@ def svd_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim",
             _r6(F.col("tt") / F.lit(1e12)).alias("next_v"),
             r4(F.col("ss") / F.lit(1e12) / F.col("n")).alias("mean_sq_projection"),
+        )
+    )
+
+
+# ---- exact duplicated-substring spans (Lee et al. 2022 ExactSubstr shape) ----
+SUBSTR_W = 32  # span window (chars)
+SUBSTR_STRIDE = 8  # sampling stride — bounded shingles per doc (~len/8)
+
+
+def _substr_dedup_oracle() -> str:
+    w, s = SUBSTR_W, SUBSTR_STRIDE
+    return f"""
+    WITH d AS (
+        SELECT doc_id, text FROM documents WHERE length(text) >= {w}
+    ),
+    pos AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {w - 1}, {s})) AS pos
+        FROM d
+    ),
+    sh AS (SELECT doc_id, pos, md5(substr(text, pos, {w})) AS h FROM pos),
+    dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+    ds AS (SELECT sh.doc_id, sh.pos, sh.pos + {w} AS e FROM sh JOIN dup USING (h)),
+    flg AS (
+        SELECT doc_id, pos, e,
+               CASE WHEN pos > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS ni
+        FROM ds
+    ),
+    isl AS (
+        SELECT doc_id, pos, e,
+               SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flg
+    ),
+    cov AS (
+        SELECT doc_id, island, MIN(pos) AS s0, MAX(e) AS e0, COUNT(*) AS c
+        FROM isl GROUP BY doc_id, island
+    ),
+    per AS (
+        SELECT doc_id,
+               CAST(SUM(e0 - s0) AS BIGINT) AS dup_chars,
+               CAST(SUM(c) AS BIGINT) AS n_dup_shingles,
+               CAST(COUNT(*) AS BIGINT) AS n_spans
+        FROM cov GROUP BY doc_id
+    ),
+    tot AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM sh GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           tot.n_shingles,
+           COALESCE(per.n_dup_shingles, 0) AS n_dup_shingles,
+           COALESCE(per.n_spans, 0) AS n_spans,
+           COALESCE(per.dup_chars, 0) AS dup_chars,
+           ROUND(COALESCE(per.dup_chars, 0) * 1.0E0 / length(d.text), 4) AS dup_frac
+    FROM d JOIN tot USING (doc_id) LEFT JOIN per USING (doc_id)
+    """
+
+
+@query(
+    "exact_substring_dedup",
+    oracle=_substr_dedup_oracle(),
+    tags=("dedup", "substring", "span"),
+)
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicated-SPAN accounting — the span-level complement of
+    doc-level MinHash dedup (the ExactSubstr idea from "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499,
+    adapted to a bounded shingle grid): sample {SUBSTR_W}-char windows
+    every {SUBSTR_STRIDE} chars, keep windows whose content hash appears
+    in MORE THAN ONE document, merge each doc's surviving windows into
+    maximal intervals (gaps-and-islands on a running max end), and report
+    per-doc duplicated-character coverage.
+
+    Scale shape: one content-hash groupBy (the same shuffle key MinHash
+    uses — never doc pairs), then per-doc windows over a bounded row set
+    (≤ len/stride rows per doc). A 100 TB corpus shuffles shingles once;
+    the quadratic suffix-array machinery of the paper is replaced by the
+    grid approximation whose resolution is the stride.
+    """
+    w, st = SUBSTR_W, SUBSTR_STRIDE
+    d = (
+        fan_out(spark, _docs(spark, sf_dir))
+        .where(F.length("text") >= w)
+        .select("doc_id", "text")
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(1, length(text) - {w - 1}, {st})")).alias("pos"),
+        F.col("text"),
+    ).select("doc_id", "pos", F.md5(F.expr(f"substring(text, pos, {w})")).alias("h"))
+    dup = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("h")
+    )
+    ds = sh.join(dup, "h", "left_semi").select(
+        "doc_id", "pos", (F.col("pos") + w).alias("e")
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    flg = ds.withColumn(
+        "ni", (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("long")
+    )
+    isl = flg.withColumn(
+        "island", F.sum("ni").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    cov = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s0"), F.max("e").alias("e0"), F.count("*").alias("c")
+    )
+    per = cov.groupBy("doc_id").agg(
+        F.sum(F.col("e0") - F.col("s0")).cast("long").alias("dup_chars"),
+        F.sum("c").cast("long").alias("n_dup_shingles"),
+        F.count("*").cast("long").alias("n_spans"),
+    )
+    tot = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_shingles"))
+    return (
+        d.join(tot, "doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_dup_shingles", F.lit(0)).cast("long").alias("n_dup_shingles"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+            r4(F.coalesce("dup_chars", F.lit(0)) / F.length("text")).alias("dup_frac"),
         )
     )

@@ -38,13 +38,15 @@ def test_entry_contract(spark):
 
 
 def test_driver_window_order_is_pinned():
-    """The driver verifies the FIRST 50 registered queries; the rotation
-    contract (_WINDOW_FRONT) must fully occupy that window and lead with
-    the round-3 re-verification targets."""
+    """The driver verifies the FIRST 50 registered queries. Round-4
+    contract: _WINDOW_FRONT holds the full never-driver-verified backlog
+    in age order (oldest first), so this round's window takes the first
+    50 and rounds 5-6 rotate by deleting the verified prefix."""
     from profitscout_engine_spark.queries import _WINDOW_FRONT
 
     names = list(load_registry())
     assert names[: len(_WINDOW_FRONT)] == list(_WINDOW_FRONT)
-    assert len(_WINDOW_FRONT) == 50
+    assert len(_WINDOW_FRONT) >= 50
     window = set(names[:50])
-    assert {"seq_packing", "unigram_freq_quality"} <= window
+    # age-order head: the r3 mid-round additions lead the backlog
+    assert {"hll_distinct_portable", "rsi_macd", "monte_carlo_paths"} <= window
