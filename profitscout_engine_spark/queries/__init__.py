@@ -246,6 +246,9 @@ _WINDOW_FRONT = (
     "woe_iv_source",
     "stream_cusum_monitor",
     "kmv_intersect_users",
+    # round-4 additions (youngest — driver rows due r6)
+    "exact_substring_dedup",
+    "dim_truncation_recall",
 )
 
 

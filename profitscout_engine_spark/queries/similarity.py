@@ -2768,21 +2768,26 @@ def svd_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- exact duplicated-substring spans (Lee et al. 2022 ExactSubstr shape) ----
 SUBSTR_W = 32  # span window (chars)
-SUBSTR_STRIDE = 8  # sampling stride — bounded shingles per doc (~len/8)
+SUBSTR_STRIDE = 8  # EXPECTED sampling rate 1/8 — selection is content-defined
+# (kept windows are those whose own md5 starts with nibble 0 or 8), never a
+# fixed positional grid: a positional grid only matches duplicated blocks
+# whose offsets happen to align mod stride, while content-defined anchors
+# select the SAME windows inside identical content at any alignment.
 
 
 def _substr_dedup_oracle() -> str:
-    w, s = SUBSTR_W, SUBSTR_STRIDE
+    w = SUBSTR_W
     return f"""
     WITH d AS (
         SELECT doc_id, text FROM documents WHERE length(text) >= {w}
     ),
     pos AS (
         SELECT doc_id, text,
-               unnest(generate_series(1, length(text) - {w - 1}, {s})) AS pos
+               unnest(generate_series(1, length(text) - {w - 1}, 1)) AS pos
         FROM d
     ),
-    sh AS (SELECT doc_id, pos, md5(substr(text, pos, {w})) AS h FROM pos),
+    allh AS (SELECT doc_id, pos, md5(substr(text, pos, {w})) AS h FROM pos),
+    sh AS (SELECT doc_id, pos, h FROM allh WHERE substr(h, 1, 1) IN ('0', '8')),
     dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) > 1),
     ds AS (SELECT sh.doc_id, sh.pos, sh.pos + {w} AS e FROM sh JOIN dup USING (h)),
     flg AS (
@@ -2832,29 +2837,38 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc duplicated-SPAN accounting — the span-level complement of
     doc-level MinHash dedup (the ExactSubstr idea from "Deduplicating
     Training Data Makes Language Models Better", arXiv:2107.06499,
-    adapted to a bounded shingle grid): sample {SUBSTR_W}-char windows
-    every {SUBSTR_STRIDE} chars, keep windows whose content hash appears
-    in MORE THAN ONE document, merge each doc's surviving windows into
-    maximal intervals (gaps-and-islands on a running max end), and report
-    per-doc duplicated-character coverage.
+    made shuffle-bounded by winnowing-style content-defined sampling):
+    hash every {SUBSTR_W}-char window, KEEP the ~1/{SUBSTR_STRIDE} of
+    windows whose own hash carries the anchor nibble (content-defined, so
+    identical blocks select identical windows at ANY alignment — a fixed
+    positional grid misses duplicates whose offsets differ mod stride),
+    keep anchors whose hash appears in MORE THAN ONE document, merge each
+    doc's surviving windows into maximal intervals (gaps-and-islands on a
+    running max end), and report per-doc duplicated-character coverage.
 
-    Scale shape: one content-hash groupBy (the same shuffle key MinHash
-    uses — never doc pairs), then per-doc windows over a bounded row set
-    (≤ len/stride rows per doc). A 100 TB corpus shuffles shingles once;
-    the quadratic suffix-array machinery of the paper is replaced by the
-    grid approximation whose resolution is the stride.
+    Scale shape: hashing is linear map-side work (one md5 per char — the
+    same order of work as the paper's suffix automaton, with no global
+    structure); the only shuffle is the content-hash groupBy on the
+    SAMPLED anchors (the same key shape MinHash uses — never doc pairs),
+    then per-doc windows over a bounded row set.
     """
-    w, st = SUBSTR_W, SUBSTR_STRIDE
+    w = SUBSTR_W
     d = (
         fan_out(spark, _docs(spark, sf_dir))
         .where(F.length("text") >= w)
         .select("doc_id", "text")
     )
-    sh = d.select(
-        "doc_id",
-        F.explode(F.expr(f"sequence(1, length(text) - {w - 1}, {st})")).alias("pos"),
-        F.col("text"),
-    ).select("doc_id", "pos", F.md5(F.expr(f"substring(text, pos, {w})")).alias("h"))
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(1, length(text) - {w - 1})")).alias("pos"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id", "pos", F.md5(F.expr(f"substring(text, pos, {w})")).alias("h")
+        )
+        .where(F.substring("h", 1, 1).isin("0", "8"))
+    )
     dup = (
         sh.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -2891,5 +2905,112 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
             F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
             r4(F.coalesce("dup_chars", F.lit(0)) / F.length("text")).alias("dup_frac"),
+        )
+    )
+
+
+# ---- embedding-dimension truncation recall (MRL-style eval) ------------------
+TRUNC_DIM = 16  # retained prefix dimensions
+TRUNC_QMOD = 25  # deterministic 1/25 query sample
+TRUNC_K = 10
+
+
+def _trunc_recall_oracle() -> str:
+    d, m, k = TRUNC_DIM, TRUNC_QMOD, TRUNC_K
+    full = _cosine_sql("q.v", "c.v")
+    tr = _cosine_sql(f"q.v[1:{d}]", f"c.v[1:{d}]")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id % {m} = 0),
+    pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS b_id,
+               ROUND({full}, 6) AS sim64,
+               ROUND({tr}, 6) AS sim{d}
+        FROM q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    r64 AS (
+        SELECT q_id, b_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim64 DESC, b_id) AS rk
+        FROM pairs
+    ),
+    rtr AS (
+        SELECT q_id, b_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim{d} DESC, b_id) AS rk
+        FROM pairs
+    ),
+    ov AS (
+        SELECT a.q_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM r64 a JOIN rtr b ON a.q_id = b.q_id AND a.b_id = b.b_id
+        WHERE a.rk <= {k} AND b.rk <= {k}
+        GROUP BY a.q_id
+    )
+    SELECT q.vec_id AS q_id,
+           COALESCE(ov.n_overlap, 0) AS n_overlap,
+           ROUND(COALESCE(ov.n_overlap, 0) / {k}.0E0, 4) AS recall_at_10
+    FROM q LEFT JOIN ov ON ov.q_id = q.vec_id
+    """
+
+
+@query(
+    "dim_truncation_recall",
+    oracle=_trunc_recall_oracle(),
+    tags=("similarity", "eval", "matryoshka"),
+)
+def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TRUNC_K} of PREFIX-TRUNCATED embeddings (first {TRUNC_DIM} of
+    64 dims) against the full-dimension ranking, on a deterministic 1/{TRUNC_QMOD}
+    query sample — the evaluation a pipeline runs before committing to
+    Matryoshka-style dimension truncation, which cuts ANN shuffle bytes
+    and index size 4x if recall holds.
+
+    DECLARED EVAL YARDSTICK (bench-skippable like cosine_topk): both
+    rankings are brute-force over the sampled query set, because the
+    point is measuring what truncation alone loses — an index in the loop
+    would confound its own recall. Cost is (n/{TRUNC_QMOD})·n pairs; the
+    production search path stays the LSH/IVF family. Both similarities
+    come from ONE pass over the pair frame (two fold-dots per pair), then
+    two window rankings and a set intersection.
+    """
+    d, m, k = TRUNC_DIM, TRUNC_QMOD, TRUNC_K
+
+    def side(pref: str, flt=None) -> DataFrame:
+        e = _vecs(spark, sf_dir).select("vec_id", "v")
+        if flt is not None:
+            e = e.where(flt)
+        return e.select(
+            F.col("vec_id").alias(f"{pref}_id"),
+            F.col("v").alias(f"{pref}v"),
+            F.expr(f"slice(v, 1, {d})").alias(f"{pref}v{d}"),
+            sim.fold_norm("v").alias(f"{pref}n64"),
+            sim.fold_norm(f"slice(v, 1, {d})").alias(f"{pref}n{d}"),
+        )
+
+    qs = side("q", F.col("vec_id") % m == 0)
+    cs = fan_out(spark, side("c"))
+    pairs = qs.join(cs, F.col("q_id") != F.col("c_id")).select(
+        "q_id",
+        F.col("c_id").alias("b_id"),
+        r6(sim.fold_dot("qv", "cv") / (F.col("qn64") * F.col("cn64"))).alias("sim64"),
+        r6(
+            sim.fold_dot(f"qv{d}", f"cv{d}") / (F.col(f"qn{d}") * F.col(f"cn{d}"))
+        ).alias(f"sim{d}"),
+    )
+    w64 = Window.partitionBy("q_id").orderBy(F.desc("sim64"), F.asc("b_id"))
+    wtr = Window.partitionBy("q_id").orderBy(F.desc(f"sim{d}"), F.asc("b_id"))
+    top64 = pairs.withColumn("rk", F.row_number().over(w64)).where(F.col("rk") <= k)
+    toptr = pairs.withColumn("rk", F.row_number().over(wtr)).where(F.col("rk") <= k)
+    ov = (
+        top64.select("q_id", "b_id")
+        .join(toptr.select("q_id", "b_id"), ["q_id", "b_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return (
+        qs.select(F.col("q_id"))
+        .join(ov, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            r4(F.coalesce("n_overlap", F.lit(0)) / F.lit(float(k))).alias("recall_at_10"),
         )
     )
