@@ -249,6 +249,8 @@ _WINDOW_FRONT = (
     # round-4 additions (youngest — driver rows due r6)
     "exact_substring_dedup",
     "dim_truncation_recall",
+    "bounded_window_funnel",
+    "stream_watermark_late_audit",
 )
 
 

@@ -1155,3 +1155,124 @@ def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alarmed",
         )
     )
+
+
+# --- watermark late-data audit: drop accounting under out-of-order ingest -----
+WM_DELAY_MS = 1_800_000  # 30-minute watermark
+WM_SLICES = 5
+
+
+def _wm_audit_oracle() -> str:
+    return f"""
+    WITH ordered AS (
+        SELECT ts,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+                   AS r,
+               COUNT(*) OVER () AS n
+        FROM events
+    ),
+    sliced AS (
+        SELECT ts,
+               CASE WHEN r <= n * 1 // {WM_SLICES} THEN 0
+                    WHEN r <= n * 2 // {WM_SLICES} THEN 1
+                    WHEN r <= n * 3 // {WM_SLICES} THEN 2
+                    WHEN r <= n * 4 // {WM_SLICES} THEN 3
+                    ELSE 4 END AS slice
+        FROM ordered
+    ),
+    batchmax AS (
+        SELECT slice, MAX(epoch_us(ts) // 1000) AS max_ms
+        FROM sliced GROUP BY slice
+    ),
+    wm AS (
+        SELECT slice,
+               (MAX(max_ms) OVER (ORDER BY slice
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+                - {WM_DELAY_MS}) * 1000 AS wm_prev_us,
+               (MAX(max_ms) OVER () - {WM_DELAY_MS}) * 1000 AS final_wm_us
+        FROM batchmax
+    ),
+    rows_tagged AS (
+        SELECT s.ts,
+               date_trunc('hour', s.ts) AS window_start,
+               (epoch_us(date_trunc('hour', s.ts)) + 3600000000::BIGINT) AS win_end_us,
+               w.wm_prev_us, w.final_wm_us
+        FROM sliced s JOIN wm w USING (slice)
+    )
+    SELECT window_start,
+           CAST(COUNT(*) FILTER (WHERE wm_prev_us IS NULL
+                                    OR win_end_us > wm_prev_us) AS BIGINT)
+               AS n_on_time,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE wm_prev_us IS NOT NULL
+                                   AND win_end_us <= wm_prev_us) AS BIGINT)
+               AS n_late_dropped
+    FROM rows_tagged
+    GROUP BY window_start, final_wm_us
+    HAVING win_end_us <= final_wm_us
+       AND COUNT(*) FILTER (WHERE wm_prev_us IS NULL OR win_end_us > wm_prev_us) > 0
+    """
+
+
+@query(
+    "stream_watermark_late_audit",
+    oracle=_wm_audit_oracle().replace(
+        "HAVING win_end_us <= final_wm_us",
+        "HAVING MAX(win_end_us) <= MAX(final_wm_us)",
+    ),
+    tags=("streaming", "watermark", "late-data"),
+)
+def stream_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark SEMANTICS made auditable: events arrive deterministically
+    out of order (5 ingest slices in md5(event_id) order — event time
+    scattered across batches), a 30-min watermark gates a 1-hour tumbling
+    count in APPEND mode, and the result joins the streamed counts
+    against the batch truth to report, per emitted window, how many rows
+    the watermark dropped as late.
+
+    The oracle REPLAYS the engine's watermark protocol exactly — including
+    the subtlety that Spark keeps TWO watermarks per batch: the EVICTION
+    watermark (ms-floored max event time over batches < k, minus delay)
+    closes windows, while the LATE-EVENT filter uses the PREVIOUS batch's
+    watermark (batches < k-1) — discovered empirically here: batch 1
+    drops nothing even though its eviction watermark is already live. A
+    row is dropped iff its window end ≤ the late-event watermark of its
+    arrival batch; a window is emitted iff its end ≤ the final eviction
+    watermark (the post-stream no-data batch evicts it). Streamed counts therefore equal
+    kept-row counts — this query is the machine-checked specification of
+    Spark's late-data rule, and the scale story is the whole point of
+    watermarks: state is bounded by the watermark horizon, not the
+    stream's history.
+    """
+    import tempfile
+
+    from ..streaming import stream_events_shuffled
+
+    ev = stream_events_shuffled(spark, sf_dir, n_files=WM_SLICES).withWatermark(
+        "ts", "30 minutes"
+    )
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("win")).agg(
+        F.count("*").alias("n_on_time")
+    )
+    name = f"wmaudit_{next(tempfile._get_candidate_names())}"
+    q = (
+        agg.select(F.col("win.start").alias("window_start"), "n_on_time")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table(name)
+    totals = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(F.count("*").cast("long").alias("n_total"))
+    )
+    return streamed.join(totals, "window_start").select(
+        "window_start",
+        F.col("n_on_time").cast("long").alias("n_on_time"),
+        "n_total",
+        (F.col("n_total") - F.col("n_on_time")).cast("long").alias("n_late_dropped"),
+    )

@@ -469,3 +469,109 @@ def range_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.sum("rfix").over(w) / F.lit(1e4)).alias("rev_3d"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_days_3d"),
     )
+
+
+# --- time-BOUNDED funnel: stages must complete within 1 h of the entry event --
+@query(
+    "bounded_window_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, ts, event_type,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM events
+    ),
+    s2 AS (
+        SELECT user_id, ts, event_type, t1,
+               MIN(CASE WHEN event_type = 'click' AND ts >= t1
+                         AND ts <= t1 + INTERVAL 1 HOUR THEN ts END)
+                   OVER (PARTITION BY user_id) AS t2
+        FROM s1
+    ),
+    s3 AS (
+        SELECT DISTINCT user_id, t1, t2,
+               MIN(CASE WHEN event_type = 'purchase' AND ts >= t2
+                         AND ts <= t1 + INTERVAL 1 HOUR THEN ts END)
+                   OVER (PARTITION BY user_id) AS t3
+        FROM s2
+    ),
+    agg AS (
+        SELECT CAST(COUNT(t1) AS BIGINT) AS n1,
+               CAST(COUNT(t2) AS BIGINT) AS n2,
+               CAST(COUNT(t3) AS BIGINT) AS n3
+        FROM s3
+    )
+    SELECT '1_view' AS stage, n1 AS n_users,
+           ROUND(n1 * 1.0E0 / NULLIF(n1, 0), 4) AS pct_of_entry FROM agg
+    UNION ALL
+    SELECT '2_click', n2, ROUND(n2 * 1.0E0 / NULLIF(n1, 0), 4) FROM agg
+    UNION ALL
+    SELECT '3_purchase', n3, ROUND(n3 * 1.0E0 / NULLIF(n1, 0), 4) FROM agg
+    """,
+    tags=("W-funnel", "windowFunnel", "time-bounded"),
+)
+def bounded_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-windowFunnel semantics: view → later click → later
+    purchase, where EVERY later stage must land within 1 hour of the
+    ENTRY event (funnel_stages is the unbounded cousin). Chained
+    conditional window minima over ONE user_id shuffle — each stage's
+    anchor conditions the next stage's window, and the time bound rides
+    the same pass; no joins, no extra shuffles. Timestamps compare as
+    exact INTERVAL arithmetic on both engines (micros-safe — the
+    epoch-flooring trap in NOTES.md does not apply because neither side
+    truncates).
+    """
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    bound = F.expr("t1 + INTERVAL 1 HOUR")
+    s1 = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.col("t1"))
+                & (F.col("ts") <= bound),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = (
+        s2.withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t2"))
+                    & (F.col("ts") <= bound),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .select("user_id", "t1", "t2", "t3")
+        .distinct()
+    )
+    agg = s3.agg(
+        F.count("t1").cast("long").alias("n1"),
+        F.count("t2").cast("long").alias("n2"),
+        F.count("t3").cast("long").alias("n3"),
+    )
+    stages = agg.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("1_view").alias("stage"), F.col("n1").alias("n_users")),
+                F.struct(F.lit("2_click").alias("stage"), F.col("n2").alias("n_users")),
+                F.struct(
+                    F.lit("3_purchase").alias("stage"), F.col("n3").alias("n_users")
+                ),
+            )
+        ).alias("s"),
+        "n1",
+    )
+    return stages.select(
+        F.col("s.stage").alias("stage"),
+        F.col("s.n_users").alias("n_users"),
+        r4(F.col("s.n_users") / F.nullif(F.col("n1"), F.lit(0))).alias("pct_of_entry"),
+    )

@@ -166,3 +166,55 @@ def stream_documents_ordered(
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
+
+
+def stream_events_shuffled(
+    spark: SparkSession, sf_dir: str, n_files: int = 5
+) -> DataFrame:
+    """events as a deterministically OUT-OF-ORDER ingest stream: rows are
+    staged into ``n_files`` slices by md5(event_id) order (event_id is
+    nearly monotone in ts, so hash order scatters event time across
+    batches — the shape a multi-source ingest actually delivers), with
+    strictly increasing modification times so the file source replays
+    the slices in a fixed arrival order. Slice cuts are floor-division
+    (``i*n//n_files``) so an oracle can re-derive the exact batch
+    membership of every row."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    st = os.stat(f"{sf_dir}/events.parquet")
+    ident = f"shuf|{sf_dir}|{st.st_size}|{int(st.st_mtime)}|{n_files}"
+    stage = f"/tmp/pse_evshuf_{hashlib.md5(ident.encode()).hexdigest()[:12]}"
+    ready = f"{stage}/_READY"
+    if not os.path.exists(ready):
+        os.makedirs(stage, exist_ok=True)
+        pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
+        order = pdf["event_id"].map(
+            lambda e: hashlib.md5(str(e).encode()).hexdigest()
+        )
+        pdf = (
+            pdf.assign(_o=order)
+            .sort_values(["_o", "event_id"])
+            .drop(columns="_o")
+        )
+        n = len(pdf)
+        for i in range(n_files):
+            path = f"{stage}/slice-{i:03d}.parquet"
+            pdf.iloc[i * n // n_files : (i + 1) * n // n_files].to_parquet(
+                path, index=False
+            )
+            os.utime(path, (1_000_000 + i, 1_000_000 + i))
+        open(ready, "w").close()
+    from ..catalog import normalize_event_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Schema from the STAGED slices, not the source file: the pandas rewrite
+    # may re-encode the fixture's timestamp physical type.
+    staged_schema = spark.read.parquet(stage).schema
+    return normalize_event_ts(
+        spark.readStream.schema(staged_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
