@@ -251,6 +251,8 @@ _WINDOW_FRONT = (
     "dim_truncation_recall",
     "bounded_window_funnel",
     "stream_watermark_late_audit",
+    "session_path_ngrams",
+    "graph_modularity",
 )
 
 

@@ -3014,3 +3014,161 @@ def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.coalesce("n_overlap", F.lit(0)) / F.lit(float(k))).alias("recall_at_10"),
         )
     )
+
+
+# ---- partition-quality metric: Newman modularity of the near-dup clusters ----
+MOD_STRONG_J = 0.3  # community threshold (4dp-rounded score, as the sweep uses)
+
+
+def _modularity_oracle() -> str:
+    jm, js = JACCARD_MIN, MOD_STRONG_J
+    return f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS MATERIALIZED (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    base AS MATERIALIZED (
+        SELECT d1, d2,
+               FLOOR((c * 1.0 / (ca.n + cb.n - c)) * 1e4 + 0.5) / 1e4 AS j
+        FROM common
+        JOIN counts ca ON ca.doc_id = d1
+        JOIN counts cb ON cb.doc_id = d2
+    ),
+    basef AS MATERIALIZED (SELECT d1, d2 FROM base WHERE j >= {jm}),
+    strong AS MATERIALIZED (SELECT d1, d2 FROM base WHERE j >= {js}),
+    sym AS MATERIALIZED (
+        SELECT d1 AS a, d2 AS b FROM strong UNION SELECT d2, d1 FROM strong
+    ),
+    reach AS (
+        SELECT node AS d, node AS m
+        FROM (SELECT a AS node FROM sym GROUP BY 1) s0
+        UNION
+        SELECT r.d, s.b FROM reach r JOIN sym s ON s.a = r.m
+    ),
+    compin AS (SELECT d AS node, MIN(m) AS comp FROM reach GROUP BY d),
+    nodes AS MATERIALIZED (
+        -- DISTINCT over UNION ALL, not bare UNION: inside WITH RECURSIVE
+        -- DuckDB gives plain A-UNION-B CTEs recursive-union semantics and
+        -- does NOT dedup across the branches (repro: trap log in NOTES.md)
+        SELECT DISTINCT node
+        FROM (SELECT d1 AS node FROM basef UNION ALL SELECT d2 FROM basef) u
+    ),
+    comp AS MATERIALIZED (
+        SELECT n.node, COALESCE(c.comp, n.node) AS comp
+        FROM nodes n LEFT JOIN compin c ON c.node = n.node
+    ),
+    deg AS MATERIALIZED (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT d1 AS node FROM basef UNION ALL SELECT d2 FROM basef) e
+        GROUP BY 1
+    ),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM basef),
+    intra AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS e_in
+        FROM basef e
+        JOIN comp c1 ON c1.node = e.d1
+        JOIN comp c2 ON c2.node = e.d2
+        WHERE c1.comp = c2.comp
+    ),
+    dsum AS (
+        SELECT CAST(SUM(dc * dc) AS BIGINT) AS d2sum
+        FROM (SELECT c.comp, CAST(SUM(g.d) AS BIGINT) AS dc
+              FROM deg g JOIN comp c ON c.node = g.node GROUP BY 1) z
+    ),
+    nstats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(COUNT(DISTINCT comp) AS BIGINT) AS n_communities
+        FROM comp
+    )
+    SELECT mm.m AS n_edges, nstats.n_nodes, nstats.n_communities,
+           intra.e_in AS intra_edges,
+           ROUND((4 * mm.m * intra.e_in - dsum.d2sum) * 1.0E0
+                 / (4 * mm.m * mm.m), 6) AS modularity
+    FROM mm, intra, dsum, nstats
+    """
+
+
+@query(
+    "graph_modularity",
+    oracle=_modularity_oracle(),
+    tags=("graph", "clustering", "modularity"),
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the near-dup CLUSTERING evaluated on the
+    full candidate graph: communities = connected components of the
+    strong edges (4dp Jaccard ≥ {MOD_STRONG_J}), base graph = all scored
+    candidates ≥ {JACCARD_MIN}. Q = (4m·Σe_c − Σd_c²) / 4m² — the
+    numerator stays pure BIGINT (edge and degree counts), so the metric
+    is exact and oracle-hashable; this is the go/no-go statistic for "is
+    the dedup threshold carving real structure or noise" (Q≈0 → the
+    partition is no better than random).
+
+    Scale shape: reuses the session-shared scored-pair frame and the
+    hash-min component labels; the three count aggregations are
+    edge-linear with bounded keys. The oracle replays components as a
+    recursive CTE (MATERIALIZED guards per the k_core_peel trap).
+    """
+    from ..operators.graph import connected_components
+
+    counts = _sh_sizes(spark, sf_dir)
+    common = _sh_common_counts(spark, sf_dir)
+    jexpr = F.col("c") / (F.col("ca.n") + F.col("cb.n") - F.col("c"))
+    scored = (
+        common.join(counts.alias("ca"), F.col("d1") == F.col("ca.doc_id"))
+        .join(counts.alias("cb"), F.col("d2") == F.col("cb.doc_id"))
+        .select("d1", "d2", r4(jexpr).alias("j"))
+    )
+    scored = shared(spark, sf_dir, "jaccard_scored_all", lambda: scored)
+    base = scored.where(F.col("j") >= JACCARD_MIN).select("d1", "d2")
+    strong = scored.where(F.col("j") >= MOD_STRONG_J).select("d1", "d2")
+    cc = connected_components(strong)
+    nodes = (
+        base.select(F.col("d1").alias("node"))
+        .unionByName(base.select(F.col("d2").alias("node")))
+        .distinct()
+    )
+    comp = nodes.join(cc, "node", "left").select(
+        "node", F.coalesce("comp", F.col("node")).alias("comp")
+    )
+    deg = (
+        base.select(F.col("d1").alias("node"))
+        .unionByName(base.select(F.col("d2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    m = base.agg(F.count("*").cast("long").alias("m"))
+    c1, c2 = comp.alias("c1"), comp.alias("c2")
+    intra = (
+        base.join(c1, F.col("d1") == F.col("c1.node"))
+        .join(c2, F.col("d2") == F.col("c2.node"))
+        .where(F.col("c1.comp") == F.col("c2.comp"))
+        .agg(F.count("*").cast("long").alias("e_in"))
+    )
+    dsum = (
+        deg.join(comp, "node")
+        .groupBy("comp")
+        .agg(F.sum("d").cast("long").alias("dc"))
+        .agg(F.sum(F.col("dc") * F.col("dc")).cast("long").alias("d2sum"))
+    )
+    nstats = comp.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.countDistinct("comp").cast("long").alias("n_communities"),
+    )
+    return (
+        m.crossJoin(F.broadcast(intra))
+        .crossJoin(F.broadcast(dsum))
+        .crossJoin(F.broadcast(nstats))
+        .select(
+            F.col("m").alias("n_edges"),
+            "n_nodes",
+            "n_communities",
+            F.col("e_in").alias("intra_edges"),
+            r6(
+                (4 * F.col("m") * F.col("e_in") - F.col("d2sum"))
+                / (4 * F.col("m") * F.col("m"))
+            ).alias("modularity"),
+        )
+    )

@@ -1276,3 +1276,78 @@ def stream_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         (F.col("n_total") - F.col("n_on_time")).cast("long").alias("n_late_dropped"),
     )
+
+
+# --- clickstream path mining: top session 3-grams -----------------------------
+@query(
+    "session_path_ngrams",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+    ),
+    grams AS (
+        SELECT event_type AS e1,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM numbered
+        WINDOW w AS (PARTITION BY user_id, sess_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM grams WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    """,
+    tags=("clickstream", "ngram", "W8"),
+)
+def session_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 within-session event-type 3-grams — the clickstream path-
+    mining staple (what do users DO in a session, in order). Sessionize
+    by 30-min gap (gaps-and-islands, same contract as session_windows),
+    LEAD twice within (user, session) on the (ts, event_id) total order,
+    count paths globally. Two windows share one (user_id) shuffle and the
+    path count is a bounded-cardinality aggregate (|event_types|³ keys),
+    so the global top-k is a broadcastable final step at any corpus size.
+    """
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact µs arithmetic: an INTERVAL compare in the oracle must pair with
+    # unix_micros here, never a seconds/double cast (NOTES.md trap — pairs
+    # straddling the gap boundary by microseconds flip otherwise)
+    flagged = ev.withColumn(
+        "new_sess",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_ord)
+            >= 1_800_000_000
+        ).cast("int"),
+    ).withColumn(
+        "new_sess", F.coalesce("new_sess", F.lit(0))
+    )
+    numbered = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w_sess = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    grams = numbered.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w_sess).alias("e2"),
+        F.lead("event_type", 2).over(w_sess).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    return (
+        grams.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(20)
+    )
