@@ -253,6 +253,7 @@ _WINDOW_FRONT = (
     "stream_watermark_late_audit",
     "session_path_ngrams",
     "graph_modularity",
+    "plsa_em_step",
 )
 
 

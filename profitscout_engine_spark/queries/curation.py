@@ -1827,3 +1827,173 @@ def woe_iv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("dsh") * F.col("w")).alias("iv_term"),
         r4(F.sum(ivfix).over(Window.partitionBy()) / F.lit(1e9)).alias("iv_total"),
     )
+
+
+# --- one PLSA EM step (topic model) over hashed token buckets -----------------
+# The topic-model member of the one-ML-step family (bpe/svd/lr/als/kmeans/
+# pagerank): md5-derived initial distributions make both engines start from
+# the SAME model, responsibilities are fixed to 1e-9 integer units before
+# any sum (the accumulation-order rule), so the M-step is exact BIGINT
+# arithmetic and the updated topic-term distribution is value-hashable.
+PLSA_K = 3
+PLSA_B = 64  # hashed vocabulary buckets
+
+
+def _pl_hx(instr_fn: str, expr: str) -> str:
+    return f"({instr_fn}('0123456789abcdef', {expr}) - 1)"
+
+
+def _pl_bucket(instr_fn: str, tok: str) -> str:
+    bh = f"md5(concat('pl|', {tok}))"
+    return (
+        f"((16 * {_pl_hx(instr_fn, f'substr({bh}, 1, 1)')}"
+        f" + {_pl_hx(instr_fn, f'substr({bh}, 2, 1)')}) % {PLSA_B})"
+    )
+
+
+def _pl_theta_num(instr_fn: str, str_t: str, doc: str, t: int) -> str:
+    """Unnormalized doc-topic weight in 1..16 (md5-derived init)."""
+    h = f"md5(concat('plth|', cast({doc} AS {str_t}), '|', '{t}'))"
+    return f"(1 + {_pl_hx(instr_fn, f'substr({h}, 1, 1)')})"
+
+
+def _pl_phi_num(instr_fn: str, str_t: str, t: str, b: str) -> str:
+    """Unnormalized topic-bucket weight in 1..16 (md5-derived init)."""
+    h = (
+        f"md5(concat('plph|', cast({t} AS {str_t}), '|', cast({b} AS {str_t})))"
+    )
+    return f"(1 + {_pl_hx(instr_fn, f'substr({h}, 1, 1)')})"
+
+
+def _plsa_oracle() -> str:
+    instr, st = "strpos", "VARCHAR"
+    b = _pl_bucket(instr, "tok")
+    th = [_pl_theta_num(instr, st, "doc_id", t) for t in range(PLSA_K)]
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, {b} AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ),
+    phidim AS (
+        SELECT t.range AS t, bkt.range AS b,
+               {_pl_phi_num(instr, st, 't.range', 'bkt.range')} AS ph
+        FROM range(0, {PLSA_K}) t, range(0, {PLSA_B}) bkt
+    ),
+    phin AS (
+        SELECT t, b, ph * 1.0E0 / SUM(ph) OVER (PARTITION BY t) AS p
+        FROM phidim
+    ),
+    phiw AS (
+        SELECT b,
+               MAX(CASE WHEN t = 0 THEN p END) AS p0,
+               MAX(CASE WHEN t = 1 THEN p END) AS p1,
+               MAX(CASE WHEN t = 2 THEN p END) AS p2
+        FROM phin GROUP BY b
+    ),
+    estep AS (
+        SELECT c.bucket, c.n,
+               ({th[0]} * 1.0E0 / ({th[0]} + {th[1]} + {th[2]})) * p0 AS num0,
+               ({th[1]} * 1.0E0 / ({th[0]} + {th[1]} + {th[2]})) * p1 AS num1,
+               ({th[2]} * 1.0E0 / ({th[0]} + {th[1]} + {th[2]})) * p2 AS num2
+        FROM counts c JOIN phiw ON phiw.b = c.bucket
+    ),
+    rfix AS (
+        SELECT bucket,
+               n * CAST(FLOOR(num0 / (num0 + num1 + num2) * 1e9 + 0.5) AS BIGINT) AS c0,
+               n * CAST(FLOOR(num1 / (num0 + num1 + num2) * 1e9 + 0.5) AS BIGINT) AS c1,
+               n * CAST(FLOOR(num2 / (num0 + num1 + num2) * 1e9 + 0.5) AS BIGINT) AS c2
+        FROM estep
+    ),
+    mstep AS (
+        SELECT bucket,
+               CAST(SUM(c0) AS BIGINT) AS s0,
+               CAST(SUM(c1) AS BIGINT) AS s1,
+               CAST(SUM(c2) AS BIGINT) AS s2
+        FROM rfix GROUP BY bucket
+    )
+    SELECT bucket,
+           ROUND(s0 * 1.0E0 / SUM(s0) OVER (), 6) AS phi0_new,
+           ROUND(s1 * 1.0E0 / SUM(s1) OVER (), 6) AS phi1_new,
+           ROUND(s2 * 1.0E0 / SUM(s2) OVER (), 6) AS phi2_new
+    FROM mstep
+    """
+
+
+@query("plsa_em_step", oracle=_plsa_oracle(), tags=("curation", "topic-model", "ml-step"))
+def plsa_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PLSA EM iteration, K={PLSA_K} topics over {PLSA_B} hashed token
+    buckets: E-step responsibilities r(t|d,w) from md5-derived initial
+    θ_d / φ_t distributions, M-step re-estimate of φ. Fixed-order 3-term
+    sums keep the per-row E-step reproducible; responsibilities are fixed
+    to 1e-9 BIGINT units BEFORE the corpus sum, so the M-step is exact
+    integer arithmetic on both engines (the ml-step house rule).
+
+    Scale shape: one (doc, bucket) count shuffle (map-side combined), the
+    φ table is K×B rows broadcast, E-step is a map, M-step is a bounded-
+    key (B) aggregation — the same plan at any corpus size. The Spark
+    side is pure Column algebra; zero Python.
+    """
+    instr, st = "instr", "STRING"
+    bexpr = _pl_bucket(instr, "tok")
+    th = [_pl_theta_num(instr, st, "doc_id", t) for t in range(PLSA_K)]
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    counts = (
+        toks.select("doc_id", F.expr(bexpr).cast("long").alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    phidim = (
+        spark.range(PLSA_K)
+        .select(F.col("id").alias("t"))
+        .crossJoin(spark.range(PLSA_B).select(F.col("id").alias("b")))
+        .select("t", "b", F.expr(_pl_phi_num(instr, st, "t", "b")).alias("ph"))
+    )
+    wsum = Window.partitionBy("t")
+    phin = phidim.select(
+        "t", "b", (F.col("ph") * F.lit(1.0) / F.sum("ph").over(wsum)).alias("p")
+    )
+    phiw = phin.groupBy("b").agg(
+        F.max(F.when(F.col("t") == 0, F.col("p"))).alias("p0"),
+        F.max(F.when(F.col("t") == 1, F.col("p"))).alias("p1"),
+        F.max(F.when(F.col("t") == 2, F.col("p"))).alias("p2"),
+    )
+    thsum = f"({th[0]} + {th[1]} + {th[2]})"
+    estep = counts.join(F.broadcast(phiw), counts["bucket"] == phiw["b"]).select(
+        "bucket",
+        "n",
+        (F.expr(f"{th[0]} * 1.0E0 / {thsum}") * F.col("p0")).alias("num0"),
+        (F.expr(f"{th[1]} * 1.0E0 / {thsum}") * F.col("p1")).alias("num1"),
+        (F.expr(f"{th[2]} * 1.0E0 / {thsum}") * F.col("p2")).alias("num2"),
+    )
+    den = F.col("num0") + F.col("num1") + F.col("num2")
+    rfix = estep.select(
+        "bucket",
+        *[
+            (
+                F.col("n")
+                * F.floor(F.col(f"num{i}") / den * F.lit(1e9) + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias(f"c{i}")
+            for i in range(PLSA_K)
+        ],
+    )
+    mstep = rfix.groupBy("bucket").agg(
+        *[F.sum(f"c{i}").cast("long").alias(f"s{i}") for i in range(PLSA_K)]
+    )
+    wall = Window.partitionBy()
+    return mstep.select(
+        "bucket",
+        *[
+            r6(F.col(f"s{i}") * F.lit(1.0) / F.sum(f"s{i}").over(wall)).alias(
+                f"phi{i}_new"
+            )
+            for i in range(PLSA_K)
+        ],
+    )

@@ -154,3 +154,66 @@ def test_dim_truncation_recall_matches_numpy(spark, sf_dir):
         r = out[int(ids[qi])]
         assert r["n_overlap"] == n
         assert abs(r["recall_at_10"] - n / TRUNC_K) < 1e-9
+
+
+def test_plsa_em_step_matches_python(spark, sf_dir):
+    """Pure-Python replay of the EM step (same md5 init, same IEEE op
+    order, same 1e-9 fixing) must reproduce the query bit-for-bit."""
+    import hashlib
+    import math
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from profitscout_engine_spark.queries.curation import PLSA_B, PLSA_K
+
+    def hx(c):
+        return "0123456789abcdef".index(c)
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    con.close()
+
+    counts = Counter()
+    for did, text in docs:
+        for tok in text.split(" "):
+            if tok:
+                h = md5("pl|" + tok)
+                counts[(did, (16 * hx(h[0]) + hx(h[1])) % PLSA_B)] += 1
+
+    phsum = {
+        t: sum(1 + hx(md5(f"plph|{t}|{b}")[0]) for b in range(PLSA_B))
+        for t in range(PLSA_K)
+    }
+    p = {
+        (t, b): (1 + hx(md5(f"plph|{t}|{b}")[0])) * 1.0 / phsum[t]
+        for t in range(PLSA_K)
+        for b in range(PLSA_B)
+    }
+    s = defaultdict(lambda: [0, 0, 0])
+    for (did, b), n in counts.items():
+        th = [1 + hx(md5(f"plth|{did}|{t}")[0]) for t in range(PLSA_K)]
+        thsum = th[0] + th[1] + th[2]
+        num = [(th[t] * 1.0 / thsum) * p[(t, b)] for t in range(PLSA_K)]
+        den = num[0] + num[1] + num[2]
+        for t in range(PLSA_K):
+            s[b][t] += n * int(math.floor(num[t] / den * 1e9 + 0.5))
+    tot = [sum(s[b][t] for b in s) for t in range(PLSA_K)]
+
+    from profitscout_engine_spark.queries import load_registry
+
+    out = load_registry()["plsa_em_step"].fn(spark, sf_dir).collect()
+    assert len(out) == len(s)
+    for r in out:
+        b = r["bucket"]
+        for t in range(PLSA_K):
+            ref = math.floor(s[b][t] * 1.0 / tot[t] * 1e6 + 0.5) / 1e6
+            assert r[f"phi{t}_new"] == ref, (b, t)
+    # each updated topic-term distribution sums to 1 (rounding slack)
+    for t in range(PLSA_K):
+        assert abs(sum(r[f"phi{t}_new"] for r in out) - 1.0) < 1e-3
