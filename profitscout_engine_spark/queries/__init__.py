@@ -254,6 +254,7 @@ _WINDOW_FRONT = (
     "session_path_ngrams",
     "graph_modularity",
     "plsa_em_step",
+    "stream_heavy_hitters_cms",
 )
 
 

@@ -1131,3 +1131,156 @@ def kmv_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("intersection_est"),
         )
     )
+
+
+# --- streaming heavy hitters: count-min registers as GroupState --------------
+HH_TOPK = 10
+
+
+def _hh_oracle() -> str:
+    cells = " UNION ALL ".join(
+        f"SELECT u, exact_cnt, {s} AS seed, "
+        f"{_cms_bucket('strpos', s, 'u')} AS bucket FROM exact"
+        for s in range(1, CMS_D + 1)
+    )
+    return f"""
+    WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS u FROM events),
+    exact AS (SELECT u, CAST(count(*) AS BIGINT) AS exact_cnt FROM ev GROUP BY u),
+    cells AS ({cells}),
+    sketch AS (
+        SELECT seed, bucket, CAST(SUM(exact_cnt) AS BIGINT) AS cnt
+        FROM cells GROUP BY seed, bucket
+    ),
+    probed AS (
+        SELECT c.u, any_value(c.exact_cnt) AS exact_cnt,
+               CAST(min(s.cnt) AS BIGINT) AS est_cnt
+        FROM cells c JOIN sketch s ON s.seed = c.seed AND s.bucket = c.bucket
+        GROUP BY c.u
+    )
+    SELECT CAST(u AS BIGINT) AS user_id, est_cnt, exact_cnt,
+           CAST(est_cnt - exact_cnt AS BIGINT) AS overcount
+    FROM probed
+    ORDER BY est_cnt DESC, CAST(u AS BIGINT) LIMIT {HH_TOPK}
+    """
+
+
+@query(
+    "stream_heavy_hitters_cms",
+    oracle=_hh_oracle(),
+    tags=("sketch", "count-min", "streaming", "stateful"),
+)
+def stream_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter users from a STREAM through count-min registers held
+    as GroupState: each event derives its d=(seed, bucket) cells JVM-side,
+    an applyInPandasWithState keyed BY CELL accumulates the counter —
+    d·w = {CMS_D * CMS_W} bounded states total no matter how many users
+    or events stream through (the per-key-counts alternative grows with
+    user cardinality, which is exactly what kills streaming top-k at
+    scale). Counters are order-independent sums, so the streamed sketch
+    equals the batch sketch and the whole query is value-hashable.
+
+    After the stream drains, the DISTINCT user set probes the sketch
+    (min over rows) and the top-{HH_TOPK} by estimate is reported with
+    exact counts and the non-negative CM overcount. This is the
+    frequency twin of ``streaming_hll_users`` — together they give a
+    stream bounded-memory cardinality AND frequency at once.
+
+    Events arrive via the deterministic out-of-order 5-slice stage
+    (arrival order cannot matter and the multi-batch run proves it).
+    """
+    import tempfile
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..streaming import stream_events_shuffled
+
+    ev = stream_events_shuffled(spark, sf_dir, n_files=5).select(
+        F.col("user_id").cast("string").alias("u")
+    )
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        F.expr(_cms_bucket("instr", s, "u")).alias("bucket"),
+                    )
+                    for s in range(1, CMS_D + 1)
+                ]
+            )
+        ).alias("c")
+    ).select(F.col("c.seed").alias("seed"), F.col("c.bucket").alias("bucket"))
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seed, bucket = key
+        cnt = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame({"seed": [seed], "bucket": [bucket], "cnt": [cnt]})
+
+    reg_stream = cells.groupBy("seed", "bucket").applyInPandasWithState(
+        update,
+        outputStructType="seed int, bucket int, cnt long",
+        stateStructType="cnt long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"hhcms_{next(tempfile._get_candidate_names())}"
+    q = (
+        reg_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # counters are monotone; latest state == max over update emissions
+    sketch = (
+        spark.table(name)
+        .groupBy("seed", "bucket")
+        .agg(F.max("cnt").cast("long").alias("cnt"))
+    )
+    exact = (
+        t(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("string").alias("u"))
+        .groupBy("u")
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+    )
+    probe = exact.select(
+        "u",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        F.expr(_cms_bucket("instr", s, "u")).alias("bucket"),
+                    )
+                    for s in range(1, CMS_D + 1)
+                ]
+            )
+        ).alias("c"),
+    ).select("u", "exact_cnt", F.col("c.seed").alias("seed"), F.col("c.bucket").alias("bucket"))
+    probed = (
+        probe.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("u")
+        .agg(
+            F.first("exact_cnt").alias("exact_cnt"),
+            F.min("cnt").cast("long").alias("est_cnt"),
+        )
+    )
+    return (
+        probed.select(
+            F.col("u").cast("long").alias("user_id"),
+            "est_cnt",
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            (F.col("est_cnt") - F.col("exact_cnt")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.desc("est_cnt"), F.asc("user_id"))
+        .limit(HH_TOPK)
+    )
