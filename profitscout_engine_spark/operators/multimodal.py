@@ -224,3 +224,44 @@ def resize_nearest(payloads: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
 
     return payloads.mapInPandas(resize_batch, schema=RESIZE_SCHEMA)
+
+
+AUDIO_WIN = 64  # PCM samples per analysis window
+
+
+def audio_rms_windows(pcm: DataFrame) -> DataFrame:
+    """Arrow-batched windowed audio analysis over (doc_id, payload) where
+    the payload is raw unsigned-8-bit PCM: full AUDIO_WIN-sample windows
+    get an exact integer sum-of-squares (→ RMS) and peak amplitude. The
+    kernel is the audio member of the multimodal family — same opaque-
+    binary + mapInPandas plumbing as the PPM decode, one output row per
+    window. Defined as a closure for by-value cloudpickle shipping.
+    """
+    win = AUDIO_WIN
+
+    def analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            doc_ids, win_ids, sumsqs, peaks = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n_full = len(samples) // win
+                for w in range(n_full):
+                    seg = samples[w * win : (w + 1) * win].astype(np.int64)
+                    doc_ids.append(doc_id)
+                    win_ids.append(w)
+                    sumsqs.append(int((seg * seg).sum()))
+                    peaks.append(int(seg.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "win_id": pd.Series(win_ids, dtype="int64"),
+                    "sumsq": pd.Series(sumsqs, dtype="int64"),
+                    "peak": pd.Series(peaks, dtype="int64"),
+                }
+            )
+
+    return pcm.mapInPandas(
+        analyze, "doc_id long, win_id long, sumsq long, peak long"
+    )

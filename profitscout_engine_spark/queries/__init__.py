@@ -255,6 +255,7 @@ _WINDOW_FRONT = (
     "graph_modularity",
     "plsa_em_step",
     "stream_heavy_hitters_cms",
+    "audio_window_rms",
 )
 
 

@@ -17,7 +17,7 @@ from ..exprs import r4
 from ..operators.multimodal import FRAME_BYTES, decode_features, with_payload
 from ..operators.text import tokens, word_shingles
 from . import query
-from ._util import t
+from ._util import fan_out, t
 
 # Stopword voting lists for the language-ID heuristic (ASCII-only; the
 # heuristic is the deterministic contract — the fixture's `lang` label is
@@ -1248,4 +1248,56 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("pair"))
         .limit(BPE_PAIR_TOPK)
         .select("pair", "cnt", "merged_pair")
+    )
+
+
+# --- multimodal: windowed PCM audio analysis over the binary column -----------
+@query(
+    "audio_window_rms",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id,
+               unnest(generate_series(1, length(text) // 64 * 64)) AS i,
+               text
+        FROM documents
+    ),
+    samples AS (
+        SELECT doc_id, (i - 1) // 64 AS win_id,
+               CAST(ascii(substr(text, i, 1)) AS BIGINT) AS s
+        FROM chars
+    ),
+    w AS (
+        SELECT doc_id, win_id,
+               CAST(SUM(s * s) AS BIGINT) AS sumsq,
+               CAST(MAX(s) AS BIGINT) AS peak
+        FROM samples GROUP BY doc_id, win_id
+    )
+    SELECT doc_id, win_id, peak,
+           ROUND(sqrt(sumsq / 64.0E0), 4) AS rms
+    FROM w
+    """,
+    tags=("multimodal", "audio", "udf-arrow"),
+)
+def audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio analysis over the opaque binary column: the document's bytes
+    ride as an unsigned-8-bit PCM payload, an Arrow mapInPandas kernel
+    (operators/multimodal.audio_rms_windows) cuts full 64-sample windows
+    and emits exact integer sum-of-squares and peak per window; RMS is
+    derived from the integer sum so both engines agree bit-for-bit. The
+    oracle re-derives every window from the text's character codes.
+    Completes the multimodal family (image decode / resize / video frame
+    sample / audio windows) on the same opaque-binary contract: schema'd
+    payload, Arrow batch kernel, per-unit bounded output.
+    """
+    from ..operators.multimodal import audio_rms_windows
+
+    pcm = fan_out(spark, _docs(spark, sf_dir)).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    w = audio_rms_windows(pcm)
+    return w.select(
+        "doc_id",
+        "win_id",
+        "peak",
+        r4(F.sqrt(F.col("sumsq") / F.lit(64.0))).alias("rms"),
     )
