@@ -1949,9 +1949,11 @@ def plsa_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
     )
     phidim = (
-        spark.range(PLSA_K)
-        .select(F.col("id").alias("t"))
-        .crossJoin(spark.range(PLSA_B).select(F.col("id").alias("b")))
+        spark.range(PLSA_K * PLSA_B)  # single generator, no K×B cross join
+        .select(
+            (F.col("id") / PLSA_B).cast("long").alias("t"),
+            (F.col("id") % PLSA_B).cast("long").alias("b"),
+        )
         .select("t", "b", F.expr(_pl_phi_num(instr, st, "t", "b")).alias("ph"))
     )
     wsum = Window.partitionBy("t")

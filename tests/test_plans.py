@@ -109,6 +109,14 @@ _NL_JOIN_OK = {
     "join_size_estimate",
     # 1-row N / dof scalars cross-joined into the statistic row
     "chi_square_independence",
+    # two 64-block KMV sketch scalars (1-row each) cross-joined for the
+    # theta-style intersection estimate
+    "kmv_intersect_users",
+    # declared brute-force eval yardstick: sampled-query × corpus pair scan
+    # (the production search path is the LSH/IVF family)
+    "dim_truncation_recall",
+    # four 1-row count/degree scalars cross-joined into the Q statistic row
+    "graph_modularity",
     # 24-row lag table non-equi-joined against the bounded hourly-count frame
     "autocorrelation_acf",
     # 1-row global-scalar cross join (corpus total for cell share)
