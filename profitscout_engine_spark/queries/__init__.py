@@ -256,6 +256,7 @@ _WINDOW_FRONT = (
     "plsa_em_step",
     "stream_heavy_hitters_cms",
     "audio_window_rms",
+    "two_stage_rerank",
 )
 
 

@@ -3172,3 +3172,121 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("modularity"),
         )
     )
+
+
+# ---- two-stage retrieval: IVF-PQ candidate gen → exact rerank ----------------
+RERANK_POOL = 10  # stage-1 ADC pool size per query (exact rerank input)
+
+
+def _two_stage_oracle() -> str:
+    cos = _cosine_sql("ea.v", "eb.v")
+    return f"""
+    WITH {_IVF_ASSIGN_CTES},
+    {_PQ_CTES},
+    cand AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM assign a JOIN assign b
+          ON a.c_label = b.c_label AND a.vec_id <> b.vec_id
+    ),
+    adc AS (
+        SELECT c.a_id, c.b_id, SUM(da.dfix) AS sfix
+        FROM cand c
+        JOIN pqcodes pc ON pc.vec_id = c.b_id
+        JOIN pqd da ON da.vec_id = c.a_id AND da.m = pc.m AND da.k = pc.k
+        GROUP BY 1, 2
+    ),
+    pool AS (
+        SELECT a_id, b_id, sfix,
+               ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY sfix, b_id)
+                   AS adc_rank
+        FROM adc
+    ),
+    rerank AS (
+        SELECT p.a_id, p.b_id, p.adc_rank,
+               ROUND({cos}, 6) AS sim
+        FROM pool p
+        JOIN e ea ON ea.vec_id = p.a_id
+        JOIN e eb ON eb.vec_id = p.b_id
+        WHERE p.adc_rank <= {RERANK_POOL}
+    )
+    SELECT a_id, b_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id)
+                AS BIGINT) AS rank,
+           CAST(adc_rank AS BIGINT) AS adc_rank, sim
+    FROM rerank
+    QUALIFY rank <= {LSH_TOPK}
+    """
+
+
+@query(
+    "two_stage_rerank",
+    oracle=_two_stage_oracle(),
+    tags=("similarity", "ivf-pq", "rerank", "serving"),
+)
+def two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN SERVING shape: stage 1 generates a cheap
+    candidate pool per query from IVF routing + PQ asymmetric distances
+    (codes only — raw vectors never shuffled), stage 2 re-scores ONLY the
+    top-{RERANK_POOL} pool with exact cosine over the raw vectors and
+    emits the final top-{LSH_TOPK}. The output keeps each survivor's
+    stage-1 `adc_rank` next to its exact rank, so the rerank's effect
+    (quantization-error rank swaps) is itself observable and tested.
+
+    Scale shape: stage-2 exact work is queries × {RERANK_POOL} rows —
+    independent of corpus size — which is precisely why serving systems
+    rerank a bounded pool instead of trusting the quantized order. The
+    exact cosine rides the sequential fold (bit-identical to the
+    oracle's list_dot_product); the Python-free hot path stays JVM-side.
+    """
+    from ..operators.skew import skewsafe_directed_pairs
+
+    assign = _ivf_assignments(spark, sf_dir).select("vec_id", "assigned_label")
+    a = assign.select(F.col("vec_id").alias("a_id"), F.col("assigned_label").alias("lst"))
+    b = assign.select(F.col("vec_id").alias("b_id"), F.col("assigned_label").alias("lst"))
+    cand = skewsafe_directed_pairs(
+        a, b, key="lst", probe_id="a_id", build_id="b_id", hot_size=IVF_HOT_LIST
+    )
+    codes_b = _pq_codes(spark, sf_dir).select(F.col("vec_id").alias("b_id"), "m", "k")
+    dists_a = _pq_dists(spark, sf_dir).select(
+        F.col("vec_id").alias("a_id"), "m", "k", "dfix"
+    )
+    par = spark.sparkContext.defaultParallelism
+    adc = (
+        cand.repartition(par, "a_id")
+        .join(codes_b, "b_id")
+        .join(dists_a, ["a_id", "m", "k"])
+        .groupBy("a_id", "b_id")
+        .agg(F.sum("dfix").alias("sfix"))
+    )
+    w_adc = Window.partitionBy("a_id").orderBy(F.asc("sfix"), F.asc("b_id"))
+    pool = (
+        adc.withColumn("adc_rank", F.row_number().over(w_adc).cast("long"))
+        .where(F.col("adc_rank") <= RERANK_POOL)
+        .select("a_id", "b_id", "adc_rank")
+    )
+    ea = _vecs(spark, sf_dir).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("va"),
+        sim.fold_norm("v").alias("na"),
+    )
+    eb = _vecs(spark, sf_dir).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("vb"),
+        sim.fold_norm("v").alias("nb"),
+    )
+    rer = (
+        pool.join(ea, "a_id")
+        .join(eb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "adc_rank",
+            r6(sim.fold_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
+    )
+    w_fin = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w_fin).cast("long"))
+        .where(F.col("rank") <= LSH_TOPK)
+        .select("a_id", "b_id", "rank", "adc_rank", "sim")
+    )

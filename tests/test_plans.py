@@ -91,6 +91,8 @@ _NL_JOIN_OK = {
     # vector — the PQ analogue of the k-centroid routing broadcast
     "pq_encode",
     "ivfpq_search",
+    # same IVF routing + PQ codebook broadcasts feeding the bounded rerank pool
+    "two_stage_rerank",
     # 10-centroid IVF routing broadcast (clustering stage of SemDeDup)
     "semantic_dedup",
     # same k-centroid broadcast routing shape as the IVF build

@@ -217,3 +217,22 @@ def test_plsa_em_step_matches_python(spark, sf_dir):
     # each updated topic-term distribution sums to 1 (rounding slack)
     for t in range(PLSA_K):
         assert abs(sum(r[f"phi{t}_new"] for r in out) - 1.0) < 1e-3
+
+
+def test_two_stage_rerank_invariants(spark, sf_dir):
+    """Final survivors come from the stage-1 pool, exact ranks are dense
+    and sims non-increasing per query; adc_rank is the stage-1 position."""
+    from profitscout_engine_spark.queries.similarity import LSH_TOPK, RERANK_POOL
+
+    rows = REGISTRY["two_stage_rerank"].fn(spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["a_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= LSH_TOPK
+        sims = [r["sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(1 <= r["adc_rank"] <= RERANK_POOL for r in rs)
