@@ -257,6 +257,7 @@ _WINDOW_FRONT = (
     "stream_heavy_hitters_cms",
     "audio_window_rms",
     "two_stage_rerank",
+    "dbscan_core_points",
 )
 
 

@@ -3290,3 +3290,106 @@ def two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= LSH_TOPK)
         .select("a_id", "b_id", "rank", "adc_rank", "sim")
     )
+
+
+# ---- DBSCAN role classification over the ε-neighbor graph --------------------
+DBSCAN_EPS_J = 0.2  # ε: 4dp Jaccard at/above which docs are neighbors
+DBSCAN_MINPTS = 3  # core threshold (neighbors excluding self)
+
+
+def _dbscan_oracle() -> str:
+    eps, mp = DBSCAN_EPS_J, DBSCAN_MINPTS
+    return f"""
+    WITH {_SHINGLES_CTE},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT d1, d2
+        FROM common
+        JOIN counts ca ON ca.doc_id = d1
+        JOIN counts cb ON cb.doc_id = d2
+        WHERE FLOOR((c * 1.0 / (ca.n + cb.n - c)) * 1e4 + 0.5) / 1e4 >= {eps}
+    ),
+    nbr AS (SELECT d1 AS v, d2 AS u FROM edges UNION ALL SELECT d2, d1 FROM edges),
+    degs AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_neighbors FROM nbr GROUP BY v),
+    core AS (SELECT v FROM degs WHERE n_neighbors >= {mp}),
+    border AS (
+        SELECT DISTINCT n.v
+        FROM nbr n JOIN core c ON c.v = n.u
+        WHERE n.v NOT IN (SELECT v FROM core)
+    )
+    SELECT d.doc_id,
+           COALESCE(g.n_neighbors, 0) AS n_neighbors,
+           CASE WHEN d.doc_id IN (SELECT v FROM core) THEN 'core'
+                WHEN d.doc_id IN (SELECT v FROM border) THEN 'border'
+                ELSE 'noise' END AS role
+    FROM documents d LEFT JOIN degs g ON g.v = d.doc_id
+    """
+
+
+@query(
+    "dbscan_core_points",
+    oracle=_dbscan_oracle(),
+    tags=("clustering", "dbscan", "dedup"),
+)
+def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN role classification (core / border / noise) over the
+    Jaccard ε-neighbor graph: ε = {DBSCAN_EPS_J} on the 4dp-rounded
+    score, minPts = {DBSCAN_MINPTS}. The neighbor list is COMPLETE for
+    any ε > 0 because every pair with positive Jaccard shares a shingle
+    and therefore appears in the inverted-index candidates — the
+    density-clustering member of the dedup family, sharing the
+    session-shared scored-pair frame (zero extra pair generation).
+
+    Scale shape: degree count + one semi-join for border detection —
+    edge-linear, no iteration (full DBSCAN expansion = our
+    connected-components operator over core-core edges; the role table
+    here is its gatekeeper and the expensive part at 100 TB).
+    """
+    counts = _sh_sizes(spark, sf_dir)
+    common = _sh_common_counts(spark, sf_dir)
+    jexpr = F.col("c") / (F.col("ca.n") + F.col("cb.n") - F.col("c"))
+    scored = (
+        common.join(counts.alias("ca"), F.col("d1") == F.col("ca.doc_id"))
+        .join(counts.alias("cb"), F.col("d2") == F.col("cb.doc_id"))
+        .select("d1", "d2", r4(jexpr).alias("j"))
+    )
+    scored = shared(spark, sf_dir, "jaccard_scored_all", lambda: scored)
+    edges = scored.where(F.col("j") >= DBSCAN_EPS_J).select("d1", "d2")
+    nbr = edges.select(F.col("d1").alias("v"), F.col("d2").alias("u")).unionByName(
+        edges.select(F.col("d2").alias("v"), F.col("d1").alias("u"))
+    )
+    degs = nbr.groupBy("v").agg(F.count("*").cast("long").alias("n_neighbors"))
+    core = degs.where(F.col("n_neighbors") >= DBSCAN_MINPTS).select("v")
+    border = (
+        nbr.join(core.withColumnRenamed("v", "u"), "u", "left_semi")
+        .select("v")
+        .join(core, "v", "left_anti")
+        .distinct()
+    )
+    docs = _docs(spark, sf_dir).select("doc_id")
+    role = (
+        docs.join(degs.withColumnRenamed("v", "doc_id"), "doc_id", "left")
+        .join(
+            core.withColumnRenamed("v", "doc_id").withColumn("_core", F.lit(1)),
+            "doc_id",
+            "left",
+        )
+        .join(
+            border.withColumnRenamed("v", "doc_id").withColumn("_border", F.lit(1)),
+            "doc_id",
+            "left",
+        )
+    )
+    return role.select(
+        "doc_id",
+        F.coalesce("n_neighbors", F.lit(0)).cast("long").alias("n_neighbors"),
+        F.when(F.col("_core") == 1, "core")
+        .when(F.col("_border") == 1, "border")
+        .otherwise("noise")
+        .alias("role"),
+    )
