@@ -26,7 +26,12 @@ from profitscout_engine_spark.session import get_spark
 # and they dominate wall time quadratically as sf grows — set
 # BENCH_SKIP_YARDSTICKS=1 to exclude them when bumping the scale factor
 # so the suite total keeps measuring the scale-path plans.
-_YARDSTICKS = ("cosine_topk", "embedding_neardup_pairs", "dim_truncation_recall")
+_YARDSTICKS = (
+    "cosine_topk",
+    "embedding_neardup_pairs",
+    "dim_truncation_recall",
+    "ann_recall_curve",
+)
 
 
 def main() -> None:

@@ -258,6 +258,7 @@ _WINDOW_FRONT = (
     "audio_window_rms",
     "two_stage_rerank",
     "dbscan_core_points",
+    "ann_recall_curve",
 )
 
 

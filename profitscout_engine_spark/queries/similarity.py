@@ -3393,3 +3393,92 @@ def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("noise")
         .alias("role"),
     )
+
+
+# ---- index-family self-evaluation: recall@k vs the brute-force truth ---------
+RECALL_K = 3
+
+
+def _recall_curve_oracle() -> str:
+    from . import REGISTRY
+
+    truth = REGISTRY["cosine_topk"].oracle
+    ivf = REGISTRY["ivf_search_topk"].oracle
+    pq = REGISTRY["ivfpq_search"].oracle
+    k = RECALL_K
+    return f"""
+    WITH truth AS (
+        SELECT a_id, b_id FROM ({truth}) t WHERE rank <= {k}
+    ),
+    m_ivf AS (
+        SELECT a_id, b_id FROM ({ivf}) i WHERE rank <= {k}
+    ),
+    m_pq AS (
+        SELECT a_id, b_id FROM ({pq}) p WHERE rank <= {k}
+    ),
+    qs AS (SELECT DISTINCT a_id FROM truth),
+    hi AS (
+        SELECT t.a_id, CAST(COUNT(*) AS BIGINT) AS hits
+        FROM truth t JOIN m_ivf m ON m.a_id = t.a_id AND m.b_id = t.b_id
+        GROUP BY t.a_id
+    ),
+    hp AS (
+        SELECT t.a_id, CAST(COUNT(*) AS BIGINT) AS hits
+        FROM truth t JOIN m_pq m ON m.a_id = t.a_id AND m.b_id = t.b_id
+        GROUP BY t.a_id
+    )
+    SELECT qs.a_id,
+           COALESCE(hi.hits, 0) AS hits_ivf,
+           COALESCE(hp.hits, 0) AS hits_ivfpq,
+           ROUND(COALESCE(hi.hits, 0) / {k}.0E0, 4) AS recall_ivf,
+           ROUND(COALESCE(hp.hits, 0) / {k}.0E0, 4) AS recall_ivfpq
+    FROM qs LEFT JOIN hi ON hi.a_id = qs.a_id LEFT JOIN hp ON hp.a_id = qs.a_id
+    """
+
+
+@query(
+    "ann_recall_curve",
+    oracle=_recall_curve_oracle(),
+    tags=("similarity", "eval", "recall"),
+)
+def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@{RECALL_K} of the scale-path indexes (IVF exact-
+    rescoring search and IVF-PQ asymmetric-distance search) against the
+    brute-force cosine truth — the engine evaluating its own index
+    family in one driver-verifiable table, rather than only in pytest
+    recall-floor assertions. Composes the registered queries (and their
+    session-shared frames), so the marginal cost over running the three
+    searches is two small join-counts.
+
+    DECLARED EVAL YARDSTICK: the truth side is the O(n²) brute scan
+    (bench-skippable); production reads the recall column from a sampled
+    run like this one before trusting an index rollout.
+    """
+    truth = cosine_topk(spark, sf_dir).where(F.col("rank") <= RECALL_K).select(
+        "a_id", "b_id"
+    )
+    m_ivf = ivf_search_topk(spark, sf_dir).where(F.col("rank") <= RECALL_K).select(
+        "a_id", "b_id"
+    )
+    m_pq = ivfpq_search(spark, sf_dir).where(F.col("rank") <= RECALL_K).select(
+        "a_id", "b_id"
+    )
+    qs = truth.select("a_id").distinct()
+    hi = truth.join(m_ivf, ["a_id", "b_id"]).groupBy("a_id").agg(
+        F.count("*").cast("long").alias("hits_ivf")
+    )
+    hp = truth.join(m_pq, ["a_id", "b_id"]).groupBy("a_id").agg(
+        F.count("*").cast("long").alias("hits_ivfpq")
+    )
+    k = float(RECALL_K)
+    return (
+        qs.join(hi, "a_id", "left")
+        .join(hp, "a_id", "left")
+        .select(
+            "a_id",
+            F.coalesce("hits_ivf", F.lit(0)).cast("long").alias("hits_ivf"),
+            F.coalesce("hits_ivfpq", F.lit(0)).cast("long").alias("hits_ivfpq"),
+            r4(F.coalesce("hits_ivf", F.lit(0)) / F.lit(k)).alias("recall_ivf"),
+            r4(F.coalesce("hits_ivfpq", F.lit(0)) / F.lit(k)).alias("recall_ivfpq"),
+        )
+    )

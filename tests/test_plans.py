@@ -93,6 +93,8 @@ _NL_JOIN_OK = {
     "ivfpq_search",
     # same IVF routing + PQ codebook broadcasts feeding the bounded rerank pool
     "two_stage_rerank",
+    # composes the brute yardstick + both IVF searches (their documented shapes)
+    "ann_recall_curve",
     # 10-centroid IVF routing broadcast (clustering stage of SemDeDup)
     "semantic_dedup",
     # same k-centroid broadcast routing shape as the IVF build
