@@ -21,7 +21,7 @@ from profitscout_engine_spark.session import get_spark
 
 
 
-# The two declared O(n²) brute-force yardsticks (SURVEY §2 similarity
+# The declared O(n²) brute-force / eval yardsticks (SURVEY §2 similarity
 # baselines). They exist to pin LSH/IVF recall, not as production paths,
 # and they dominate wall time quadratically as sf grows — set
 # BENCH_SKIP_YARDSTICKS=1 to exclude them when bumping the scale factor
