@@ -259,6 +259,7 @@ _WINDOW_FRONT = (
     "two_stage_rerank",
     "dbscan_core_points",
     "ann_recall_curve",
+    "lsh_s_curve_audit",
 )
 
 

@@ -3482,3 +3482,92 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.coalesce("hits_ivfpq", F.lit(0)) / F.lit(k)).alias("recall_ivfpq"),
         )
     )
+
+
+# ---- LSH design audit: observed band-candidate rate vs the S-curve -----------
+def _s_curve_oracle() -> str:
+    from ..operators.text import MINHASH_BANDS, MINHASH_ROWS
+
+    b, r = MINHASH_BANDS, MINHASH_ROWS
+    return f"""
+    WITH RECURSIVE {_minhash_bands_ctes()},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS MATERIALIZED (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS MATERIALIZED (
+        SELECT d1, d2,
+               FLOOR((c * 1.0 / (ca.n + cb.n - c)) * 1e4 + 0.5) / 1e4 AS j
+        FROM common
+        JOIN counts ca ON ca.doc_id = d1
+        JOIN counts cb ON cb.doc_id = d2
+    ),
+    mh AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    ),
+    tagged AS (
+        SELECT least(CAST(FLOOR(s.j * 10) AS BIGINT), 9) AS bin,
+               CASE WHEN m.d1 IS NOT NULL THEN 1 ELSE 0 END AS is_cand,
+               CAST(FLOOR((1.0E0 - POWER(1.0E0 - POWER(s.j, {r}), {b}))
+                          * 1e9 + 0.5) AS BIGINT) AS pfix
+        FROM scored s
+        LEFT JOIN mh m ON m.d1 = s.d1 AND m.d2 = s.d2
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(is_cand) AS BIGINT) AS n_candidates,
+           ROUND(SUM(is_cand) * 1.0E0 / COUNT(*), 4) AS obs_rate,
+           ROUND(CAST(SUM(pfix) AS BIGINT) / 1e9 / COUNT(*), 4) AS exp_rate
+    FROM tagged
+    GROUP BY bin
+    """
+
+
+@query(
+    "lsh_s_curve_audit",
+    oracle=_s_curve_oracle(),
+    tags=("dedup", "minhash-lsh", "tuning"),
+)
+def lsh_s_curve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH DESIGN audit: per Jaccard decile, the observed MinHash band-
+    candidate rate against the theoretical S-curve
+    p(j) = 1 − (1 − j^rows)^bands for the current (bands, rows) config —
+    the table a pipeline reads before changing its banding (too many
+    low-J candidates → more rows/band; missing high-J pairs → more
+    bands). Ground truth is the complete inverted-index pair set (every
+    positive-Jaccard pair shares a shingle); per-pair theory values are
+    fixed to 1e-9 BIGINT before the bin average, so expected and
+    observed rates are both exactly oracle-hashable. Reuses the two
+    session-shared frames (scored pairs + band candidates); marginal
+    cost is one left join and a 10-key aggregate.
+    """
+    from ..operators.text import MINHASH_BANDS, MINHASH_ROWS
+
+    b, r = MINHASH_BANDS, MINHASH_ROWS
+    counts = _sh_sizes(spark, sf_dir)
+    common = _sh_common_counts(spark, sf_dir)
+    jexpr = F.col("c") / (F.col("ca.n") + F.col("cb.n") - F.col("c"))
+    scored = (
+        common.join(counts.alias("ca"), F.col("d1") == F.col("ca.doc_id"))
+        .join(counts.alias("cb"), F.col("d2") == F.col("cb.doc_id"))
+        .select("d1", "d2", r4(jexpr).alias("j"))
+    )
+    scored = shared(spark, sf_dir, "jaccard_scored_all", lambda: scored)
+    mh = _mh_pairs(spark, sf_dir).select("d1", "d2").withColumn("_c", F.lit(1))
+    p = F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(F.col("j"), F.lit(r)), F.lit(b))
+    tagged = scored.join(mh, ["d1", "d2"], "left").select(
+        F.least(F.floor(F.col("j") * 10).cast("long"), F.lit(9)).alias("bin"),
+        F.coalesce("_c", F.lit(0)).alias("is_cand"),
+        F.floor(p * F.lit(1e9) + F.lit(0.5)).cast("long").alias("pfix"),
+    )
+    return tagged.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("is_cand").cast("long").alias("n_candidates"),
+        r4(F.sum("is_cand") / F.count("*")).alias("obs_rate"),
+        r4(F.sum("pfix").cast("long") / F.lit(1e9) / F.count("*")).alias("exp_rate"),
+    )
