@@ -3489,6 +3489,9 @@ def _s_curve_oracle() -> str:
     from ..operators.text import MINHASH_BANDS, MINHASH_ROWS
 
     b, r = MINHASH_BANDS, MINHASH_ROWS
+    # the SQL below expands p(j)=1-(1-j^r)^b as explicit products (libm
+    # POWER may differ by an ULP across engines) and hardcodes r=b=4
+    assert r == 4 and b == 4, "S-curve oracle expansion hardcodes rows=bands=4"
     return f"""
     WITH RECURSIVE {_minhash_bands_ctes()},
     counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
@@ -3513,7 +3516,10 @@ def _s_curve_oracle() -> str:
     tagged AS (
         SELECT least(CAST(FLOOR(s.j * 10) AS BIGINT), 9) AS bin,
                CASE WHEN m.d1 IS NOT NULL THEN 1 ELSE 0 END AS is_cand,
-               CAST(FLOOR((1.0E0 - POWER(1.0E0 - POWER(s.j, {r}), {b}))
+               CAST(FLOOR((1.0E0 - ((1.0E0 - (s.j*s.j)*(s.j*s.j))
+                                     * (1.0E0 - (s.j*s.j)*(s.j*s.j)))
+                                  * ((1.0E0 - (s.j*s.j)*(s.j*s.j))
+                                     * (1.0E0 - (s.j*s.j)*(s.j*s.j))))
                           * 1e9 + 0.5) AS BIGINT) AS pfix
         FROM scored s
         LEFT JOIN mh m ON m.d1 = s.d1 AND m.d2 = s.d2
@@ -3559,7 +3565,13 @@ def lsh_s_curve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = shared(spark, sf_dir, "jaccard_scored_all", lambda: scored)
     mh = _mh_pairs(spark, sf_dir).select("d1", "d2").withColumn("_c", F.lit(1))
-    p = F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(F.col("j"), F.lit(r)), F.lit(b))
+    # Explicit products, not pow(): multiplication is correctly rounded on
+    # both engines while libm pow() may differ by an ULP — enough to flip
+    # the 1e-9 fixing at a boundary. Tree mirrors the oracle exactly.
+    assert r == 4 and b == 4, "S-curve expansion hardcodes rows=bands=4"
+    j4 = (F.col("j") * F.col("j")) * (F.col("j") * F.col("j"))
+    q1 = F.lit(1.0) - j4  # 1 - j^rows
+    p = F.lit(1.0) - (q1 * q1) * (q1 * q1)  # 1 - (1-j^rows)^bands
     tagged = scored.join(mh, ["d1", "d2"], "left").select(
         F.least(F.floor(F.col("j") * 10).cast("long"), F.lit(9)).alias("bin"),
         F.coalesce("_c", F.lit(0)).alias("is_cand"),
