@@ -260,6 +260,7 @@ _WINDOW_FRONT = (
     "dbscan_core_points",
     "ann_recall_curve",
     "lsh_s_curve_audit",
+    "source_minhash_similarity",
 )
 
 

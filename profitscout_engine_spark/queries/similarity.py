@@ -3583,3 +3583,116 @@ def lsh_s_curve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.sum("is_cand") / F.count("*")).alias("obs_rate"),
         r4(F.sum("pfix").cast("long") / F.lit(1e9) / F.count("*")).alias("exp_rate"),
     )
+
+
+# ---- dataset-level overlap: per-source corpus MinHash signatures -------------
+def _source_minhash_oracle() -> str:
+    mins = ",\n               ".join(
+        f"MIN(md5('{s}|' || shingle)) AS h{s}" for s in range(tx.MINHASH_K)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.h{s} = b.h{s} THEN 1 ELSE 0 END)"
+        for s in range(tx.MINHASH_K)
+    )
+    k = tx.MINHASH_K
+    return f"""
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+                  FROM documents),
+    sh_all AS (
+        SELECT source, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        FROM toks, UNNEST(range(1, greatest(len(tk) - 1, 1))) AS u(i)
+    ),
+    ssh AS (SELECT DISTINCT source, shingle FROM sh_all),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ssh GROUP BY 1),
+    sig AS (
+        SELECT source,
+               {mins}
+        FROM ssh GROUP BY source
+    ),
+    inter AS (
+        SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ssh a JOIN ssh b ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2
+    ),
+    prs AS (
+        SELECT a.source AS s1, b.source AS s2, ({matches}) AS slots
+        FROM sig a JOIN sig b ON a.source < b.source
+    )
+    SELECT p.s1, p.s2,
+           CAST(p.slots AS BIGINT) AS n_matching_slots,
+           ROUND(p.slots * 1.0E0 / {k}, 4) AS est_jaccard,
+           ROUND(COALESCE(i.c, 0) * 1.0E0
+                 / (za.n + zb.n - COALESCE(i.c, 0)), 4) AS exact_jaccard
+    FROM prs p
+    LEFT JOIN inter i ON i.s1 = p.s1 AND i.s2 = p.s2
+    JOIN sizes za ON za.source = p.s1
+    JOIN sizes zb ON zb.source = p.s2
+    """
+
+
+@query(
+    "source_minhash_similarity",
+    oracle=_source_minhash_oracle(),
+    tags=("dedup", "minhash", "dataset-overlap"),
+)
+def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET-level overlap: one {MINHASH_K}-slot MinHash signature per
+    SOURCE (min over every shingle the source contains — signatures of a
+    union are the elementwise min, so per-source signatures are mergeable
+    exactly like HLL registers), pairwise matching-slot estimates next to
+    the exact shingle-set Jaccard. This is the mixture-design question —
+    "which corpus sources duplicate each other?" — answered from
+    fixed-size sketches: at 100 TB each source folds to K hashes in one
+    aggregation pass, the pair table is |sources|², and the exact column
+    here exists to audit the estimator (production drops it).
+    """
+    import profitscout_engine_spark.operators.text as txo
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    ssh = (
+        d.select("source", txo.tokens(F.col("text")).alias("tk"))
+        .select("source", F.explode(txo.word_shingles()).alias("shingle"))
+        .distinct()
+    )
+    sizes = ssh.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    sig = ssh.groupBy("source").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"h{s}")
+            for s in range(txo.MINHASH_K)
+        ]
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    slots = None
+    for s in range(txo.MINHASH_K):
+        term = (F.col(f"a.h{s}") == F.col(f"b.h{s}")).cast("int")
+        slots = term if slots is None else slots + term
+    prs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("s1"),
+        F.col("b.source").alias("s2"),
+        slots.alias("slots"),
+    )
+    i1, i2 = ssh.alias("i1"), ssh.alias("i2")
+    inter = (
+        i1.join(
+            i2,
+            (F.col("i1.shingle") == F.col("i2.shingle"))
+            & (F.col("i1.source") < F.col("i2.source")),
+        )
+        .groupBy(F.col("i1.source").alias("s1"), F.col("i2.source").alias("s2"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    za = sizes.select(F.col("source").alias("s1"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("source").alias("s2"), F.col("n").alias("nb"))
+    c0 = F.coalesce("c", F.lit(0))
+    return (
+        prs.join(inter, ["s1", "s2"], "left")
+        .join(F.broadcast(za), "s1")
+        .join(F.broadcast(zb), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.col("slots").cast("long").alias("n_matching_slots"),
+            r4(F.col("slots") / F.lit(float(txo.MINHASH_K))).alias("est_jaccard"),
+            r4(c0 / (F.col("na") + F.col("nb") - c0)).alias("exact_jaccard"),
+        )
+    )
