@@ -3447,8 +3447,10 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force cosine truth — the engine evaluating its own index
     family in one driver-verifiable table, rather than only in pytest
     recall-floor assertions. Composes the registered queries (and their
-    session-shared frames), so the marginal cost over running the three
-    searches is two small join-counts.
+    session-shared frames — the IVF searches score candidates through
+    their documented Arrow-batched packed dot, which this composition
+    inherits), so the marginal cost over running the three searches is
+    two small join-counts.
 
     DECLARED EVAL YARDSTICK: the truth side is the O(n²) brute scan
     (bench-skippable); production reads the recall column from a sampled
