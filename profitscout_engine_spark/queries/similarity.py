@@ -104,6 +104,26 @@ def _sh_common_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared(spark, sf_dir, "sh_common_counts", build)
 
 
+
+def _jaccard_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d1, d2, j) — 4dp-rounded exact Jaccard over ALL inverted-index
+    candidate pairs, built once per session (shared frame). The single
+    definition serves the threshold sweep, modularity, DBSCAN roles and
+    the S-curve audit — duplicated builders risked divergent definitions
+    silently sharing one cache key (code-review finding, round 4)."""
+
+    def build() -> DataFrame:
+        counts = _sh_sizes(spark, sf_dir)
+        common = _sh_common_counts(spark, sf_dir)
+        jexpr = F.col("c") / (F.col("ca.n") + F.col("cb.n") - F.col("c"))
+        return (
+            common.join(counts.alias("ca"), F.col("d1") == F.col("ca.doc_id"))
+            .join(counts.alias("cb"), F.col("d2") == F.col("cb.doc_id"))
+            .select("d1", "d2", r4(jexpr).alias("j"))
+        )
+
+    return shared(spark, sf_dir, "jaccard_scored_all", build)
+
 def _lsh_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(d1 < d2, sim_raw) — exact cosine over the UNDIRECTED hyperplane-LSH
     candidate set, scored once per session. The dot is symmetric, so the
@@ -1978,15 +1998,7 @@ def threshold_sweep_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 4dp-rounded score on both engines."""
     from ..operators.graph import connected_components
 
-    counts = _sh_sizes(spark, sf_dir)
-    common = _sh_common_counts(spark, sf_dir)
-    jexpr = F.col("c") / (F.col("ca.n") + F.col("cb.n") - F.col("c"))
-    scored = (
-        common.join(counts.alias("ca"), F.col("d1") == F.col("ca.doc_id"))
-        .join(counts.alias("cb"), F.col("d2") == F.col("cb.doc_id"))
-        .select("d1", "d2", r4(jexpr).alias("j"))
-    )
-    scored = shared(spark, sf_dir, "jaccard_scored_all", lambda: scored)
+    scored = _jaccard_scored(spark, sf_dir)
     # ALL levels propagate in ONE loop: tag each edge with every threshold
     # it survives and key the label frame on the composite (level, node) —
     # the round count becomes the MAX component diameter across levels
@@ -2488,7 +2500,7 @@ def stream_dedup_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from ..streaming import stream_documents_ordered
+    from ..streaming import drain, stream_documents_ordered
 
     docs = stream_documents_ordered(spark, sf_dir, n_files=DEDUP_STREAM_FILES)
     # Each ingest slice is ONE file -> one input partition per micro-batch;
@@ -2580,7 +2592,7 @@ def stream_dedup_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        drain(q, 240)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     sink = spark.table(name)
@@ -2858,17 +2870,25 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length("text") >= w)
         .select("doc_id", "text")
     )
-    sh = (
-        d.select(
-            "doc_id",
-            F.explode(F.expr(f"sequence(1, length(text) - {w - 1})")).alias("pos"),
-            F.col("text"),
+    def build_anchors() -> DataFrame:
+        return (
+            d.select(
+                "doc_id",
+                F.explode(
+                    F.expr(f"sequence(1, length(text) - {w - 1})")
+                ).alias("pos"),
+                F.col("text"),
+            )
+            .select(
+                "doc_id", "pos", F.md5(F.expr(f"substring(text, pos, {w})")).alias("h")
+            )
+            .where(F.substring("h", 1, 1).isin("0", "8"))
         )
-        .select(
-            "doc_id", "pos", F.md5(F.expr(f"substring(text, pos, {w})")).alias("h")
-        )
-        .where(F.substring("h", 1, 1).isin("0", "8"))
-    )
+
+    # shared: the one-md5-per-character hashing pass feeds THREE consumers
+    # (dup groupBy, span semi-join, per-doc totals) — without the persist
+    # the dominant map stage would execute three times per run
+    sh = shared(spark, sf_dir, "substr_anchors", build_anchors)
     dup = (
         sh.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -2995,13 +3015,16 @@ def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             sim.fold_dot(f"qv{d}", f"cv{d}") / (F.col(f"qn{d}") * F.col(f"cn{d}"))
         ).alias(f"sim{d}"),
     )
+    # ONE pass over the pair frame: both rankings as two window columns on
+    # the same q_id shuffle, overlap = rows inside both top-k cuts — the
+    # two-scan + self-join form re-evaluated the brute pair subtree twice
+    # (code-review finding, round 4)
     w64 = Window.partitionBy("q_id").orderBy(F.desc("sim64"), F.asc("b_id"))
     wtr = Window.partitionBy("q_id").orderBy(F.desc(f"sim{d}"), F.asc("b_id"))
-    top64 = pairs.withColumn("rk", F.row_number().over(w64)).where(F.col("rk") <= k)
-    toptr = pairs.withColumn("rk", F.row_number().over(wtr)).where(F.col("rk") <= k)
     ov = (
-        top64.select("q_id", "b_id")
-        .join(toptr.select("q_id", "b_id"), ["q_id", "b_id"])
+        pairs.withColumn("rk64", F.row_number().over(w64))
+        .withColumn("rktr", F.row_number().over(wtr))
+        .where((F.col("rk64") <= k) & (F.col("rktr") <= k))
         .groupBy("q_id")
         .agg(F.count("*").cast("long").alias("n_overlap"))
     )
@@ -3113,15 +3136,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.graph import connected_components
 
-    counts = _sh_sizes(spark, sf_dir)
-    common = _sh_common_counts(spark, sf_dir)
-    jexpr = F.col("c") / (F.col("ca.n") + F.col("cb.n") - F.col("c"))
-    scored = (
-        common.join(counts.alias("ca"), F.col("d1") == F.col("ca.doc_id"))
-        .join(counts.alias("cb"), F.col("d2") == F.col("cb.doc_id"))
-        .select("d1", "d2", r4(jexpr).alias("j"))
-    )
-    scored = shared(spark, sf_dir, "jaccard_scored_all", lambda: scored)
+    scored = _jaccard_scored(spark, sf_dir)
     base = scored.where(F.col("j") >= JACCARD_MIN).select("d1", "d2")
     strong = scored.where(F.col("j") >= MOD_STRONG_J).select("d1", "d2")
     cc = connected_components(strong)
@@ -3350,15 +3365,7 @@ def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components operator over core-core edges; the role table
     here is its gatekeeper and the expensive part at 100 TB).
     """
-    counts = _sh_sizes(spark, sf_dir)
-    common = _sh_common_counts(spark, sf_dir)
-    jexpr = F.col("c") / (F.col("ca.n") + F.col("cb.n") - F.col("c"))
-    scored = (
-        common.join(counts.alias("ca"), F.col("d1") == F.col("ca.doc_id"))
-        .join(counts.alias("cb"), F.col("d2") == F.col("cb.doc_id"))
-        .select("d1", "d2", r4(jexpr).alias("j"))
-    )
-    scored = shared(spark, sf_dir, "jaccard_scored_all", lambda: scored)
+    scored = _jaccard_scored(spark, sf_dir)
     edges = scored.where(F.col("j") >= DBSCAN_EPS_J).select("d1", "d2")
     nbr = edges.select(F.col("d1").alias("v"), F.col("d2").alias("u")).unionByName(
         edges.select(F.col("d2").alias("v"), F.col("d1").alias("u"))
@@ -3456,8 +3463,16 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bench-skippable); production reads the recall column from a sampled
     run like this one before trusting an index rollout.
     """
-    truth = cosine_topk(spark, sf_dir).where(F.col("rank") <= RECALL_K).select(
-        "a_id", "b_id"
+    # shared: truth feeds THREE consumers (query list + both hit joins) and
+    # its subtree is the O(n²) brute scan — without the persist the most
+    # expensive yardstick would execute three times per run
+    truth = shared(
+        spark,
+        sf_dir,
+        "recall_truth",
+        lambda: cosine_topk(spark, sf_dir)
+        .where(F.col("rank") <= RECALL_K)
+        .select("a_id", "b_id"),
     )
     m_ivf = ivf_search_topk(spark, sf_dir).where(F.col("rank") <= RECALL_K).select(
         "a_id", "b_id"
@@ -3557,15 +3572,7 @@ def lsh_s_curve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import MINHASH_BANDS, MINHASH_ROWS
 
     b, r = MINHASH_BANDS, MINHASH_ROWS
-    counts = _sh_sizes(spark, sf_dir)
-    common = _sh_common_counts(spark, sf_dir)
-    jexpr = F.col("c") / (F.col("ca.n") + F.col("cb.n") - F.col("c"))
-    scored = (
-        common.join(counts.alias("ca"), F.col("d1") == F.col("ca.doc_id"))
-        .join(counts.alias("cb"), F.col("d2") == F.col("cb.doc_id"))
-        .select("d1", "d2", r4(jexpr).alias("j"))
-    )
-    scored = shared(spark, sf_dir, "jaccard_scored_all", lambda: scored)
+    scored = _jaccard_scored(spark, sf_dir)
     mh = _mh_pairs(spark, sf_dir).select("d1", "d2").withColumn("_c", F.lit(1))
     # Explicit products, not pow(): multiplication is correctly rounded on
     # both engines while libm pow() may differ by an ULP — enough to flip

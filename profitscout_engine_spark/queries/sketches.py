@@ -640,7 +640,7 @@ def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from ..streaming import stream_events
+    from ..streaming import drain, stream_events
 
     ev = stream_events(spark, sf_dir, with_watermark=None)
     parsed = _with_registers(
@@ -673,7 +673,7 @@ def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     sink = spark.table(name)
     # update-mode sink holds one row per (register, batch-it-changed-in);
     # register maxes are monotone, so latest state == max over emissions.
@@ -728,7 +728,7 @@ def click_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile
 
-    from ..streaming import stream_events
+    from ..streaming import drain, stream_events
     from ..streaming.stateful import purchase_click_attribution
 
     ev = stream_events(spark, sf_dir, with_watermark=None).where(
@@ -756,7 +756,7 @@ def click_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_par)
-    q_.awaitTermination(120)
+    drain(q_)
     return spark.table(name).select(
         "user_id",
         "purchase_id",
@@ -1194,24 +1194,31 @@ def stream_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from ..streaming import stream_events_shuffled
+    from ..streaming import drain, stream_events_shuffled
 
     ev = stream_events_shuffled(spark, sf_dir, n_files=5).select(
         F.col("user_id").cast("string").alias("u")
     )
-    cells = ev.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("seed"),
-                        F.expr(_cms_bucket("instr", s, "u")).alias("bucket"),
-                    )
-                    for s in range(1, CMS_D + 1)
-                ]
-            )
-        ).alias("c")
-    ).select(F.col("c.seed").alias("seed"), F.col("c.bucket").alias("bucket"))
+    def _cells(df: DataFrame, keep: tuple = ()) -> DataFrame:
+        """Derive the d (seed, bucket) CMS cells for column `u` — ONE
+        definition for the stream accumulate side and the batch probe
+        side, so the two can never hash to different cells."""
+        return df.select(
+            *keep,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("seed"),
+                            F.expr(_cms_bucket("instr", s, "u")).alias("bucket"),
+                        )
+                        for s in range(1, CMS_D + 1)
+                    ]
+                )
+            ).alias("c"),
+        ).select(*keep, F.col("c.seed").alias("seed"), F.col("c.bucket").alias("bucket"))
+
+    cells = _cells(ev)
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -1238,7 +1245,7 @@ def stream_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     # counters are monotone; latest state == max over update emissions
     sketch = (
         spark.table(name)
@@ -1251,21 +1258,7 @@ def stream_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u")
         .agg(F.count("*").cast("long").alias("exact_cnt"))
     )
-    probe = exact.select(
-        "u",
-        "exact_cnt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("seed"),
-                        F.expr(_cms_bucket("instr", s, "u")).alias("bucket"),
-                    )
-                    for s in range(1, CMS_D + 1)
-                ]
-            )
-        ).alias("c"),
-    ).select("u", "exact_cnt", F.col("c.seed").alias("seed"), F.col("c.bucket").alias("bucket"))
+    probe = _cells(exact, keep=("u", "exact_cnt"))
     probed = (
         probe.join(F.broadcast(sketch), ["seed", "bucket"])
         .groupBy("u")

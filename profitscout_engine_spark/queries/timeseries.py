@@ -1058,7 +1058,7 @@ def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from ..streaming import stream_events
+    from ..streaming import drain, stream_events
 
     ev = t(spark, sf_dir, "events")
     stats = (
@@ -1139,7 +1139,7 @@ def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        drain(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     sink = spark.table(name)
@@ -1246,7 +1246,7 @@ def stream_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile
 
-    from ..streaming import stream_events_shuffled
+    from ..streaming import drain, stream_events_shuffled
 
     ev = stream_events_shuffled(spark, sf_dir, n_files=WM_SLICES).withWatermark(
         "ts", "30 minutes"
@@ -1263,7 +1263,7 @@ def stream_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     streamed = spark.table(name)
     totals = (
         t(spark, sf_dir, "events")

@@ -22,6 +22,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def drain(q, timeout_sec: int = 240) -> None:
+    """Block until an AvailableNow stream finishes, RAISING on timeout.
+
+    ``awaitTermination`` returns False (no exception) when the clock runs
+    out while batches are still committing; every caller that then reads
+    the memory sink would silently consume a partial, nondeterministic
+    result. Centralizing the check turns that failure mode into a loud
+    error (code-review finding, round 4)."""
+    if not q.awaitTermination(timeout_sec):
+        try:
+            q.stop()
+        finally:
+            raise TimeoutError(
+                f"streaming query {q.name or q.id} did not finish within "
+                f"{timeout_sec}s; memory-sink contents would be partial"
+            )
+
+
 def stream_events(spark: SparkSession, sf_dir: str, with_watermark: str | None = "1 hour") -> DataFrame:
     """events as an unbounded stream (file source, one-file micro-batch).
 
@@ -89,7 +107,7 @@ def run_stream_aggregation(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     return spark.table(name)
 
 
@@ -125,7 +143,7 @@ def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     return spark.table(name)
 
 

@@ -16,6 +16,8 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from . import drain
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -69,7 +71,7 @@ def run_stateful_totals(spark, sf_dir: str) -> DataFrame:
     — after the final batch this equals the batch `groupBy` totals."""
     import tempfile
 
-    from . import stream_events
+    from . import drain, stream_events
 
     events = stream_events(spark, sf_dir, with_watermark=None)
     out = incremental_user_totals(events)
@@ -81,7 +83,7 @@ def run_stateful_totals(spark, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     sink = spark.table(name)
     # update-mode sink holds one row per (user, batch-it-changed-in);
     # running totals are monotone in n_events → latest = max n_events.
@@ -142,7 +144,7 @@ def stream_to_keyed_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
 
 
 def purchase_click_attribution(
