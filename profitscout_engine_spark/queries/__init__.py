@@ -261,6 +261,7 @@ _WINDOW_FRONT = (
     "ann_recall_curve",
     "lsh_s_curve_audit",
     "source_minhash_similarity",
+    "sliding_distinct_users",
 )
 
 

@@ -1351,3 +1351,80 @@ def session_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(20)
     )
+
+
+# --- sliding distinct users (DAU/WAU-style stickiness, hourly grain) ----------
+@query(
+    "sliding_distinct_users",
+    oracle="""
+    WITH ph AS (
+        SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
+    ),
+    bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ph),
+    contrib AS (
+        SELECT DISTINCT user_id, h + to_hours(i) AS target
+        FROM ph, unnest(generate_series(0, 23)) AS u(i)
+    ),
+    w24 AS (
+        SELECT c.target AS hour, CAST(COUNT(DISTINCT c.user_id) AS BIGINT)
+                   AS users_24h
+        FROM contrib c, bounds b
+        WHERE c.target >= b.h0 AND c.target <= b.h1
+        GROUP BY c.target
+    ),
+    w1 AS (
+        SELECT h AS hour, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_1h
+        FROM ph GROUP BY h
+    )
+    SELECT w24.hour, COALESCE(w1.users_1h, 0) AS users_1h, w24.users_24h,
+           ROUND(COALESCE(w1.users_1h, 0) * 1.0E0 / w24.users_24h, 4)
+               AS stickiness
+    FROM w24 LEFT JOIN w1 ON w1.hour = w24.hour
+    """,
+    tags=("streaming", "A19", "sliding-distinct"),
+)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly active users against the 24-hour sliding distinct-user
+    count, plus the DAU/WAU-style stickiness ratio — the standard
+    engagement metric a sliding COUNT(DISTINCT) window cannot express
+    directly (distinct doesn't decompose over window frames). The scale
+    rewrite: reduce to the DISTINCT (user, hour) presence table first,
+    then each presence CONTRIBUTES to the 24 following hour buckets (a
+    bounded ×24 explode) and a plain distinct count per bucket finishes
+    the job — two shuffles on presence-sized data, never a per-row
+    window over the raw firehose.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    )
+    ph = ev.distinct()
+    bounds = ph.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    contrib = (
+        ph.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(23))).alias("i"),
+            "h",
+        )
+        .select(
+            "user_id",
+            F.expr("h + make_interval(0, 0, 0, 0, i, 0, 0)").alias("target"),
+        )
+        .distinct()
+    )
+    w24 = (
+        contrib.crossJoin(F.broadcast(bounds))
+        .where((F.col("target") >= F.col("h0")) & (F.col("target") <= F.col("h1")))
+        .groupBy(F.col("target").alias("hour"))
+        .agg(F.countDistinct("user_id").cast("long").alias("users_24h"))
+    )
+    w1 = ph.groupBy(F.col("h").alias("hour")).agg(
+        F.countDistinct("user_id").cast("long").alias("users_1h")
+    )
+    return w24.join(w1, "hour", "left").select(
+        "hour",
+        F.coalesce("users_1h", F.lit(0)).cast("long").alias("users_1h"),
+        "users_24h",
+        r4(F.coalesce("users_1h", F.lit(0)) / F.col("users_24h")).alias("stickiness"),
+    )
