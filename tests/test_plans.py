@@ -98,6 +98,8 @@ _NL_JOIN_OK = {
     # |sources|²-bounded signature pair table (20 corpus sources) — the
     # sketch side is K hashes per source, broadcast by construction
     "source_minhash_similarity",
+    # 1-row observation-bounds scalar cross join (hour-range clamp)
+    "sliding_distinct_users",
     # 10-centroid IVF routing broadcast (clustering stage of SemDeDup)
     "semantic_dedup",
     # same k-centroid broadcast routing shape as the IVF build
