@@ -262,6 +262,7 @@ _WINDOW_FRONT = (
     "lsh_s_curve_audit",
     "source_minhash_similarity",
     "sliding_distinct_users",
+    "dedup_impact_report",
 )
 
 

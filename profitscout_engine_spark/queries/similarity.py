@@ -3705,3 +3705,69 @@ def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(c0 / (F.col("na") + F.col("nb") - c0)).alias("exact_jaccard"),
         )
     )
+
+
+# ---- dedup impact accounting: what keep-best dedup does to the corpus --------
+def _dedup_impact_oracle() -> str:
+    from . import REGISTRY
+
+    keep = REGISTRY["dedup_keep_best"].oracle
+    return f"""
+    WITH kb AS (SELECT doc_id, is_kept FROM ({keep}) k),
+    d AS (
+        SELECT doc_id, lang, length(text) AS n_chars2,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS docs_before,
+           CAST(SUM(CASE WHEN kb.is_kept THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_after,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_before,
+           CAST(SUM(CASE WHEN kb.is_kept THEN n_tok ELSE 0 END) AS BIGINT)
+               AS tokens_after,
+           ROUND(SUM(CASE WHEN kb.is_kept THEN 0 ELSE 1 END) * 1.0E0
+                 / COUNT(*), 4) AS pct_docs_dropped,
+           ROUND(SUM(CASE WHEN kb.is_kept THEN 0 ELSE n_tok END) * 1.0E0
+                 / SUM(n_tok), 4) AS pct_tokens_dropped
+    FROM d JOIN kb ON kb.doc_id = d.doc_id
+    GROUP BY d.lang
+    """
+
+
+@query(
+    "dedup_impact_report",
+    oracle=_dedup_impact_oracle(),
+    tags=("dedup", "curation", "reporting"),
+)
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language accounting of what keep-best near-dedup removes:
+    document and token counts before/after, and the dropped fractions —
+    the report a curation pipeline publishes with every dedup run (and
+    the number mixture rebalancing consumes, since dedup shifts the
+    language distribution). Composes `dedup_keep_best` (session-shared
+    component/score frames) with one token-count scan; marginal cost is
+    a doc-keyed join and a |langs|-key aggregate.
+    """
+    kb = dedup_keep_best(spark, sf_dir).select("doc_id", "is_kept")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    kept_tok = F.when(F.col("is_kept"), F.col("n_tok")).otherwise(F.lit(0))
+    dropped = F.when(F.col("is_kept"), F.lit(0)).otherwise(F.lit(1))
+    return (
+        d.join(kb, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("docs_before"),
+            F.sum(F.col("is_kept").cast("int")).cast("long").alias("docs_after"),
+            F.sum("n_tok").cast("long").alias("tokens_before"),
+            F.sum(kept_tok).cast("long").alias("tokens_after"),
+            r4(F.sum(dropped) / F.count("*")).alias("pct_docs_dropped"),
+            r4(
+                (F.sum("n_tok") - F.sum(kept_tok)) / F.sum("n_tok")
+            ).alias("pct_tokens_dropped"),
+        )
+    )
