@@ -108,67 +108,16 @@ _MODULES = (
     "tpch",
 )
 
-# Round-4 window rotation (NOTES.md plan): every query with NO driver row yet,
+# Round-5 window rotation (NOTES.md plan): every query with NO driver row yet,
 # oldest additions first — the driver's 50-query window takes the first 50, and
-# positions 51+ stay in age order so rounds 5-6 rotate by simple deletion of
-# the verified prefix. Leads with the r3 mid-round additions (sketch family,
-# CUBE/PIVOT, streaming) plus rsi_macd / monte_carlo_paths (r2 rows were
-# rows-only; both now carry full value oracles that deserve a verified row),
-# then the late-r3, final-session, extra-session, and session-4 waves.
-# Everything rotated out was driver-green in r1-r3 and stays pinned by
-# tests/test_correctness.py. Rule enforced: no oracle-paired query ships
-# more than two rounds without a driver row.
+# positions 51+ stay in age order so round 6 rotates by simple deletion of the
+# verified prefix. Round-4's first 50 (sketch family through
+# q17_small_quantity_revenue) all went hash-green in CORRECTNESS_r04 and were
+# deleted; the 93 remaining backlog names lead, with round-5 additions appended
+# at the tail (driver rows due r6/r7). Everything rotated out was driver-green
+# in r1-r4 and stays pinned by tests/test_correctness.py. Rule enforced: no
+# oracle-paired query ships more than two rounds without a driver row.
 _WINDOW_FRONT = (
-    "hll_distinct_portable",
-    "countmin_freq_portable",
-    "bloom_semijoin_account",
-    "hll_merge_incremental",
-    "weighted_sample_ares",
-    "streaming_hll_users",
-    "cube_flag_status",
-    "pivot_lang_counts",
-    "unpivot_supplier_metrics",
-    "range_window_revenue",
-    "anti_join_dormant_customers",
-    "pmi_collocations",
-    "kmeans_lloyd_step",
-    "click_attribution_stream",
-    "rsi_macd",
-    "monte_carlo_paths",
-    "ohlc_resample",
-    "vwap_running",
-    "drawdown_stats",
-    "beta_to_market",
-    "pairwise_return_corr",
-    "table_profile",
-    "snapshot_diff",
-    "incremental_agg_maintain",
-    "scd2_history",
-    "retention_cohorts",
-    "key_skew_report",
-    "containment_pairs",
-    "unigram_lm_logprob",
-    "interval_peak_load",
-    "pareto_frontier",
-    "pagerank_iteration",
-    "gap_fill_ffill",
-    "rank_normalize",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q18_large_volume_customer",
-    "quantile_digest_merge",
-    "frame_sample_stride",
-    "image_resize_nn",
-    "column_entropy",
-    "order_line_array_ops",
-    "q6_revenue_delta",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
     "q22_dormant_balance",
     "fuzzy_dedup_edit",
     "triangle_count",
