@@ -1,0 +1,188 @@
+"""Distributed exact ranking without a global sort.
+
+A ``rank().over(Window.orderBy(col))`` with no partition funnels the whole
+frame through ONE task — fine for a bounded bin table, fatal for anything
+that grows with the data. The scale-safe form of an exact global rank is
+the classic range-bucketed decomposition:
+
+1. Assign every row an ordered range-bucket id that is a PURE FUNCTION of
+   the key value (bucket boundaries = approximate quantiles, collected
+   once to the driver as literals). Purity matters: Spark recomputes a
+   subtree per consumer, and a sampling-based ``repartitionByRange`` can
+   draw DIFFERENT boundaries for the offsets branch vs the rank branch
+   (shuffle-read order is nondeterministic), silently mis-aligning the
+   two — observed at sf0.1. A value-deterministic bucket id cannot drift,
+   and ties land in one bucket by construction.
+2. Per-bucket row counts (<= num_buckets rows) -> running prefix offsets
+   via a window over the *bucket frame only* (bounded: num_buckets rows)
+   -> broadcast back.
+3. Within-bucket ``rank()`` — distributed, one sort per range slice.
+4. global rank = prefix offset + within-bucket rank; tie counts are
+   purely local by (1), so fractional/average ranks (the Spearman
+   treatment) follow with the local tie count.
+
+Boundary quality only affects load balance, never correctness; a
+degenerate distribution (all rows one value) collapses to one bucket and
+still ranks exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_BKT = "_rank_bkt"
+
+
+def _as_double(df: DataFrame, key: Column) -> Column:
+    """Monotone double image of an orderable key for bucketing purposes
+    only (ranks/ties always use the native key). Dates/timestamps map
+    through their epoch representation; the session TZ is pinned UTC so
+    the TIMESTAMP_NTZ->TIMESTAMP hop is order-preserving."""
+    dt = df.select(key.alias("_k")).schema[0].dataType.simpleString()
+    if dt == "date":
+        return F.unix_date(key).cast("double")
+    if dt.startswith("timestamp"):
+        return key.cast("timestamp").cast("double")
+    return key.cast("double")
+
+
+def _bucket_expr(key: Column, boundaries: list[float]) -> Column:
+    """Ordered range-bucket id as a pure expression: count of boundaries
+    strictly below the key (NULLs -> bucket -1, matching NULLS FIRST)."""
+    bucket = functools.reduce(
+        lambda acc, b: acc + F.when(key > F.lit(b), 1).otherwise(0),
+        boundaries,
+        F.lit(0),
+    )
+    return F.when(key.isNull(), F.lit(-1)).otherwise(bucket)
+
+
+def order_statistics(
+    df: DataFrame, col: str, positions: list[int], num_buckets: int = 32
+) -> dict[int, float]:
+    """Exact values at the given 1-indexed positions of ``col``'s sorted
+    order (nulls excluded), without any single aggregation buffer or
+    single-task sort holding the column. Decomposition: value-pure range
+    buckets -> per-bucket counts (bounded frame, collected) locate each
+    position's bucket and local offset on the driver -> one distributed
+    ``row_number`` pass over ONLY the needed buckets selects the values.
+    Tie order within ``row_number`` is arbitrary but irrelevant — the
+    value at a sorted position is well-defined regardless."""
+    key = F.col(col)
+    vals = df.select(key.cast("double").alias("v")).where(F.col("v").isNotNull())
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    [brow] = vals.select(
+        F.percentile_approx("v", F.array(*[F.lit(q) for q in qs])).alias("b")
+    ).collect()
+    boundaries = sorted(set(brow["b"] or []))
+    part = vals.withColumn(_BKT, _bucket_expr(F.col("v"), boundaries))
+    counts = sorted(
+        (r[_BKT], r["n"])
+        for r in part.groupBy(_BKT).agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    needed: dict[int, dict[int, int]] = {}  # bucket -> {local_pos: global_pos}
+    for pos in sorted(set(positions)):
+        run = 0
+        for bkt, n in counts:
+            if pos <= run + n:
+                needed.setdefault(bkt, {})[pos - run] = pos
+                break
+            run += n
+    w = Window.partitionBy(_BKT).orderBy("v")
+    hits = (
+        part.where(F.col(_BKT).isin(list(needed)))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(
+            functools.reduce(
+                lambda a, b: a | b,
+                [
+                    (F.col(_BKT) == F.lit(bkt)) & F.col("_rn").isin(list(locs))
+                    for bkt, locs in needed.items()
+                ],
+            )
+        )
+        .select(_BKT, "_rn", "v")
+        .collect()
+    )
+    return {needed[r[_BKT]][r["_rn"]]: r["v"] for r in hits}
+
+
+def exact_percentiles(
+    df: DataFrame, col: str, probs: list[float], num_buckets: int = 32
+) -> list[float]:
+    """Exact linear-interpolated percentiles (the ``percentile`` /
+    ``quantile_cont`` contract: position p = q*(N-1) 0-indexed, result =
+    (ceil(p)-p)*lo + (p-floor(p))*hi — the exact expression tree both
+    Spark's Percentile.getPercentile and DuckDB's quantile_cont evaluate;
+    NOT the algebraically-equal lo+(hi-lo)*frac, which rounds differently
+    by an ULP — pinned by tests/test_ranks.py) computed from distributed
+    order statistics instead of one in-memory sort of the whole column."""
+    n = df.where(F.col(col).isNotNull()).count()
+    if n == 0:
+        return [float("nan") for _ in probs]
+    wanted: list[tuple[int, int, float, float]] = []
+    positions: set[int] = set()
+    for q in probs:
+        p = q * (n - 1)
+        k = int(p)  # floor for non-negative p
+        lo, hi = k + 1, min(k + 2, n)  # 1-indexed order statistics
+        # Weights as BOTH engines compute them: (ceil-p) and (p-floor),
+        # never 1-frac (an ULP apart for some p).
+        wanted.append((lo, hi, (k + 1) - p, p - k))
+        positions.update((lo, hi))
+    stats = order_statistics(df, col, sorted(positions), num_buckets)
+    return [
+        w_lo * stats[lo] + w_hi * stats[hi] if w_hi > 0.0 else stats[lo]
+        for lo, hi, w_lo, w_hi in wanted
+    ]
+
+
+def with_avg_rank(
+    df: DataFrame, col: str | Column, out: str, num_buckets: int = 32
+) -> DataFrame:
+    """Append column ``out`` holding the exact AVERAGE (fractional) rank of
+    ``col`` — ``RANK() + (tie_count - 1)/2``, the standard Spearman tie
+    treatment — computed with the range-bucketed decomposition above
+    instead of a single-task global window. Null keys rank first (Spark
+    ascending NULLS FIRST default)."""
+    key = F.col(col) if isinstance(col, str) else col
+    dkey = _as_double(df, key)
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    # One tiny driver round-trip: boundary literals shared by every branch.
+    [row] = df.select(
+        F.percentile_approx(dkey, F.array(*[F.lit(q) for q in qs])).alias("b")
+    ).collect()
+    boundaries = sorted(set(row["b"] or []))
+    part = df.withColumn(_BKT, _bucket_expr(dkey, boundaries))
+    # Bounded frame: at most num_buckets + 1 rows — the one permissible
+    # unpartitioned window in this pattern.
+    offsets = (
+        part.groupBy(_BKT)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            _BKT,
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy(_BKT).rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("_off"),
+        )
+    )
+    w_rank = Window.partitionBy(_BKT).orderBy(key)
+    w_tie = Window.partitionBy(_BKT, key)
+    return (
+        part.withColumn("_rk", F.rank().over(w_rank))
+        .withColumn("_tc", F.count(F.lit(1)).over(w_tie))
+        .join(F.broadcast(offsets), _BKT)
+        .withColumn(
+            out,
+            F.col("_off") + F.col("_rk") + (F.col("_tc") - F.lit(1)) / F.lit(2.0),
+        )
+        .drop(_BKT, "_rk", "_tc", "_off")
+    )

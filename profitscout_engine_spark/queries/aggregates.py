@@ -7,11 +7,14 @@ of pre-splitting the frame, so the fact table is scanned once.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..exprs import bucketize, r2, r4, tier_ladder
+from ..operators.ranks import exact_percentiles
 from . import query
 from ._util import t
 
@@ -953,25 +956,31 @@ EQUIDEPTH_BUCKETS = 10
 def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth histogram construction — the statistics object a
     cost-based optimizer keeps per column (Spark's own ANALYZE TABLE
-    FOR COLUMNS builds exactly this). Two passes: ONE exact-percentile
-    aggregation produces the 9 internal bucket boundaries, which
-    broadcast back (1-row array) and each row finds its bucket by
-    counting boundaries strictly below it — a higher-order array fold,
-    no per-boundary CASE ladder to keep in sync. Bucket populations come
-    back near-equal by construction (ties at boundaries land in the
-    lower bucket on both engines because the comparison is strict).
-    Both engines interpolate percentiles identically, so the boundary
-    doubles — and therefore every bucket assignment — are bit-equal."""
+    FOR COLUMNS builds exactly this). The 9 internal boundaries are
+    EXACT interpolated percentiles, but NOT via the single-buffer
+    ``percentile()`` aggregate (which holds the whole column in one
+    aggregation buffer — an OOM at 100×): ``operators.ranks.
+    exact_percentiles`` decomposes each percentile into two distributed
+    order statistics (value-pure range buckets -> bounded per-bucket
+    count frame -> within-bucket row_number) and interpolates with the
+    same lo + (hi-lo)*frac formula both Spark's percentile and DuckDB's
+    quantile_cont use, so the boundary doubles — and therefore every
+    bucket assignment — stay bit-equal to the exact oracle. Each row
+    then finds its bucket by counting boundary literals strictly below
+    it (ties at boundaries land in the lower bucket on both engines
+    because the comparison is strict). The single-buffer exact form
+    survives as a differential twin in tests/test_operators.py."""
     li = t(spark, sf_dir, "lineitem")
-    qs = ", ".join(str((i + 1) / 10.0) for i in range(9))
-    bounds = li.agg(
-        F.expr(f"percentile(l_extendedprice, array({qs}))").alias("qs")
+    probs = [(i + 1) / 10.0 for i in range(9)]
+    bounds = exact_percentiles(li, "l_extendedprice", probs)
+    bucket = functools.reduce(
+        lambda acc, b: acc
+        + F.when(F.lit(b) < F.col("l_extendedprice"), 1).otherwise(0),
+        bounds,
+        F.lit(0),
     )
-    bucketed = li.join(F.broadcast(bounds)).select(
-        "l_extendedprice",
-        F.expr("size(filter(qs, q -> q < l_extendedprice))")
-        .cast("long")
-        .alias("bucket"),
+    bucketed = li.select(
+        "l_extendedprice", bucket.cast("long").alias("bucket")
     )
     return bucketed.groupBy("bucket").agg(
         F.count("*").alias("n_rows"),

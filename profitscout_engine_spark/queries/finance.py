@@ -309,14 +309,17 @@ def pairwise_return_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIRST (top-K by activity, ties broken on entity id), so the
     time-aligned self-join is K²·hours — the standard way a correlation
     matrix stays feasible at scale: never all-pairs over the raw entity
-    set. The top-K frame is tiny and broadcasts onto the bar stream."""
+    set. Top-K selection is ``orderBy().limit(K)`` — Catalyst's
+    TakeOrderedAndProject does a partial top-K per partition and merges
+    K·partitions rows, never a single-task global sort of the per-entity
+    count frame (the ``vocab_coverage`` pattern). The top-K frame is
+    tiny and broadcasts onto the bar stream."""
     b = _bars(spark, sf_dir)
-    wc = Window.orderBy(F.desc("n"), F.asc("user_id"))
     topu = (
         b.groupBy("user_id")
         .agg(F.count("*").alias("n"))
-        .withColumn("rk", F.row_number().over(wc))
-        .where(F.col("rk") <= CORR_TOPK)
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(CORR_TOPK)
         .select("user_id")
     )
     hourly = (

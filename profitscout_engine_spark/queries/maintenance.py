@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..exprs import r2, r4
+from ..operators.ranks import with_avg_rank
 from . import query
 from ._util import t
 
@@ -1058,8 +1059,11 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     under 2^53 — exactly representable doubles whose addition is
     order-independent, so the statistic is bit-identical cross-engine
     with no fixed-point dance. Scale shape: one join+rollup to the
-    per-customer grain, two rank windows over that bounded frame, one
-    1-row moment fold."""
+    per-customer grain (which GROWS with the data — customers are not a
+    bounded dimension), then two DISTRIBUTED exact-rank passes via
+    ``operators.ranks.with_avg_rank`` (range partition + broadcast
+    prefix offsets; no single-task global window), joined back on the
+    customer key, one 1-row moment fold."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     rev = (
@@ -1071,13 +1075,9 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev_cents")
         )
     )
-    avg_rank = lambda col: (  # noqa: E731
-        F.rank().over(Window.orderBy(col))
-        + (F.count(F.lit(1)).over(Window.partitionBy(col)) - 1) / F.lit(2.0)
-    )
-    ranked = rev.select(
-        avg_rank(F.col("bal")).alias("rx"), avg_rank(F.col("rev_cents")).alias("ry")
-    )
+    rx = with_avg_rank(rev.select("c_custkey", "bal"), "bal", "rx")
+    ry = with_avg_rank(rev.select("c_custkey", "rev_cents"), "rev_cents", "ry")
+    ranked = rx.join(ry, "c_custkey").select("rx", "ry")
     m = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("rx").alias("sx"),

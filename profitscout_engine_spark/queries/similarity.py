@@ -3108,8 +3108,9 @@ def _modularity_oracle() -> str:
     )
     SELECT mm.m AS n_edges, nstats.n_nodes, nstats.n_communities,
            intra.e_in AS intra_edges,
-           ROUND((4 * mm.m * intra.e_in - dsum.d2sum) * 1.0E0
-                 / (4 * mm.m * mm.m), 6) AS modularity
+           ROUND((4.0E0 * CAST(mm.m AS DOUBLE) * intra.e_in - dsum.d2sum)
+                 / (4.0E0 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE)), 6)
+               AS modularity
     FROM mm, intra, dsum, nstats
     """
 
@@ -3123,10 +3124,13 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity Q of the near-dup CLUSTERING evaluated on the
     full candidate graph: communities = connected components of the
     strong edges (4dp Jaccard ≥ {MOD_STRONG_J}), base graph = all scored
-    candidates ≥ {JACCARD_MIN}. Q = (4m·Σe_c − Σd_c²) / 4m² — the
-    numerator stays pure BIGINT (edge and degree counts), so the metric
-    is exact and oracle-hashable; this is the go/no-go statistic for "is
-    the dedup threshold carving real structure or noise" (Q≈0 → the
+    candidates ≥ {JACCARD_MIN}. Q = (4m·Σe_c − Σd_c²) / 4m² — the COUNT
+    aggregations (edges, degrees, Σd_c²) stay exact BIGINT, but m is
+    cast to DOUBLE before the 4m·e_in and 4m² products: at 100 TB an
+    edge count m ≥ ~1.5e9 would overflow 64-bit in 4m² (advisor flag,
+    round 5), and both engines mirror the double expression tree so the
+    metric is still oracle-hashable. This is the go/no-go statistic for
+    "is the dedup threshold carving real structure or noise" (Q≈0 → the
     partition is no better than random).
 
     Scale shape: reuses the session-shared scored-pair frame and the
@@ -3182,8 +3186,15 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_communities",
             F.col("e_in").alias("intra_edges"),
             r6(
-                (4 * F.col("m") * F.col("e_in") - F.col("d2sum"))
-                / (4 * F.col("m") * F.col("m"))
+                (
+                    F.lit(4.0) * F.col("m").cast("double") * F.col("e_in")
+                    - F.col("d2sum")
+                )
+                / (
+                    F.lit(4.0)
+                    * F.col("m").cast("double")
+                    * F.col("m").cast("double")
+                )
             ).alias("modularity"),
         )
     )

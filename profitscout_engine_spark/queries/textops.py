@@ -1255,11 +1255,15 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "audio_window_rms",
     oracle="""
-    WITH chars AS (
+    WITH ascii_docs AS (
+        SELECT doc_id, text FROM documents
+        WHERE length(text) = strlen(text)
+    ),
+    chars AS (
         SELECT doc_id,
                unnest(generate_series(1, length(text) // 64 * 64)) AS i,
                text
-        FROM documents
+        FROM ascii_docs
     ),
     samples AS (
         SELECT doc_id, (i - 1) // 64 AS win_id,
@@ -1284,15 +1288,23 @@ def audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.audio_rms_windows) cuts full 64-sample windows
     and emits exact integer sum-of-squares and peak per window; RMS is
     derived from the integer sum so both engines agree bit-for-bit. The
-    oracle re-derives every window from the text's character codes.
+    oracle re-derives every window from the text's character codes —
+    valid only where one character is one byte, so BOTH sides filter to
+    single-byte (ASCII) documents via length = octet_length: the engine
+    windows over UTF-8 BYTES while the oracle windows over CHARACTER
+    codes, and a multi-byte character would diverge in window count and
+    sample values (the PCM-payload contract is bytes; the guard makes it
+    explicit instead of leaning on an all-ASCII fixture).
     Completes the multimodal family (image decode / resize / video frame
     sample / audio windows) on the same opaque-binary contract: schema'd
     payload, Arrow batch kernel, per-unit bounded output.
     """
     from ..operators.multimodal import audio_rms_windows
 
-    pcm = fan_out(spark, _docs(spark, sf_dir)).select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    pcm = (
+        fan_out(spark, _docs(spark, sf_dir))
+        .where(F.length("text") == F.octet_length("text"))
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     )
     w = audio_rms_windows(pcm)
     return w.select(

@@ -1264,7 +1264,14 @@ def stream_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     drain(q)
-    streamed = spark.table(name)
+    # Sum the sink by window_start: a row landing in the one-batch gap
+    # (window end <= eviction watermark but > late-filter watermark) AFTER
+    # its window was evicted re-creates state and appends a SECOND sink row
+    # for the same window — the kept-row total is split across the two
+    # emissions, so the audit aggregates emissions before joining totals.
+    streamed = spark.table(name).groupBy("window_start").agg(
+        F.sum("n_on_time").alias("n_on_time")
+    )
     totals = (
         t(spark, sf_dir, "events")
         .groupBy(F.date_trunc("hour", "ts").alias("window_start"))

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..exprs import r2, r4
+from ..operators.ranks import with_avg_rank
 from . import query
 from ._util import t
 
@@ -292,14 +293,55 @@ def lead_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("W10",),
 )
 def chrono_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """In-sample/out-of-sample 2-fold split by time. NOTE: ntile over a
-    global window single-partitions the sort; at 100 TB the scalable form
-    computes the median date once (percentile agg) and splits by comparison.
-    Kept as ntile here because the oracle needs identical tie semantics."""
-    o = t(spark, sf_dir, "orders")
-    half = F.ntile(2).over(Window.orderBy("o_orderdate", "o_orderkey")).cast("long")
+    """In-sample/out-of-sample 2-fold split by time, with EXACT
+    ``NTILE(2) OVER (ORDER BY o_orderdate, o_orderkey)`` semantics but no
+    single-task global sort. The first tile is the first ceil(N/2) rows
+    of the (date, key) total order; the split point is located
+    distributively: per-date counts roll up to the CALENDAR-bounded date
+    frame (cumulative window over ~2.4k rows regardless of data size),
+    the cutoff date is the first whose cumulative count reaches
+    ceil(N/2), and the cutoff key inside that one date comes from the
+    range-bucketed distributed rank (``operators.ranks.with_avg_rank`` —
+    orderkeys are unique, so ranks are positions). The split itself is
+    then a pure comparison against two broadcast-literal scalars. The
+    single-window ntile form survives as a differential twin in
+    tests/test_operators.py."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    n_total = o.count()
+    k = (n_total + 1) // 2
+    date_counts = o.groupBy("o_orderdate").agg(F.count(F.lit(1)).alias("cnt"))
+    # Bounded frame: one row per calendar date.
+    cum = date_counts.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("o_orderdate"))
+    )
+    cut = (
+        cum.where(F.col("cum") >= k).orderBy("o_orderdate").limit(1).collect()
+    )
+    if cut:
+        cutoff_date = cut[0]["o_orderdate"]
+        r = k - (cut[0]["cum"] - cut[0]["cnt"])  # >= 1 by construction
+        within = o.where(F.col("o_orderdate") == F.lit(cutoff_date)).select(
+            "o_orderkey"
+        )
+        [cr] = (
+            with_avg_rank(within, "o_orderkey", "pos")
+            .where(F.col("pos") == F.lit(float(r)))
+            .collect()
+        )
+        half = F.when(
+            (F.col("o_orderdate") < F.lit(cutoff_date))
+            | (
+                (F.col("o_orderdate") == F.lit(cutoff_date))
+                & (F.col("o_orderkey") <= F.lit(cr["o_orderkey"]))
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(2))
+    else:  # empty input: no rows reach the aggregate either way
+        half = F.lit(1)
     return (
-        o.withColumn("half", half)
+        o.withColumn("half", half.cast("long"))
         .groupBy("half")
         .agg(
             F.count("*").alias("n"),

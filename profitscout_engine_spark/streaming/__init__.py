@@ -40,6 +40,43 @@ def drain(q, timeout_sec: int = 240) -> None:
             )
 
 
+def _stage_slices(src_path: str, tag: str, n_files: int, write_slices) -> str:
+    """Stage a fixture into ordered slice files under a cache dir keyed by
+    the source file's CONTENT hash (not size+mtime: a fixture regenerated
+    within the same second with identical size must still invalidate), and
+    build atomically — slices are written into a process-private temp dir
+    that is renamed into place, so a concurrent process can never observe
+    half-written parquet. Returns the staged directory path.
+
+    ``write_slices(pdf_path, out_dir)`` must write ``slice-%03d.parquet``
+    files; this helper stamps their mtimes strictly increasing so the file
+    source replays them in slice order."""
+    import hashlib
+    import os
+    import shutil
+
+    h = hashlib.md5()
+    with open(src_path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    ident = f"{tag}|{h.hexdigest()}|{n_files}"
+    stage = f"/tmp/pse_{tag}_{hashlib.md5(ident.encode()).hexdigest()[:12]}"
+    if os.path.isdir(stage):
+        return stage
+    tmp = f"{stage}.tmp-{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    write_slices(src_path, tmp)
+    for i in range(n_files):
+        os.utime(f"{tmp}/slice-{i:03d}.parquet", (1_000_000 + i, 1_000_000 + i))
+    try:
+        os.rename(tmp, stage)  # atomic publish; loser of a race cleans up
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isdir(stage):
+            raise
+    return stage
+
+
 def stream_events(spark: SparkSession, sf_dir: str, with_watermark: str | None = "1 hour") -> DataFrame:
     """events as an unbounded stream (file source, one-file micro-batch).
 
@@ -157,28 +194,21 @@ def stream_documents_ordered(
     incremental ingest pipeline provides by construction (appends arrive
     after the corpus they extend). Production points this at the ingest
     directory instead of staging."""
-    import hashlib
-    import os
-
     import pandas as pd
 
     static = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # Stage key includes the source file's size+mtime: a regenerated fixture
-    # at the same path must invalidate the staged slices, or the stream
-    # would replay stale data and diverge from the batch oracle.
-    st = os.stat(f"{sf_dir}/documents.parquet")
-    ident = f"{sf_dir}|{st.st_size}|{int(st.st_mtime)}|{n_files}"
-    stage = f"/tmp/pse_docstream_{hashlib.md5(ident.encode()).hexdigest()[:12]}"
-    ready = f"{stage}/_READY"
-    if not os.path.exists(ready):
-        os.makedirs(stage, exist_ok=True)
-        pdf = pd.read_parquet(f"{sf_dir}/documents.parquet").sort_values("doc_id")
+
+    def write_slices(src: str, out: str) -> None:
+        pdf = pd.read_parquet(src).sort_values("doc_id")
         cuts = [round(i * len(pdf) / n_files) for i in range(n_files + 1)]
         for i in range(n_files):
-            path = f"{stage}/slice-{i:03d}.parquet"
-            pdf.iloc[cuts[i] : cuts[i + 1]].to_parquet(path, index=False)
-            os.utime(path, (1_000_000 + i, 1_000_000 + i))
-        open(ready, "w").close()
+            pdf.iloc[cuts[i] : cuts[i + 1]].to_parquet(
+                f"{out}/slice-{i:03d}.parquet", index=False
+            )
+
+    stage = _stage_slices(
+        f"{sf_dir}/documents.parquet", "docstream", n_files, write_slices
+    )
     return (
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", 1)
@@ -198,17 +228,11 @@ def stream_events_shuffled(
     (``i*n//n_files``) so an oracle can re-derive the exact batch
     membership of every row."""
     import hashlib
-    import os
 
     import pandas as pd
 
-    st = os.stat(f"{sf_dir}/events.parquet")
-    ident = f"shuf|{sf_dir}|{st.st_size}|{int(st.st_mtime)}|{n_files}"
-    stage = f"/tmp/pse_evshuf_{hashlib.md5(ident.encode()).hexdigest()[:12]}"
-    ready = f"{stage}/_READY"
-    if not os.path.exists(ready):
-        os.makedirs(stage, exist_ok=True)
-        pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
+    def write_slices(src: str, out: str) -> None:
+        pdf = pd.read_parquet(src)
         order = pdf["event_id"].map(
             lambda e: hashlib.md5(str(e).encode()).hexdigest()
         )
@@ -219,12 +243,13 @@ def stream_events_shuffled(
         )
         n = len(pdf)
         for i in range(n_files):
-            path = f"{stage}/slice-{i:03d}.parquet"
             pdf.iloc[i * n // n_files : (i + 1) * n // n_files].to_parquet(
-                path, index=False
+                f"{out}/slice-{i:03d}.parquet", index=False
             )
-            os.utime(path, (1_000_000 + i, 1_000_000 + i))
-        open(ready, "w").close()
+
+    stage = _stage_slices(
+        f"{sf_dir}/events.parquet", "evshuf", n_files, write_slices
+    )
     from ..catalog import normalize_event_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -16,10 +16,12 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-
-from . import drain
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# NOTE: `drain` is imported inside each function that starts a stream (not at
+# module level) so streaming/__init__ stays free to import this module without
+# a circular-import ordering constraint.
 
 
 def incremental_user_totals(events: DataFrame) -> DataFrame:
@@ -105,6 +107,8 @@ def stream_to_keyed_sink(
     id (last-write-wins), the Firestore-mirror pattern as an idempotent
     batch sink (enrichment-trigger/main.py:798-904 behaviorally)."""
     from pyspark.sql import Window
+
+    from . import drain
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
