@@ -177,7 +177,12 @@ def simulate_paths_pooled(
     Unlike :func:`simulate_paths` (literal-array pool), the empirical
     return pool stays a DataFrame end-to-end — no ``collect`` anywhere:
     the pool gets a dense draw index (row_number over a deterministic
-    order), the (sim × seq) grid derives its draw as
+    order — the one unpartitioned window here, and a GENUINELY bounded
+    one: the pool is an empirical per-strategy trade-return sample,
+    sized by the strategy's resolved trade history — hundreds to a few
+    thousand returns in the reference's sweeps — not by the corpus, so
+    it never grows with the data being simulated), the (sim × seq) grid
+    derives its draw as
     ``md5_draw % pool_size`` (pool_size arrives via a 1-row cross join,
     never the driver), and a broadcast equi-join resolves draws to
     returns. At 100 TB the pool is a table; only the index join touches

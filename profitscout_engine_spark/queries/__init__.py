@@ -212,6 +212,9 @@ _WINDOW_FRONT = (
     "source_minhash_similarity",
     "sliding_distinct_users",
     "dedup_impact_report",
+    # round-5 additions (youngest — driver rows due r7)
+    "sweep_grid_full",
+    "enrichment_news_rollup",
 )
 
 

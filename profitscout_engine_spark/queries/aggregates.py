@@ -969,7 +969,7 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     then finds its bucket by counting boundary literals strictly below
     it (ties at boundaries land in the lower bucket on both engines
     because the comparison is strict). The single-buffer exact form
-    survives as a differential twin in tests/test_operators.py."""
+    survives as a differential twin in tests/test_ranks.py."""
     li = t(spark, sf_dir, "lineitem")
     probs = [(i + 1) / 10.0 for i in range(9)]
     bounds = exact_percentiles(li, "l_extendedprice", probs)

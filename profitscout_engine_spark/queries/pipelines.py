@@ -587,3 +587,378 @@ def wintracker_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         tier.alias("tier"),
         ((F.col("peak_pct") >= 15) & F.col("day3_pct").isNotNull()).alias("is_win"),
     )
+
+
+# --- full robustness sweep: the reference's 5×17×3 config grid ---------------
+# run_sweep.py:25-36 — ENTRY_TIMES (5) × TARGET_STOPS (17) × MAX_HOLD_DAYS (3)
+# = 255 configurations swept over ONE cached bar series per trade.
+SWEEP_OFFS_H = (0, 1, 2, 3, 4)  # 5 entry times as hour offsets from the anchor
+SWEEP_BRACKETS = (  # (target_bps, stop_bps) — run_sweep.py:27-33 verbatim
+    (2000, -2000), (2000, -2500), (2000, -3000),
+    (2500, -2000), (2500, -2500), (2500, -3000),
+    (3000, -2000), (3000, -2500), (3000, -3000),
+    (4000, -2500), (4000, -4000),
+    (5000, -2500), (5000, -4000),
+    (1500, -2000), (1500, -2500),
+    (3500, -2500), (3500, -3000),
+)
+SWEEP_HOLDS_D = (1, 2, 3)
+# Multipliers as PARSED literals ("1.15"), never computed 1 + 0.15: double
+# addition of parsed fractions rounds differently than parsing the sum
+# (the pow()-trap's addition analogue), and both engines must see the
+# exact same factor bits.
+_T_MULT = {1500: "1.15", 2000: "1.2", 2500: "1.25", 3000: "1.3",
+           3500: "1.35", 4000: "1.4", 5000: "1.5"}
+_S_MULT = {-2000: "0.8", -2500: "0.75", -3000: "0.7", -4000: "0.6"}
+_SWEEP_SAMPLE = "00"  # md5 prefix: 1/256 of trade anchors ride the full grid
+
+
+def _sweep_grid_oracle() -> str:
+    brackets = ", ".join(
+        f"({t}, {s}, {_T_MULT[t]}E0, {_S_MULT[s]}E0)" for t, s in SWEEP_BRACKETS
+    )
+    offs = ", ".join(f"({o})" for o in SWEEP_OFFS_H)
+    holds = ", ".join(f"({h})" for h in SWEEP_HOLDS_D)
+    return f"""
+    WITH trades AS (
+        SELECT event_id AS trade_id, user_id AS trade_user, ts AS entry_ts,
+               value + 10 AS entry_price
+        FROM events
+        WHERE event_type = 'signup'
+          AND substr(md5(CAST(event_id AS VARCHAR)), 1, 2) = '{_SWEEP_SAMPLE}'
+    ),
+    cfg AS (
+        SELECT * FROM (VALUES {offs}) o(off_h)
+        CROSS JOIN (VALUES {brackets}) b(t_bps, s_bps, t_mult, s_mult)
+        CROSS JOIN (VALUES {holds}) h(hold_d)
+    ),
+    tc AS (
+        SELECT t.*, c.*,
+               t.entry_ts + c.off_h * INTERVAL 1 HOUR AS entry_off_ts,
+               t.entry_ts + c.off_h * INTERVAL 1 HOUR
+                          + c.hold_d * INTERVAL 1 DAY AS timeout_ts
+        FROM trades t CROSS JOIN cfg c
+    ),
+    agg AS (
+        SELECT tc.trade_id, tc.off_h, tc.t_bps, tc.s_bps, tc.hold_d,
+               MIN(CASE WHEN b.high >= tc.entry_price * tc.t_mult
+                        THEN b.ts END) AS target_ts,
+               MIN(CASE WHEN b.low <= tc.entry_price * tc.s_mult
+                        THEN b.ts END) AS stop_ts,
+               max_by(b.close, b.ts) AS last_close,
+               MAX(tc.entry_price) AS entry_price,
+               MAX(tc.t_mult) AS t_mult, MAX(tc.s_mult) AS s_mult
+        FROM tc
+        LEFT JOIN (
+            SELECT user_id, ts,
+                   (value + 10) * 1.02 AS high,
+                   (value + 10) * 0.98 AS low,
+                   value + 10 AS close
+            FROM events
+        ) b ON b.user_id = tc.trade_user
+           AND b.ts > tc.entry_off_ts AND b.ts <= tc.timeout_ts
+        GROUP BY 1, 2, 3, 4, 5
+    ),
+    resolved AS (
+        SELECT off_h, t_bps, s_bps, hold_d,
+               CASE WHEN stop_ts IS NOT NULL
+                         AND (target_ts IS NULL OR stop_ts <= target_ts)
+                    THEN 'stop'
+                    WHEN target_ts IS NOT NULL THEN 'target'
+                    ELSE 'timeout' END AS exit_reason,
+               CAST(FLOOR(((CASE WHEN stop_ts IS NOT NULL
+                                      AND (target_ts IS NULL OR stop_ts <= target_ts)
+                                 THEN entry_price * s_mult
+                                 WHEN target_ts IS NOT NULL
+                                 THEN entry_price * t_mult
+                                 ELSE COALESCE(last_close, entry_price) END
+                            - entry_price) / entry_price * 100) * 1000000.0 + 0.5)
+                    AS BIGINT) AS ret_fix
+        FROM agg
+    )
+    SELECT off_h, t_bps, s_bps, hold_d,
+           CAST(COUNT(*) AS BIGINT) AS n_trades,
+           CAST(COUNT(CASE WHEN exit_reason = 'stop' THEN 1 END) AS BIGINT)
+               AS n_stop,
+           CAST(COUNT(CASE WHEN exit_reason = 'target' THEN 1 END) AS BIGINT)
+               AS n_target,
+           CAST(COUNT(CASE WHEN exit_reason = 'timeout' THEN 1 END) AS BIGINT)
+               AS n_timeout,
+           ROUND(AVG(CASE WHEN exit_reason = 'target' THEN 1.0 ELSE 0.0 END), 4)
+               AS win_rate,
+           ROUND(SUM(ret_fix) / 1000000.0 / COUNT(*), 4) AS ev_pct
+    FROM resolved
+    GROUP BY 1, 2, 3, 4
+    """
+
+
+@query(
+    "sweep_grid_full",
+    oracle=_sweep_grid_oracle(),
+    tags=("A15", "W13", "sweep-grid", "pipeline-3.4"),
+)
+def sweep_grid_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL robustness sweep (run_sweep.py:25-36,151-156):
+    5 entry times × 17 target/stop brackets × 3 max-holds = 255
+    configurations, each resolving every sampled trade through the W13
+    bracket-exit rule and rolling up to per-config n/win-rate/EV (A15).
+
+    Scale shape — the whole point of the query: the bar series is
+    scanned and joined ONCE per trade (window bounded by the widest
+    config: 4 h offset + 3 day hold), and the 255-config fan-out happens
+    AFTER aggregation. The grid's 85 (offset × threshold) first-hit
+    times collapse to 55 conditional minima (17 brackets share 7
+    distinct targets + 4 distinct stops) plus 15 (offset × hold) last
+    closes — computed in one grouped pass as FILTERed aggregates, then
+    exposed as map columns the 255-row broadcast config frame keys into.
+    The reference replays the bars list 255 times per trade in Python
+    (run_sweep.py:151-246); here config count multiplies only the
+    per-trade AGGREGATE frame, never the bar rows — at 100 TB the sweep
+    costs one bars shuffle regardless of grid size.
+
+    Trades are a deterministic 1/256 md5 sample of the signup anchors
+    (the reference sweeps one day's signals, not the full history);
+    entry anchors carry their own entry price per the fixture contract
+    (entry-bar lookup is J5's `asof_entry_bar`). Returns are fixed to
+    1e-6 integer units before the EV sum per the float-trap rule."""
+    from ..exprs import r4 as _r4
+    from .execution import _price_bars, _trades
+
+    trades = _trades(spark, sf_dir).where(
+        F.substring(F.md5(F.col("trade_id").cast("string")), 1, 2)
+        == _SWEEP_SAMPLE
+    ).select("trade_id", "trade_user", "entry_ts", "entry_price")
+    bars = _price_bars(spark, sf_dir)
+    joined = trades.join(
+        bars,
+        (bars["user_id"] == trades["trade_user"])
+        & (bars["ts"] > trades["entry_ts"])
+        & (
+            bars["ts"]
+            <= trades["entry_ts"]
+            + F.expr(
+                f"INTERVAL {max(SWEEP_OFFS_H)} HOURS"
+                f" + INTERVAL {max(SWEEP_HOLDS_D)} DAYS"
+            )
+        ),
+        "left",
+    )
+    aggs = [
+        F.first("entry_price").alias("entry_price"),
+        F.first("entry_ts").alias("entry_ts"),
+    ]
+    tgt_entries, stop_entries, lc_entries = [], [], []
+    for off in SWEEP_OFFS_H:
+        after_off = F.col("ts") > F.col("entry_ts") + F.expr(f"INTERVAL {off} HOURS")
+        for t_bps, mult in _T_MULT.items():
+            c = f"tgt_{off}_{t_bps}"
+            aggs.append(
+                F.min(
+                    F.when(
+                        after_off
+                        & (F.col("high") >= F.col("entry_price") * F.lit(float(mult))),
+                        F.col("ts"),
+                    )
+                ).alias(c)
+            )
+            tgt_entries += [F.lit(off * 100000 + t_bps), F.col(c)]
+        for s_bps, mult in _S_MULT.items():
+            c = f"stp_{off}_{-s_bps}"
+            aggs.append(
+                F.min(
+                    F.when(
+                        after_off
+                        & (F.col("low") <= F.col("entry_price") * F.lit(float(mult))),
+                        F.col("ts"),
+                    )
+                ).alias(c)
+            )
+            stop_entries += [F.lit(off * 100000 - s_bps), F.col(c)]
+        for hold in SWEEP_HOLDS_D:
+            c = f"lc_{off}_{hold}"
+            aggs.append(
+                F.expr(
+                    f"max_by(close, ts) FILTER (WHERE ts > entry_ts"
+                    f" + INTERVAL {off} HOURS AND ts <= entry_ts"
+                    f" + INTERVAL {off} HOURS + INTERVAL {hold} DAYS)"
+                ).alias(c)
+            )
+            lc_entries += [F.lit(off * 10 + hold), F.col(c)]
+    per_trade = joined.groupBy("trade_id").agg(*aggs).select(
+        "trade_id",
+        "entry_price",
+        "entry_ts",
+        F.create_map(*tgt_entries).alias("tgt_map"),
+        F.create_map(*stop_entries).alias("stop_map"),
+        F.create_map(*lc_entries).alias("lc_map"),
+    )
+    # 255-config fan-out as a literal struct-array explode (the
+    # scenario_explode idiom): no join operator at all, so the plan keeps
+    # zero BroadcastNestedLoopJoins and the fan-out is provably bounded.
+    cfg_arr = F.array(
+        *[
+            F.struct(
+                F.lit(o).alias("off_h"),
+                F.lit(t).alias("t_bps"),
+                F.lit(s).alias("s_bps"),
+                F.lit(h).alias("hold_d"),
+                F.lit(float(_T_MULT[t])).alias("t_mult"),
+                F.lit(float(_S_MULT[s])).alias("s_mult"),
+            )
+            for o in SWEEP_OFFS_H
+            for t, s in SWEEP_BRACKETS
+            for h in SWEEP_HOLDS_D
+        ]
+    )
+    fanned = per_trade.withColumn("c", F.explode(cfg_arr)).select(
+        "*", "c.off_h", "c.t_bps", "c.s_bps", "c.hold_d", "c.t_mult", "c.s_mult"
+    )
+    timeout_c = F.col("entry_ts") + F.expr(
+        "make_interval(0, 0, 0, hold_d, off_h, 0, 0)"
+    )
+    tgt_ts = F.element_at("tgt_map", F.col("off_h") * 100000 + F.col("t_bps"))
+    stop_ts = F.element_at("stop_map", F.col("off_h") * 100000 - F.col("s_bps"))
+    lc = F.element_at("lc_map", F.col("off_h") * 10 + F.col("hold_d"))
+    valid_tgt = tgt_ts.isNotNull() & (tgt_ts <= timeout_c)
+    valid_stop = stop_ts.isNotNull() & (stop_ts <= timeout_c)
+    stop_first = valid_stop & (~valid_tgt | (stop_ts <= tgt_ts))
+    exit_price = (
+        F.when(stop_first, F.col("entry_price") * F.col("s_mult"))
+        .when(valid_tgt, F.col("entry_price") * F.col("t_mult"))
+        .otherwise(F.coalesce(lc, F.col("entry_price")))
+    )
+    reason = (
+        F.when(stop_first, "stop").when(valid_tgt, "target").otherwise("timeout")
+    )
+    ret_fix = F.floor(
+        (exit_price - F.col("entry_price"))
+        / F.col("entry_price")
+        * 100
+        * 1000000.0
+        + 0.5
+    ).cast("long")
+    resolved = fanned.select(
+        "off_h", "t_bps", "s_bps", "hold_d",
+        reason.alias("exit_reason"), ret_fix.alias("ret_fix"),
+    )
+    return resolved.groupBy("off_h", "t_bps", "s_bps", "hold_d").agg(
+        F.count("*").alias("n_trades"),
+        F.count(F.when(F.col("exit_reason") == "stop", 1)).alias("n_stop"),
+        F.count(F.when(F.col("exit_reason") == "target", 1)).alias("n_target"),
+        F.count(F.when(F.col("exit_reason") == "timeout", 1)).alias("n_timeout"),
+        _r4(
+            F.avg(F.when(F.col("exit_reason") == "target", 1.0).otherwise(0.0))
+        ).alias("win_rate"),
+        _r4(F.sum("ret_fix") / 1000000.0 / F.count("*")).alias("ev_pct"),
+    )
+
+
+# --- §2.10 external-enrichment boundary, oracle-paired -------------------------
+def _hexval(h: str, pos: int) -> str:
+    """DuckDB int value of 1-indexed hex char ``pos`` of md5 column ``h``."""
+    return f"(strpos('0123456789abcdef', substr({h}, {pos}, 1)) - 1)"
+
+
+def _enrichment_oracle() -> str:
+    h4 = (  # int(h[3:7], 16): big-endian fold of hex chars 4..7
+        f"({_hexval('h', 4)} * 4096 + {_hexval('h', 5)} * 256"
+        f" + {_hexval('h', 6)} * 16 + {_hexval('h', 7)})"
+    )
+    return f"""
+    WITH sig AS (
+        SELECT 'T' || CAST(user_id AS VARCHAR) AS ticker,
+               CASE WHEN user_id % 2 = 0 THEN 'BULLISH' ELSE 'BEARISH' END
+                   AS direction
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    hashed AS (
+        SELECT direction, md5(ticker || '|' || direction) AS h
+        FROM sig
+        WHERE substr(md5(ticker), 1, 1) = '0'
+    ),
+    rep AS (
+        SELECT direction,
+               substr(h, 1, 2) = '00' AS permfail,
+               CAST({_hexval('h', 1)} // 6 + 1 AS INT) AS attempts_ok,
+               {_hexval('h', 3)} >= 4 AS news_found,
+               CAST({h4} % 2001 - 1000 AS BIGINT) AS sentiment_bp,
+               CAST({_hexval('h', 8)} AS BIGINT) AS headline_count
+        FROM hashed
+    )
+    SELECT direction,
+           CAST(COUNT(*) AS BIGINT) AS n_signals,
+           CAST(COUNT(CASE WHEN NOT permfail THEN 1 END) AS BIGINT) AS n_ok,
+           CAST(COUNT(CASE WHEN permfail THEN 1 END) AS BIGINT) AS n_no_analysis,
+           CAST(SUM(CASE WHEN permfail THEN 1 ELSE attempts_ok END) AS BIGINT)
+               AS total_attempts,
+           CAST(COUNT(CASE WHEN NOT permfail AND news_found THEN 1 END)
+                AS BIGINT) AS n_with_news,
+           CAST(SUM(CASE WHEN NOT permfail THEN sentiment_bp END) AS BIGINT)
+               AS sum_sentiment_bp,
+           CAST(SUM(CASE WHEN NOT permfail AND news_found
+                         THEN headline_count ELSE 0 END) AS BIGINT)
+               AS sum_headlines
+    FROM rep
+    GROUP BY direction
+    """
+
+
+@query(
+    "enrichment_news_rollup",
+    oracle=_enrichment_oracle(),
+    tags=("S-external", "P10", "enrichment", "udf-arrow"),
+)
+def enrichment_news_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.10 external-enrichment boundary END-TO-END and oracle-paired:
+    signals derive from the entity universe (a 1/16 md5 sample — the
+    reference enriches one day's scored signals, not every entity), ride
+    the batched/throttled/retried ``mapInPandas`` call boundary
+    (sources/enrichment.py — pool-of-2 as partition count, transient
+    codes retried up to 3 attempts per enrichment-trigger/main.py:96-97),
+    and the returned JSON payloads are parsed with the P10 machinery and
+    rolled up per direction: call counts, retry totals, news hit-rate
+    numerators, sentiment sums.
+
+    Because the stubbed provider is a pure md5 function of
+    (ticker, direction), the DuckDB oracle REPLAYS the provider —
+    including the retry schedule (attempts = first-nibble // 6 + 1) and
+    the permanent-failure rule (digest prefix "00") — so the whole
+    boundary is value-hash-checked, not just behaviorally tested. All
+    rollup fields are exact integers; the throttle interval is 0 here
+    (the registered query measures plumbing, not wall-clock quota —
+    production passes DEFAULT_INTERVAL_S)."""
+    from ..sources.enrichment import enrich_external
+
+    ev = t(spark, sf_dir, "events")
+    sig = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            F.concat(F.lit("T"), F.col("user_id").cast("string")).alias("ticker"),
+            F.when(F.col("user_id") % 2 == 0, "BULLISH")
+            .otherwise("BEARISH")
+            .alias("direction"),
+            F.lit(0.0).alias("price_change_pct"),
+            F.lit(0.0).alias("call_dollar_volume"),
+            F.lit(0.0).alias("put_dollar_volume"),
+        )
+        .where(F.substring(F.md5("ticker"), 1, 1) == "0")
+    )
+    enriched = enrich_external(sig, min_interval_s=0.0)
+    parsed = enriched.select(
+        "direction",
+        "status",
+        F.col("attempts").cast("long").alias("attempts"),
+        (F.get_json_object("payload", "$.news_found") == "true").alias("nf"),
+        F.get_json_object("payload", "$.sentiment_bp").cast("long").alias("sbp"),
+        F.get_json_object("payload", "$.headline_count").cast("long").alias("hc"),
+    )
+    return parsed.groupBy("direction").agg(
+        F.count("*").alias("n_signals"),
+        F.count(F.when(F.col("status") == "ok", 1)).alias("n_ok"),
+        F.count(F.when(F.col("status") == "no_analysis", 1)).alias("n_no_analysis"),
+        F.sum("attempts").alias("total_attempts"),
+        F.count(F.when(F.col("nf"), 1)).alias("n_with_news"),
+        F.sum("sbp").alias("sum_sentiment_bp"),
+        F.sum(F.coalesce(F.col("hc"), F.lit(0))).alias("sum_headlines"),
+    )

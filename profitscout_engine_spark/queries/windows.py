@@ -6,8 +6,10 @@ reference's rolling indicators are row-count windows over trading bars).
 
 Scale note: every window here partitions by a high-cardinality entity key
 (user_id), so state per partition is bounded and the sort is local to each
-entity — this is the shape that survives 100 TB. The one global window
-(chrono_split's ntile) is flagged in its docstring.
+entity — this is the shape that survives 100 TB. chrono_split's former
+global ntile window is gone (round 5): its split point is now located
+distributively (calendar-bounded date rollup + within-date distributed
+rank), with the ntile form kept only as a differential twin in tests.
 """
 
 from __future__ import annotations
@@ -305,7 +307,7 @@ def chrono_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderkeys are unique, so ranks are positions). The split itself is
     then a pure comparison against two broadcast-literal scalars. The
     single-window ntile form survives as a differential twin in
-    tests/test_operators.py."""
+    tests/test_ranks.py."""
     o = t(spark, sf_dir, "orders").select(
         "o_orderdate", "o_orderkey", "o_totalprice"
     )

@@ -79,11 +79,15 @@ def stub_news_client(
     if attempt < fails_before:
         raise TransientError(sorted(TRANSIENT_CODES)[int(h[1], 16) % 3])
     news_found = int(h[2], 16) >= 4
+    # Sentiment in INTEGER basis points (-1000..1000), never a rounded
+    # float: integers survive the JSON round-trip bit-exactly and a SQL
+    # oracle can replay them from the same md5 digest (Python's round()
+    # is banker's rounding — unreplayable in ROUND()-half-up engines).
     return {
         "ticker": ticker,
         "direction": direction,
         "news_found": news_found,
-        "sentiment": round((int(h[3:7], 16) / 0xFFFF) * 2 - 1, 4),
+        "sentiment_bp": int(h[3:7], 16) % 2001 - 1000,
         "headline_count": int(h[7], 16) if news_found else 0,
         "price_change_pct": move_pct,
         "flow_volume": flow_vol,

@@ -145,9 +145,9 @@ def test_audit_blob_roundtrip_feeds_p10(spark, tmp_path):
     # the blob payload parses through the P10 path (get_json_object)
     parsed = back.select(
         "ticker",
-        F.get_json_object("payload", "$.sentiment").cast("double").alias("s"),
+        F.get_json_object("payload", "$.sentiment_bp").cast("long").alias("s"),
         F.get_json_object("payload", "$.news_found").cast("boolean").alias("nf"),
     )
     assert parsed.where(F.col("s").isNull() | F.col("nf").isNull()).count() == 0
     for r in parsed.collect():
-        assert -1.0 <= r["s"] <= 1.0
+        assert -1000 <= r["s"] <= 1000
