@@ -38,15 +38,21 @@ def test_entry_contract(spark):
 
 
 def test_driver_window_order_is_pinned():
-    """The driver verifies the FIRST 50 registered queries. Round-4
+    """The driver verifies the FIRST 50 registered queries. Rotation
     contract: _WINDOW_FRONT holds the full never-driver-verified backlog
     in age order (oldest first), so this round's window takes the first
-    50 and rounds 5-6 rotate by deleting the verified prefix."""
+    50 and later rounds rotate by deleting the verified prefix. Round 5
+    deleted the 50 names that went hash-green in CORRECTNESS_r04, so the
+    late-r3 backlog now leads."""
     from profitscout_engine_spark.queries import _WINDOW_FRONT
 
     names = list(load_registry())
     assert names[: len(_WINDOW_FRONT)] == list(_WINDOW_FRONT)
     assert len(_WINDOW_FRONT) >= 50
     window = set(names[:50])
-    # age-order head: the r3 mid-round additions lead the backlog
-    assert {"hll_distinct_portable", "rsi_macd", "monte_carlo_paths"} <= window
+    # age-order head: backlog positions 51-100 of the r4 ordering
+    assert {"q22_dormant_balance", "fuzzy_dedup_edit", "triangle_count"} <= window
+    # r4-verified names must be GONE from the front
+    assert not {"hll_distinct_portable", "rsi_macd", "monte_carlo_paths"} & set(
+        _WINDOW_FRONT
+    )
