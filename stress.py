@@ -105,6 +105,7 @@ def main() -> int:
     spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
     results = {}
     for name in names:
+        reg[name].fn(spark, BASE).count()  # warm-up: JIT/codegen/IO cache
         times = {}
         for label, sf_dir in (("1x", BASE), (f"{k}x", big)):
             t0 = time.monotonic()
