@@ -215,6 +215,8 @@ _WINDOW_FRONT = (
     # round-5 additions (youngest — driver rows due r7)
     "sweep_grid_full",
     "enrichment_news_rollup",
+    "shard_manifest",
+    "curriculum_stage_split",
 )
 
 

@@ -1999,3 +1999,62 @@ def plsa_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(PLSA_K)
         ],
     )
+
+
+# --- curriculum staging: exact length-percentile stages per the corpus ---------
+CURRICULUM_PROBS = (0.25, 0.5, 0.75)
+
+
+def _curriculum_oracle() -> str:
+    qs = ", ".join(str(q) for q in CURRICULUM_PROBS)
+    return f"""
+    WITH bounds AS (
+        SELECT quantile_cont(n_chars, [{qs}]) AS qs FROM documents
+    )
+    SELECT CAST(len(list_filter(bounds.qs, q -> q < d.n_chars)) AS INT) AS stage,
+           d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS n_chars_total,
+           CAST(MIN(d.n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(d.n_chars) AS BIGINT) AS max_chars
+    FROM documents d, bounds
+    GROUP BY 1, 2
+    """
+
+
+@query(
+    "curriculum_stage_split",
+    oracle=_curriculum_oracle(),
+    tags=("curation", "curriculum", "A13"),
+)
+def curriculum_stage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum staging — the short-to-long schedule a training
+    run feeds data in: documents split into 4 stages at the corpus's
+    EXACT length quartiles, rolled up per (stage, language) with the doc
+    and char budgets the dataloader mixes from. The quartiles come from
+    ``operators.ranks.exact_percentiles`` (distributed order statistics,
+    the equi_depth_histogram machinery reused on the documents table —
+    never a single-buffer percentile of the whole corpus), broadcast as
+    three literals; stage assignment is a strict boundary count so ties
+    land low on both engines; the rollup is one hash aggregation of
+    4 × |langs| groups."""
+    import functools as _ft
+
+    from ..operators.ranks import exact_percentiles
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    bounds = exact_percentiles(d, "n_chars", list(CURRICULUM_PROBS))
+    stage = _ft.reduce(
+        lambda acc, b: acc + F.when(F.lit(b) < F.col("n_chars"), 1).otherwise(0),
+        bounds,
+        F.lit(0),
+    )
+    return (
+        d.groupBy(stage.cast("int").alias("stage"), "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

@@ -1313,3 +1313,88 @@ def audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak",
         r4(F.sqrt(F.col("sumsq") / F.lit(64.0))).alias("rms"),
     )
+
+
+# --- training-shard manifest: deterministic sharding + integrity accounting ----
+N_SHARDS = 16
+
+
+def _shard_manifest_oracle() -> str:
+    # int value of the first two md5 hex chars (0..255), engine-portable
+    hex2 = (
+        "((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1))"
+    )
+    fold15 = " + ".join(
+        f"CAST((strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"
+        f" AS BIGINT) * {16 ** i}"
+        for i in range(15)
+    )
+    return f"""
+    WITH hashed AS (
+        SELECT doc_id, n_chars, lang,
+               md5(CAST(doc_id AS STRING) || '|' || lang || '|'
+                   || CAST(n_chars AS STRING)) AS h
+        FROM documents
+    )
+    SELECT CAST({hex2} % {N_SHARDS} AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(bit_xor({fold15}) AS BIGINT) AS content_xor
+    FROM hashed
+    GROUP BY 1
+    """
+
+
+@query(
+    "shard_manifest",
+    oracle=_shard_manifest_oracle(),
+    tags=("textops", "sharding", "S-manifest", "integrity"),
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest — the accounting artifact a corpus writer
+    publishes next to every shard set: documents assigned to N_SHARDS
+    shards by md5 (deterministic, engine- and layout-independent, and
+    uniform so shard sizes balance regardless of doc_id clustering), with
+    per-shard doc/char totals, id range, and an order-independent XOR
+    content checksum (the table_checksum fold over a row digest) that a
+    downstream loader re-derives to verify it read exactly the published
+    bytes. One hash-aggregation of N_SHARDS groups — the scale cost is
+    the scan, and the manifest stays 16 rows at any corpus size. The
+    ACTUAL shard write is `df.write.partitionBy(shard)`; this query is
+    the manifest side, value-hashable cross-engine."""
+    d = fan_out(spark, t(spark, sf_dir, "documents"))
+    hashed = d.select(
+        "doc_id",
+        "n_chars",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("doc_id").cast("string"),
+                F.col("lang"),
+                F.col("n_chars").cast("string"),
+            )
+        ).alias("h"),
+    )
+    hex2 = (
+        (F.instr(F.lit("0123456789abcdef"), F.substring("h", 1, 1)) - 1) * 16
+        + (F.instr(F.lit("0123456789abcdef"), F.substring("h", 2, 1)) - 1)
+    )
+    fold15 = None
+    for i in range(15):
+        term = (
+            F.instr(F.lit("0123456789abcdef"), F.substring("h", i + 1, 1)) - 1
+        ).cast("long") * F.lit(16**i).cast("long")
+        fold15 = term if fold15 is None else fold15 + term
+    return (
+        hashed.groupBy((hex2 % N_SHARDS).cast("int").alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.bit_xor(fold15).cast("long").alias("content_xor"),
+        )
+    )
