@@ -63,7 +63,12 @@ DEFAULT_QUERIES = [
 
 def build_replica(k: int) -> str:
     out = f"{STAGE}_x{k}"
-    marker = f"{out}/_DONE_{os.path.basename(BASE)}_{k}"
+    # Marker carries the source fixture's identity (size+mtime of the
+    # largest table) so a regenerated fixture invalidates the replica.
+    st = os.stat(f"{BASE}/events.parquet")
+    marker = (
+        f"{out}/_DONE_{os.path.basename(BASE)}_{k}_{st.st_size}_{int(st.st_mtime)}"
+    )
     if os.path.exists(marker):
         return out
     shutil.rmtree(out, ignore_errors=True)
