@@ -130,6 +130,9 @@ _NL_JOIN_OK = {
     "autocorrelation_acf",
     # 1-row global-scalar cross join (corpus total for cell share)
     "k_anonymity_audit",
+    # two 1-row grand-total scalars (unigram n1, bigram n2) cross-joined onto
+    # the count tables — the round-5 fix replacing unpartitioned window sums
+    "pmi_collocations",
     # 1-row boundary-array cross join (percentile bucket bounds)
     "equi_depth_histogram",
     # 1-row digit-total cross join (Benford denominator)
