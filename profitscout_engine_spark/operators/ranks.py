@@ -140,6 +140,123 @@ def exact_percentiles(
     ]
 
 
+def grouped_exact_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    probs: list[float],
+    num_buckets: int = 32,
+) -> dict[tuple, list[float]]:
+    """Exact per-GROUP interpolated percentiles for the bounded-group /
+    huge-rows shape (returnflag, language, priority, scenario, …) —
+    WITHOUT Spark's ``percentile()`` aggregate, whose per-group buffer
+    holds every value of the group and OOMs once groups grow with the
+    data. Same decomposition as :func:`exact_percentiles`, vectorized
+    across groups:
+
+    1. one pass: per-group approx boundary arrays, collected (the frame
+       is |groups| rows — the bounded axis — and becoming driver
+       literals is what makes the bucket id a pure value function, the
+       determinism requirement from the module docstring);
+    2. one pass: per-(group, bucket) counts (≤ |groups|·buckets rows);
+    3. one pass: ``row_number`` within (group, bucket) partitions —
+       distributed — selecting only the order statistics each group's
+       target positions need;
+    4. driver-side interpolation with the engine formula.
+
+    Returns {group-values-tuple: [percentile per prob]}. Null group keys
+    are not supported (no consumer groups by a nullable key)."""
+    gkey = F.concat_ws("\x1f", *[F.col(g).cast("string") for g in group_cols])
+    vals = df.select(
+        gkey.alias("_g"),
+        *[F.col(g).alias(f"_g{i}") for i, g in enumerate(group_cols)],
+        F.col(col).alias("_v"),
+        _as_double(df, F.col(col)).alias("_vd"),
+    ).where(F.col("_v").isNotNull())
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    brows = (
+        vals.groupBy("_g")
+        .agg(
+            F.percentile_approx("_vd", F.array(*[F.lit(q) for q in qs])).alias("b"),
+            F.count(F.lit(1)).alias("n"),
+            *[F.first(f"_g{i}").alias(f"_g{i}") for i in range(len(group_cols))],
+        )
+        .collect()
+    )
+    bounds = {r["_g"]: sorted(set(r["b"])) for r in brows}
+    n_by_g = {r["_g"]: r["n"] for r in brows}
+    gvals = {
+        r["_g"]: tuple(r[f"_g{i}"] for i in range(len(group_cols))) for r in brows
+    }
+    bmap = F.create_map(
+        *[
+            x
+            for g, bs in bounds.items()
+            for x in (F.lit(g), F.array(*[F.lit(b) for b in bs]))
+        ]
+    )
+    part = vals.withColumn(
+        _BKT, F.size(F.filter(F.element_at(bmap, F.col("_g")), lambda b: b < F.col("_vd")))
+    )
+    counts: dict[str, list[tuple[int, int]]] = {}
+    for r in part.groupBy("_g", _BKT).agg(F.count(F.lit(1)).alias("n")).collect():
+        counts.setdefault(r["_g"], []).append((r[_BKT], r["n"]))
+    # per group: positions -> (bucket, local position), as in the global form
+    wanted: dict[str, list[tuple[int, int, float, float]]] = {}
+    needed: dict[tuple[str, int], dict[int, int]] = {}  # (g,bkt) -> {local: pos}
+    for g, n in n_by_g.items():
+        per = []
+        for q in probs:
+            p = q * (n - 1)
+            k = int(p)
+            lo, hi = k + 1, min(k + 2, n)
+            per.append((lo, hi, (k + 1) - p, p - k))
+        wanted[g] = per
+        for pos in sorted({x for lo, hi, _, _ in per for x in (lo, hi)}):
+            run = 0
+            for bkt, cnt in sorted(counts[g]):
+                if pos <= run + cnt:
+                    needed.setdefault((g, bkt), {})[pos - run] = pos
+                    break
+                run += cnt
+    w = Window.partitionBy("_g", _BKT).orderBy("_v")
+    cond = functools.reduce(
+        lambda a, b: a | b,
+        [
+            (F.col("_g") == F.lit(g)) & (F.col(_BKT) == F.lit(bkt))
+            & F.col("_rn").isin(list(locs))
+            for (g, bkt), locs in needed.items()
+        ],
+    )
+    hits = (
+        part.where(
+            functools.reduce(
+                lambda a, b: a | b,
+                [
+                    (F.col("_g") == F.lit(g)) & (F.col(_BKT) == F.lit(bkt))
+                    for (g, bkt) in needed
+                ],
+            )
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(cond)
+        .select("_g", _BKT, "_rn", "_v")
+        .collect()
+    )
+    stats: dict[tuple[str, int], float] = {}
+    for r in hits:
+        stats[(r["_g"], needed[(r["_g"], r[_BKT])][r["_rn"]])] = r["_v"]
+    return {
+        gvals[g]: [
+            w_lo * stats[(g, lo)] + w_hi * stats[(g, hi)]
+            if w_hi > 0.0
+            else stats[(g, lo)]
+            for lo, hi, w_lo, w_hi in per
+        ]
+        for g, per in wanted.items()
+    }
+
+
 def with_avg_rank(
     df: DataFrame, col: str | Column, out: str, num_buckets: int = 32
 ) -> DataFrame:

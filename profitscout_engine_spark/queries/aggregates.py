@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..exprs import bucketize, r2, r4, tier_ladder
-from ..operators.ranks import exact_percentiles
+from ..operators.ranks import exact_percentiles, grouped_exact_percentiles
 from . import query
 from ._util import t
 
@@ -249,22 +249,33 @@ def date_span_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A12", "A13"),
 )
 def group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (loser-clustering q25/q75 thresholds; sweep median).
-    Spark ``percentile`` interpolates identically to ``quantile_cont``."""
+    """Exact percentiles (loser-clustering q25/q75 thresholds; sweep median),
+    computed via ``operators.ranks.grouped_exact_percentiles`` — distributed
+    per-group order statistics with the quantile_cont interpolation tree —
+    instead of the ``percentile()`` aggregate, whose per-group buffer holds
+    EVERY value of the group: group keys here are bounded (3 flags) but the
+    groups themselves grow with the data, the exact shape that OOMs at 100×
+    (round-5 sweep of the equi_depth fix across the registry)."""
     li = t(spark, sf_dir, "lineitem")
-    # One array-percentile call: a single sort/scan per group instead of
-    # three (the per-group value buffer is built once).
+    qs = grouped_exact_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.5, 0.25, 0.75]
+    )
+    qmap = F.create_map(
+        *[
+            x
+            for (flag,), vals in qs.items()
+            for x in (F.lit(flag), F.array(*[F.lit(v) for v in vals]))
+        ]
+    )
+    q = F.element_at(qmap, F.col("l_returnflag"))
     return (
         li.groupBy("l_returnflag")
-        .agg(
-            F.expr("percentile(l_extendedprice, array(0.5, 0.25, 0.75))").alias("q"),
-            r4(F.avg("l_extendedprice")).alias("mean_price"),
-        )
+        .agg(r4(F.avg("l_extendedprice")).alias("mean_price"))
         .select(
             "l_returnflag",
-            r4(F.col("q")[0]).alias("med_price"),
-            r4(F.col("q")[1]).alias("q25"),
-            r4(F.col("q")[2]).alias("q75"),
+            r4(q[0]).alias("med_price"),
+            r4(q[1]).alias("q25"),
+            r4(q[2]).alias("q75"),
             "mean_price",
         )
     )
@@ -318,23 +329,40 @@ def histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A15", "A9"),
 )
 def sweep_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """run_sweep per-config rollup: n, win/stop rates, EV, median return."""
+    """run_sweep per-config rollup: n, win/stop rates, EV, median return.
+    The per-config median comes from ``operators.ranks.
+    grouped_exact_percentiles`` (distributed per-group order statistics)
+    rather than a ``percentile()`` aggregate whose per-group buffer
+    holds every return of the config — configs are bounded keys whose
+    groups grow with the data (round-5 sweep of the 100× OOM shape)."""
     li = t(spark, sf_dir, "lineitem")
     ret = (
         (F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col("l_extendedprice"))
         / F.col("l_extendedprice")
         * 100
     )
+    framed = li.withColumn("ret", ret)
+    med = grouped_exact_percentiles(
+        framed, ["l_returnflag", "l_linestatus"], "ret", [0.5]
+    )
+    med_map = F.create_map(
+        *[
+            x
+            for (rf, ls), v in med.items()
+            for x in (F.concat_ws("\x1f", F.lit(rf), F.lit(ls)), F.lit(v[0]))
+        ]
+    )
+    gkey = F.concat_ws("\x1f", F.col("cohort"), F.col("scenario"))
     return (
-        li.withColumn("ret", ret)
+        framed
         .groupBy(F.col("l_returnflag").alias("cohort"), F.col("l_linestatus").alias("scenario"))
         .agg(
             F.count("*").alias("sample_size"),
             r4(F.avg(F.when(F.col("l_discount") > 0.05, 1.0).otherwise(0.0))).alias("win_rate"),
             r4(F.avg(F.when(F.col("l_tax") > 0.04, 1.0).otherwise(0.0))).alias("stop_rate"),
             r4(F.avg("ret")).alias("expected_value"),
-            r4(F.expr("percentile(ret, 0.5)")).alias("median_return"),
         )
+        .withColumn("median_return", r4(F.element_at(med_map, gkey)))
     )
 
 

@@ -725,21 +725,33 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     zscore_normalize (a handful of giant documents inflate stddev until
     nothing is an outlier; the median/MAD pair is 50%-breakdown robust).
     Two grouped exact medians (same cross-engine interpolation contract
-    as group_quantiles), each a broadcast join-back onto the corpus —
-    no window over the full table, no sort. Zero-MAD groups (over half
-    the group at the median) yield NULL robust_z and FALSE flags by the
-    NULLIF guard, per the division trap rule."""
+    as group_quantiles), each computed via ``operators.ranks.
+    grouped_exact_percentiles`` — distributed per-language order
+    statistics, never a ``percentile()`` buffer holding a whole
+    language's values (languages are bounded keys, their groups grow
+    with the corpus — the 100× OOM shape, round-5 sweep) — and applied
+    as literal-map lookups, no window over the full table, no sort.
+    Zero-MAD groups (over half the group at the median) yield NULL
+    robust_z and FALSE flags by the NULLIF guard, per the division trap
+    rule."""
+    from ..operators.ranks import grouped_exact_percentiles
+
     docs = t(spark, sf_dir, "documents")
-    med = docs.groupBy("lang").agg(F.expr("percentile(n_chars, 0.5)").alias("med_nc"))
-    dev = docs.join(F.broadcast(med), "lang").select(
+    med_by = grouped_exact_percentiles(docs, ["lang"], "n_chars", [0.5])
+    med_map = F.create_map(
+        *[x for (lg,), v in med_by.items() for x in (F.lit(lg), F.lit(v[0]))]
+    )
+    dev = docs.select(
         "doc_id",
         "lang",
         "n_chars",
-        "med_nc",
-        F.abs(F.col("n_chars") - F.col("med_nc")).alias("adev"),
+        F.element_at(med_map, F.col("lang")).alias("med_nc"),
+    ).withColumn("adev", F.abs(F.col("n_chars") - F.col("med_nc")))
+    mad_by = grouped_exact_percentiles(dev, ["lang"], "adev", [0.5])
+    mad_map = F.create_map(
+        *[x for (lg,), v in mad_by.items() for x in (F.lit(lg), F.lit(v[0]))]
     )
-    mad = dev.groupBy("lang").agg(F.expr("percentile(adev, 0.5)").alias("mad_nc"))
-    return dev.join(F.broadcast(mad), "lang").select(
+    return dev.withColumn("mad_nc", F.element_at(mad_map, F.col("lang"))).select(
         "doc_id",
         "lang",
         "n_chars",
@@ -1698,9 +1710,12 @@ def tree_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin, and score every candidate split by Gini impurity reduction.
     All counts are exact integers; the gain arithmetic is fixed-shape
     per output row, so both engines emit identical rounded gains. Scale:
-    one percentile pass per feature (bounded broadcast), one combinable
-    (feature, bucket) aggregation, and a window over B rows per feature
-    — the node-split cost is independent of corpus size past the scan."""
+    boundaries via ``operators.ranks.grouped_exact_percentiles``
+    (distributed per-feature order statistics — never a ``percentile()``
+    buffer holding a whole feature column, the 100× OOM shape; round-5
+    sweep), one combinable (feature, bucket) aggregation, and a window
+    over B rows per feature — the node-split cost is independent of
+    corpus size past the scan."""
     d = _docs(spark, sf_dir).select(
         "doc_id",
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
@@ -1717,14 +1732,25 @@ def tree_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("f"),
     ).select("doc_id", "y", F.col("f.feature").alias("feature"), F.col("f.val").alias("val"))
-    qlist = ", ".join(str((i + 1) / TREE_BUCKETS) for i in range(TREE_BUCKETS - 1))
-    bounds = feats.groupBy("feature").agg(
-        F.expr(f"percentile(val, array({qlist}))").alias("qs")
+    from ..operators.ranks import grouped_exact_percentiles
+
+    probs = [(i + 1) / TREE_BUCKETS for i in range(TREE_BUCKETS - 1)]
+    bounds = grouped_exact_percentiles(feats, ["feature"], "val", probs)
+    bmap = F.create_map(
+        *[
+            x
+            for (feat,), vals in bounds.items()
+            for x in (F.lit(feat), F.array(*[F.lit(v) for v in vals]))
+        ]
     )
-    bucketed = feats.join(F.broadcast(bounds), "feature").select(
+    bucketed = feats.select(
         "feature",
         "y",
-        F.expr("size(filter(qs, q -> q < val))").cast("long").alias("bucket"),
+        F.size(
+            F.filter(F.element_at(bmap, F.col("feature")), lambda q: q < F.col("val"))
+        )
+        .cast("long")
+        .alias("bucket"),
     )
     bk = bucketed.groupBy("feature", "bucket").agg(
         F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("pos")

@@ -756,42 +756,54 @@ RFM_ASOF = "2001-09-01 00:00:00"
 def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation — recency / frequency / monetary
     quartile scores, the classic value-tiering every retention team
-    runs. One aggregation produces the per-customer RFM triple; ONE
-    exact-percentile pass produces all nine quartile boundaries, which
-    broadcast back as a 1-row array frame and each customer scores by a
-    strict higher-order boundary count (the equi_depth_histogram
+    runs. One aggregation produces the per-customer RFM triple (session-
+    shared: three boundary passes and the scoring scan read it from one
+    materialization); the nine quartile boundaries come from
+    ``operators.ranks.exact_percentiles`` — distributed order
+    statistics, never a ``percentile()`` buffer holding every
+    customer's value (customers GROW with the data; the single-buffer
+    form is the 100× OOM shape, round-5 sweep) — and each customer
+    scores by a strict literal-boundary count (the equi_depth_histogram
     bucketing shape — no ntile, whose single-partition global window
     dies at warehouse scale). Recency inverts (recent = high score);
     ties land in the lower bucket identically on both engines."""
-    o = t(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < F.lit(RFM_ASOF).cast("timestamp")
-    )
-    rfm = o.groupBy("o_custkey").agg(
-        F.datediff(
-            F.lit(RFM_ASOF).cast("timestamp"), F.max("o_orderdate")
-        ).cast("long").alias("recency_days"),
-        F.count("*").alias("frequency"),
-        F.sum("o_totalprice").alias("monetary"),
-    )
-    bounds = rfm.agg(
-        F.expr("percentile(recency_days, array(0.25, 0.5, 0.75))").alias("rq"),
-        F.expr("percentile(frequency,    array(0.25, 0.5, 0.75))").alias("fq"),
-        F.expr("percentile(monetary,     array(0.25, 0.5, 0.75))").alias("mq"),
-    )
-    return rfm.join(F.broadcast(bounds)).select(
+    import functools as _ft
+
+    from ..operators.ranks import exact_percentiles
+    from ._util import shared
+
+    def _rfm_build() -> DataFrame:
+        o = t(spark, sf_dir, "orders").where(
+            F.col("o_orderdate") < F.lit(RFM_ASOF).cast("timestamp")
+        )
+        return o.groupBy("o_custkey").agg(
+            F.datediff(
+                F.lit(RFM_ASOF).cast("timestamp"), F.max("o_orderdate")
+            ).cast("long").alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+
+    rfm = shared(spark, sf_dir, "rfm_triple", _rfm_build)
+    probs = [0.25, 0.5, 0.75]
+
+    def _score(col: str, invert: bool):
+        bounds = exact_percentiles(rfm, col, probs)
+        cnt = _ft.reduce(
+            lambda acc, b: acc + F.when(F.lit(b) < F.col(col), 1).otherwise(0),
+            bounds,
+            F.lit(0),
+        )
+        return (F.lit(4) - cnt if invert else F.lit(1) + cnt).cast("long")
+
+    return rfm.select(
         "o_custkey",
         "recency_days",
         "frequency",
         r2(F.col("monetary")).alias("monetary"),
-        (F.lit(4) - F.expr("size(filter(rq, q -> q < recency_days))"))
-        .cast("long")
-        .alias("r_score"),
-        (F.lit(1) + F.expr("size(filter(fq, q -> q < frequency))"))
-        .cast("long")
-        .alias("f_score"),
-        (F.lit(1) + F.expr("size(filter(mq, q -> q < monetary))"))
-        .cast("long")
-        .alias("m_score"),
+        _score("recency_days", invert=True).alias("r_score"),
+        _score("frequency", invert=False).alias("f_score"),
+        _score("monetary", invert=False).alias("m_score"),
     )
 
 

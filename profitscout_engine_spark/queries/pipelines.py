@@ -470,22 +470,43 @@ def trader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("target_ts").isNotNull(), F.col("eff_target2"))
         .otherwise(F.coalesce(F.col("last_close"), F.col("filled_entry")))
     )
-    resolved = agg.select(
-        "scenario",
-        exit_reason.alias("exit_reason"),
-        ((exit_price - F.col("filled_entry")) / F.col("filled_entry") * 100).alias("ret"),
+    # Session-shared: the resolved-exit frame feeds the per-scenario
+    # median (three distributed order-statistic passes) AND the rollup —
+    # one materialization instead of four pipeline replays.
+    resolved = shared(
+        spark,
+        sf_dir,
+        "trader_resolved",
+        lambda: agg.select(
+            "scenario",
+            exit_reason.alias("exit_reason"),
+            ((exit_price - F.col("filled_entry")) / F.col("filled_entry") * 100).alias(
+                "ret"
+            ),
+        ),
     )
     from ..exprs import r4 as _r4
+    from ..operators.ranks import grouped_exact_percentiles
 
-    return resolved.groupBy("scenario").agg(
-        F.count("*").alias("n_trades"),
-        _r4(F.avg(F.when(F.col("exit_reason") == "target", 1.0).otherwise(0.0))).alias("win_rate"),
-        _r4(F.avg(F.when(F.col("exit_reason") == "stop", 1.0).otherwise(0.0))).alias("stop_rate"),
-        _r4(F.avg(F.when(F.col("exit_reason") == "timeout", 1.0).otherwise(0.0))).alias(
-            "timeout_rate"
-        ),
-        _r4(F.avg("ret")).alias("ev_pct"),
-        _r4(F.median("ret")).alias("median_pct"),
+    # per-scenario exact median via distributed order statistics — never a
+    # median() buffer holding every resolved trade of a scenario (bounded
+    # scenario keys, data-sized groups: the 100x OOM shape, round-5 sweep)
+    med = grouped_exact_percentiles(resolved, ["scenario"], "ret", [0.5])
+    med_map = F.create_map(
+        *[x for (sc,), v in med.items() for x in (F.lit(sc), F.lit(v[0]))]
+    )
+    return (
+        resolved.groupBy("scenario")
+        .agg(
+            F.count("*").alias("n_trades"),
+            _r4(F.avg(F.when(F.col("exit_reason") == "target", 1.0).otherwise(0.0))).alias("win_rate"),
+            _r4(F.avg(F.when(F.col("exit_reason") == "stop", 1.0).otherwise(0.0))).alias("stop_rate"),
+            _r4(F.avg(F.when(F.col("exit_reason") == "timeout", 1.0).otherwise(0.0))).alias(
+                "timeout_rate"
+            ),
+            _r4(F.avg("ret")).alias("ev_pct"),
+        )
+        .withColumn("median_pct", _r4(F.element_at(med_map, F.col("scenario"))))
     )
 
 

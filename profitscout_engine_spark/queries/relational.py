@@ -858,11 +858,16 @@ def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-fulfillment latency profile — ship-lag percentiles and the
     late-rate per priority class, the SLA dashboard an operations team
     watches. One fact-fact join on the order key (the bucketable
-    co-partition key), integer day lags, and a grouped exact-percentile
-    aggregate (the group_quantiles machinery — per-group buffers, not a
-    global sort). The late threshold is a conditional sum in the SAME
-    aggregation; negative lags (data errors) are excluded upstream and
-    surface in dq_audit's ship_before_order check instead."""
+    co-partition key), integer day lags, and per-priority exact
+    percentiles via ``operators.ranks.grouped_exact_percentiles`` —
+    distributed per-group order statistics, never a ``percentile()``
+    buffer holding a whole priority class's lags (5 bounded keys whose
+    GROUPS grow with the data — the 100× OOM shape, round-5 sweep). The
+    late threshold is a conditional sum in the same aggregation;
+    negative lags (data errors) are excluded upstream and surface in
+    dq_audit's ship_before_order check instead."""
+    from ..operators.ranks import grouped_exact_percentiles
+
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
     lat = (
@@ -873,15 +878,26 @@ def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff("l_shipdate", "o_orderdate").cast("long").alias("days_to_ship"),
         )
     )
+    qs = grouped_exact_percentiles(
+        lat, ["o_orderpriority"], "days_to_ship", [0.5, 0.9]
+    )
+    qmap = F.create_map(
+        *[
+            x
+            for (prio,), vals in qs.items()
+            for x in (F.lit(prio), F.array(*[F.lit(v) for v in vals]))
+        ]
+    )
+    q = F.element_at(qmap, F.col("o_orderpriority"))
     return lat.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
-        r4(F.expr("percentile(days_to_ship, 0.5)")).alias("p50_days"),
-        r4(F.expr("percentile(days_to_ship, 0.9)")).alias("p90_days"),
-        r4(
-            F.sum(F.when(F.col("days_to_ship") > 90, 1).otherwise(0))
-            * F.lit(1.0)
-            / F.count("*")
-        ).alias("pct_late"),
+        F.sum(F.when(F.col("days_to_ship") > 90, 1).otherwise(0)).alias("_late"),
+    ).select(
+        "o_orderpriority",
+        "n",
+        r4(q[0]).alias("p50_days"),
+        r4(q[1]).alias("p90_days"),
+        r4(F.col("_late") * F.lit(1.0) / F.col("n")).alias("pct_late"),
     )
 
 

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from profitscout_engine_spark.operators.ranks import (
     exact_percentiles,
+    grouped_exact_percentiles,
     order_statistics,
     with_avg_rank,
 )
@@ -111,3 +112,30 @@ def test_chrono_split_matches_ntile_twin(spark, sf_dir):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_grouped_exact_percentiles_vs_single_buffer(spark, sf_dir):
+    """Differential twin: distributed per-group percentiles == the
+    single-buffer per-group percentile() aggregate, bit-for-bit, on one-
+    and two-column group keys."""
+    li = t(spark, sf_dir, "lineitem")
+    got = grouped_exact_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.5, 0.25, 0.75]
+    )
+    want = {
+        r["l_returnflag"]: r["q"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.25, 0.75))").alias("q"))
+        .collect()
+    }
+    assert {k[0]: v for k, v in got.items()} == want
+    got2 = grouped_exact_percentiles(
+        li, ["l_returnflag", "l_linestatus"], "l_quantity", [0.5, 0.9]
+    )
+    want2 = {
+        (r["l_returnflag"], r["l_linestatus"]): r["q"]
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.expr("percentile(l_quantity, array(0.5, 0.9))").alias("q"))
+        .collect()
+    }
+    assert got2 == want2
