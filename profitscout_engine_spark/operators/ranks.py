@@ -140,6 +140,35 @@ def exact_percentiles(
     ]
 
 
+def group_key(*cols: str) -> Column:
+    """The group-key string expression consumers join percentile maps on —
+    identical to the key format grouped_exact_percentiles hashes groups
+    by (unit-separator-joined string casts)."""
+    return F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+
+
+def percentile_literal_map(
+    qs: dict[tuple, list[float]], scalar: bool = False
+) -> Column:
+    """Literal map from group-key string to percentile payload (array, or
+    the first percentile as a scalar when ``scalar``), correctly TYPED
+    even when ``qs`` is empty — a bare ``create_map()`` is map<null,null>
+    and fails analysis on an empty corpus."""
+    vtype = "double" if scalar else "array<double>"
+    if not qs:
+        return F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast(f"array<{vtype}>")
+        )
+    entries: list[Column] = []
+    for key, vals in qs.items():
+        k = "\x1f".join(str(v) for v in key)
+        entries += [
+            F.lit(k),
+            F.lit(vals[0]) if scalar else F.array(*[F.lit(v) for v in vals]),
+        ]
+    return F.create_map(*entries)
+
+
 def grouped_exact_percentiles(
     df: DataFrame,
     group_cols: list[str],
@@ -183,6 +212,8 @@ def grouped_exact_percentiles(
         )
         .collect()
     )
+    if not brows:  # empty input: no groups, nothing to rank
+        return {}
     bounds = {r["_g"]: sorted(set(r["b"])) for r in brows}
     n_by_g = {r["_g"]: r["n"] for r in brows}
     gvals = {

@@ -14,7 +14,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..exprs import bucketize, r2, r4, tier_ladder
-from ..operators.ranks import exact_percentiles, grouped_exact_percentiles
+from ..operators.ranks import (
+    exact_percentiles,
+    group_key,
+    grouped_exact_percentiles,
+    percentile_literal_map,
+)
 from . import query
 from ._util import t
 
@@ -260,14 +265,7 @@ def group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = grouped_exact_percentiles(
         li, ["l_returnflag"], "l_extendedprice", [0.5, 0.25, 0.75]
     )
-    qmap = F.create_map(
-        *[
-            x
-            for (flag,), vals in qs.items()
-            for x in (F.lit(flag), F.array(*[F.lit(v) for v in vals]))
-        ]
-    )
-    q = F.element_at(qmap, F.col("l_returnflag"))
+    q = F.element_at(percentile_literal_map(qs), group_key("l_returnflag"))
     return (
         li.groupBy("l_returnflag")
         .agg(r4(F.avg("l_extendedprice")).alias("mean_price"))
@@ -345,14 +343,8 @@ def sweep_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = grouped_exact_percentiles(
         framed, ["l_returnflag", "l_linestatus"], "ret", [0.5]
     )
-    med_map = F.create_map(
-        *[
-            x
-            for (rf, ls), v in med.items()
-            for x in (F.concat_ws("\x1f", F.lit(rf), F.lit(ls)), F.lit(v[0]))
-        ]
-    )
-    gkey = F.concat_ws("\x1f", F.col("cohort"), F.col("scenario"))
+    med_map = percentile_literal_map(med, scalar=True)
+    gkey = group_key("cohort", "scenario")
     return (
         framed
         .groupBy(F.col("l_returnflag").alias("cohort"), F.col("l_linestatus").alias("scenario"))

@@ -734,24 +734,25 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zero-MAD groups (over half the group at the median) yield NULL
     robust_z and FALSE flags by the NULLIF guard, per the division trap
     rule."""
-    from ..operators.ranks import grouped_exact_percentiles
+    from ..operators.ranks import (
+        group_key,
+        grouped_exact_percentiles,
+        percentile_literal_map,
+    )
 
     docs = t(spark, sf_dir, "documents")
     med_by = grouped_exact_percentiles(docs, ["lang"], "n_chars", [0.5])
-    med_map = F.create_map(
-        *[x for (lg,), v in med_by.items() for x in (F.lit(lg), F.lit(v[0]))]
-    )
     dev = docs.select(
         "doc_id",
         "lang",
         "n_chars",
-        F.element_at(med_map, F.col("lang")).alias("med_nc"),
+        F.element_at(percentile_literal_map(med_by, scalar=True), group_key("lang")).alias("med_nc"),
     ).withColumn("adev", F.abs(F.col("n_chars") - F.col("med_nc")))
     mad_by = grouped_exact_percentiles(dev, ["lang"], "adev", [0.5])
-    mad_map = F.create_map(
-        *[x for (lg,), v in mad_by.items() for x in (F.lit(lg), F.lit(v[0]))]
-    )
-    return dev.withColumn("mad_nc", F.element_at(mad_map, F.col("lang"))).select(
+    return dev.withColumn(
+        "mad_nc",
+        F.element_at(percentile_literal_map(mad_by, scalar=True), group_key("lang")),
+    ).select(
         "doc_id",
         "lang",
         "n_chars",
@@ -1732,22 +1733,26 @@ def tree_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("f"),
     ).select("doc_id", "y", F.col("f.feature").alias("feature"), F.col("f.val").alias("val"))
-    from ..operators.ranks import grouped_exact_percentiles
+    from ..operators.ranks import (
+        group_key,
+        grouped_exact_percentiles,
+        percentile_literal_map,
+    )
 
     probs = [(i + 1) / TREE_BUCKETS for i in range(TREE_BUCKETS - 1)]
     bounds = grouped_exact_percentiles(feats, ["feature"], "val", probs)
-    bmap = F.create_map(
-        *[
-            x
-            for (feat,), vals in bounds.items()
-            for x in (F.lit(feat), F.array(*[F.lit(v) for v in vals]))
-        ]
-    )
+    bmap = percentile_literal_map(bounds)
     bucketed = feats.select(
         "feature",
         "y",
-        F.size(
-            F.filter(F.element_at(bmap, F.col("feature")), lambda q: q < F.col("val"))
+        F.coalesce(
+            F.size(
+                F.filter(
+                    F.element_at(bmap, group_key("feature")),
+                    lambda q: q < F.col("val"),
+                )
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("bucket"),

@@ -486,15 +486,17 @@ def trader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     from ..exprs import r4 as _r4
-    from ..operators.ranks import grouped_exact_percentiles
+    from ..operators.ranks import (
+        group_key,
+        grouped_exact_percentiles,
+        percentile_literal_map,
+    )
 
     # per-scenario exact median via distributed order statistics — never a
     # median() buffer holding every resolved trade of a scenario (bounded
     # scenario keys, data-sized groups: the 100x OOM shape, round-5 sweep)
     med = grouped_exact_percentiles(resolved, ["scenario"], "ret", [0.5])
-    med_map = F.create_map(
-        *[x for (sc,), v in med.items() for x in (F.lit(sc), F.lit(v[0]))]
-    )
+    med_map = percentile_literal_map(med, scalar=True)
     return (
         resolved.groupBy("scenario")
         .agg(
@@ -506,7 +508,7 @@ def trader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             _r4(F.avg("ret")).alias("ev_pct"),
         )
-        .withColumn("median_pct", _r4(F.element_at(med_map, F.col("scenario"))))
+        .withColumn("median_pct", _r4(F.element_at(med_map, group_key("scenario"))))
     )
 
 

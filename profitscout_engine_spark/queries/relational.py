@@ -866,7 +866,11 @@ def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     late threshold is a conditional sum in the same aggregation;
     negative lags (data errors) are excluded upstream and surface in
     dq_audit's ship_before_order check instead."""
-    from ..operators.ranks import grouped_exact_percentiles
+    from ..operators.ranks import (
+        group_key,
+        grouped_exact_percentiles,
+        percentile_literal_map,
+    )
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
@@ -881,14 +885,7 @@ def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = grouped_exact_percentiles(
         lat, ["o_orderpriority"], "days_to_ship", [0.5, 0.9]
     )
-    qmap = F.create_map(
-        *[
-            x
-            for (prio,), vals in qs.items()
-            for x in (F.lit(prio), F.array(*[F.lit(v) for v in vals]))
-        ]
-    )
-    q = F.element_at(qmap, F.col("o_orderpriority"))
+    q = F.element_at(percentile_literal_map(qs), group_key("o_orderpriority"))
     return lat.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
         F.sum(F.when(F.col("days_to_ship") > 90, 1).otherwise(0)).alias("_late"),
