@@ -35,6 +35,23 @@ from pyspark.sql import functions as F
 
 _BKT = "_rank_bkt"
 
+# Stats-gated strategy switch: below this optimizer-estimated input size the
+# single-buffer exact percentile()/median() aggregate is both safe and much
+# faster (the distributed decomposition pays 3 serial driver round-trips);
+# above it the buffer is the 100x OOM and the distributed passes win. Both
+# paths produce bit-identical results (pinned by tests/test_ranks.py twins),
+# so this is a pure physical-strategy choice — the same call a CBO makes.
+PERCENTILE_BUFFER_MAX_BYTES = 256 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's estimated size of the frame (no job). Unknown -> huge,
+    so the scale-safe distributed path is the failure default."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
 
 def _as_double(df: DataFrame, key: Column) -> Column:
     """Monotone double image of an orderable key for bucketing purposes
@@ -70,9 +87,29 @@ def order_statistics(
     position's bucket and local offset on the driver -> one distributed
     ``row_number`` pass over ONLY the needed buckets selects the values.
     Tie order within ``row_number`` is arbitrary but irrelevant — the
-    value at a sorted position is well-defined regardless."""
+    value at a sorted position is well-defined regardless.
+
+    The input projection is persisted for the operator's own passes
+    (boundaries, counts, selection) and unpersisted before returning —
+    every output is collected to driver literals, so nothing downstream
+    holds the cached plan, and without the cache each pass replays the
+    full upstream subtree (a join-heavy input made one consumer 15×
+    slower in the round-5 bench before this)."""
     key = F.col(col)
-    vals = df.select(key.cast("double").alias("v")).where(F.col("v").isNotNull())
+    vals = (
+        df.select(key.cast("double").alias("v"))
+        .where(F.col("v").isNotNull())
+        .persist()
+    )
+    try:
+        return _order_statistics_inner(vals, positions, num_buckets)
+    finally:
+        vals.unpersist()
+
+
+def _order_statistics_inner(
+    vals: DataFrame, positions: list[int], num_buckets: int
+) -> dict[int, float]:
     qs = [i / num_buckets for i in range(1, num_buckets)]
     [brow] = vals.select(
         F.percentile_approx("v", F.array(*[F.lit(q) for q in qs])).alias("b")
@@ -119,25 +156,93 @@ def exact_percentiles(
     Spark's Percentile.getPercentile and DuckDB's quantile_cont evaluate;
     NOT the algebraically-equal lo+(hi-lo)*frac, which rounds differently
     by an ULP — pinned by tests/test_ranks.py) computed from distributed
-    order statistics instead of one in-memory sort of the whole column."""
-    n = df.where(F.col(col).isNotNull()).count()
-    if n == 0:
-        return [float("nan") for _ in probs]
-    wanted: list[tuple[int, int, float, float]] = []
-    positions: set[int] = set()
-    for q in probs:
-        p = q * (n - 1)
-        k = int(p)  # floor for non-negative p
-        lo, hi = k + 1, min(k + 2, n)  # 1-indexed order statistics
-        # Weights as BOTH engines compute them: (ceil-p) and (p-floor),
-        # never 1-frac (an ULP apart for some p).
-        wanted.append((lo, hi, (k + 1) - p, p - k))
-        positions.update((lo, hi))
-    stats = order_statistics(df, col, sorted(positions), num_buckets)
-    return [
-        w_lo * stats[lo] + w_hi * stats[hi] if w_hi > 0.0 else stats[lo]
-        for lo, hi, w_lo, w_hi in wanted
-    ]
+    order statistics instead of one in-memory sort of the whole column.
+    The value projection is persisted across the count/boundary/count/
+    selection passes and unpersisted before returning (outputs are
+    driver literals; without the cache every pass replays the upstream
+    subtree)."""
+    if _plan_size_bytes(df) <= PERCENTILE_BUFFER_MAX_BYTES:
+        qlist = ", ".join(repr(q) for q in probs)
+        [row] = df.agg(
+            F.expr(f"percentile({col}, array({qlist}))").alias("qs")
+        ).collect()
+        return list(row["qs"]) if row["qs"] is not None else [
+            float("nan") for _ in probs
+        ]
+    vals = (
+        df.select(F.col(col).cast("double").alias("v"))
+        .where(F.col("v").isNotNull())
+        .persist()
+    )
+    try:
+        n = vals.count()
+        if n == 0:
+            return [float("nan") for _ in probs]
+        wanted: list[tuple[int, int, float, float]] = []
+        positions: set[int] = set()
+        for q in probs:
+            p = q * (n - 1)
+            k = int(p)  # floor for non-negative p
+            lo, hi = k + 1, min(k + 2, n)  # 1-indexed order statistics
+            # Weights as BOTH engines compute them: (ceil-p) and (p-floor),
+            # never 1-frac (an ULP apart for some p).
+            wanted.append((lo, hi, (k + 1) - p, p - k))
+            positions.update((lo, hi))
+        stats = _order_statistics_inner(vals, sorted(positions), num_buckets)
+        return [
+            w_lo * stats[lo] + w_hi * stats[hi] if w_hi > 0.0 else stats[lo]
+            for lo, hi, w_lo, w_hi in wanted
+        ]
+    finally:
+        vals.unpersist()
+
+
+def grouped_exact_percentiles_discrete(
+    df: DataFrame, group_cols: list[str], col: str, probs: list[float]
+) -> dict[tuple, list[float]]:
+    """Exact per-group interpolated percentiles for BOUNDED-DOMAIN columns
+    (integer day lags, ages, small code grids — the caller asserts the
+    domain, e.g. calendar-bounded): one ``groupBy(group, value).count()``
+    aggregation collapses the data to |groups|·|domain| rows, collected,
+    and the order statistics fall out of the sorted count runs on the
+    driver — no value buffer, no extra passes, exact at any row count.
+    Interpolation uses the engine formula (ceil-p)*lo + (p-floor)*hi."""
+    rows = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(*group_cols, col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    runs: dict[tuple, list[tuple[float, int]]] = {}
+    for r in rows:
+        runs.setdefault(tuple(r[g] for g in group_cols), []).append(
+            (r[col], r["_n"])
+        )
+    out: dict[tuple, list[float]] = {}
+    for key, vc in runs.items():
+        vc.sort()
+        n = sum(c for _, c in vc)
+        cum, idx = [], 0
+        for v, c in vc:
+            idx += c
+            cum.append((idx, float(v)))  # value of positions (prev, idx]
+
+        def at(pos: int) -> float:
+            for end, v in cum:
+                if pos <= end:
+                    return v
+            return cum[-1][1]
+
+        res = []
+        for q in probs:
+            p = q * (n - 1)
+            k = int(p)
+            lo, hi, w_lo, w_hi = k + 1, min(k + 2, n), (k + 1) - p, p - k
+            res.append(
+                w_lo * at(lo) + w_hi * at(hi) if w_hi > 0.0 else at(lo)
+            )
+        out[key] = res
+    return out
 
 
 def group_key(*cols: str) -> Column:
@@ -194,14 +299,47 @@ def grouped_exact_percentiles(
     4. driver-side interpolation with the engine formula.
 
     Returns {group-values-tuple: [percentile per prob]}. Null group keys
-    are not supported (no consumer groups by a nullable key)."""
+    are not supported (no consumer groups by a nullable key). The value
+    projection is persisted across the operator's three passes and
+    unpersisted before returning (outputs are driver literals; without
+    the cache every pass replays the upstream subtree — a join-heavy
+    input made one consumer 15× slower in the round-5 bench)."""
     gkey = F.concat_ws("\x1f", *[F.col(g).cast("string") for g in group_cols])
-    vals = df.select(
-        gkey.alias("_g"),
-        *[F.col(g).alias(f"_g{i}") for i, g in enumerate(group_cols)],
-        F.col(col).alias("_v"),
-        _as_double(df, F.col(col)).alias("_vd"),
-    ).where(F.col("_v").isNotNull())
+    if _plan_size_bytes(df) <= PERCENTILE_BUFFER_MAX_BYTES:
+        qlist = ", ".join(repr(q) for q in probs)
+        rows = (
+            df.where(F.col(col).isNotNull())
+            .groupBy(*group_cols)
+            .agg(F.expr(f"percentile({col}, array({qlist}))").alias("qs"))
+            .collect()
+        )
+        return {
+            tuple(r[g] for g in group_cols): list(r["qs"]) for r in rows
+        }
+    vals = (
+        df.select(
+            gkey.alias("_g"),
+            *[F.col(g).alias(f"_g{i}") for i, g in enumerate(group_cols)],
+            F.col(col).alias("_v"),
+            _as_double(df, F.col(col)).alias("_vd"),
+        )
+        .where(F.col("_v").isNotNull())
+        .persist()
+    )
+    try:
+        return _grouped_exact_percentiles_inner(
+            vals, group_cols, probs, num_buckets
+        )
+    finally:
+        vals.unpersist()
+
+
+def _grouped_exact_percentiles_inner(
+    vals: DataFrame,
+    group_cols: list[str],
+    probs: list[float],
+    num_buckets: int,
+) -> dict[tuple, list[float]]:
     qs = [i / num_buckets for i in range(1, num_buckets)]
     brows = (
         vals.groupBy("_g")
@@ -276,7 +414,7 @@ def grouped_exact_percentiles(
     )
     stats: dict[tuple[str, int], float] = {}
     for r in hits:
-        stats[(r["_g"], needed[(r["_g"], r[_BKT])][r["_rn"]])] = r["_v"]
+        stats[(r["_g"], needed[(r["_g"], r[_BKT])][r["_rn"]])] = float(r["_v"])
     return {
         gvals[g]: [
             w_lo * stats[(g, lo)] + w_hi * stats[(g, hi)]

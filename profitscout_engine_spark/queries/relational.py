@@ -859,16 +859,18 @@ def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     late-rate per priority class, the SLA dashboard an operations team
     watches. One fact-fact join on the order key (the bucketable
     co-partition key), integer day lags, and per-priority exact
-    percentiles via ``operators.ranks.grouped_exact_percentiles`` —
-    distributed per-group order statistics, never a ``percentile()``
-    buffer holding a whole priority class's lags (5 bounded keys whose
-    GROUPS grow with the data — the 100× OOM shape, round-5 sweep). The
+    percentiles via ``operators.ranks.grouped_exact_percentiles_discrete``:
+    day lags are a CALENDAR-bounded integer domain, so exact percentiles
+    fall out of one per-(priority, days) count aggregation — never a
+    ``percentile()`` buffer holding a whole priority class's lags (5
+    bounded keys whose GROUPS grow with the data — the 100× OOM shape,
+    round-5 sweep), and never extra passes over the join. The
     late threshold is a conditional sum in the same aggregation;
     negative lags (data errors) are excluded upstream and surface in
     dq_audit's ship_before_order check instead."""
     from ..operators.ranks import (
         group_key,
-        grouped_exact_percentiles,
+        grouped_exact_percentiles_discrete,
         percentile_literal_map,
     )
 
@@ -882,7 +884,7 @@ def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff("l_shipdate", "o_orderdate").cast("long").alias("days_to_ship"),
         )
     )
-    qs = grouped_exact_percentiles(
+    qs = grouped_exact_percentiles_discrete(
         lat, ["o_orderpriority"], "days_to_ship", [0.5, 0.9]
     )
     q = F.element_at(percentile_literal_map(qs), group_key("o_orderpriority"))

@@ -71,17 +71,22 @@ def test_order_statistics_exact(spark, sf_dir):
     assert got == {p: vals[p - 1] for p in pos}
 
 
-def test_exact_percentiles_vs_single_buffer(spark, sf_dir):
+def test_exact_percentiles_vs_single_buffer(spark, sf_dir, monkeypatch):
     """Differential twin: distributed exact percentiles == the single-buffer
-    percentile() aggregate, bit-for-bit (same interpolation formula)."""
+    percentile() aggregate, bit-for-bit (same interpolation formula) — the
+    DISTRIBUTED path is forced (gate to -1) so the fixture's small size
+    can't route around it; the default stats-gated path must agree too."""
+    import profitscout_engine_spark.operators.ranks as ranks
+
     li = t(spark, sf_dir, "lineitem")
     probs = [(i + 1) / 10.0 for i in range(9)]
-    got = exact_percentiles(li, "l_extendedprice", probs)
     qs = ", ".join(str(q) for q in probs)
     [row] = li.agg(
         F.expr(f"percentile(l_extendedprice, array({qs}))").alias("qs")
     ).collect()
-    assert got == row["qs"]
+    assert exact_percentiles(li, "l_extendedprice", probs) == row["qs"]
+    monkeypatch.setattr(ranks, "PERCENTILE_BUFFER_MAX_BYTES", -1)
+    assert exact_percentiles(li, "l_extendedprice", probs) == row["qs"]
 
 
 def test_chrono_split_matches_ntile_twin(spark, sf_dir):
@@ -114,10 +119,14 @@ def test_chrono_split_matches_ntile_twin(spark, sf_dir):
     pd.testing.assert_frame_equal(got, want)
 
 
-def test_grouped_exact_percentiles_vs_single_buffer(spark, sf_dir):
+def test_grouped_exact_percentiles_vs_single_buffer(spark, sf_dir, monkeypatch):
     """Differential twin: distributed per-group percentiles == the
     single-buffer per-group percentile() aggregate, bit-for-bit, on one-
-    and two-column group keys."""
+    and two-column group keys — with the DISTRIBUTED path forced (the
+    stats gate would route the small fixture to the buffer path)."""
+    import profitscout_engine_spark.operators.ranks as ranks
+
+    monkeypatch.setattr(ranks, "PERCENTILE_BUFFER_MAX_BYTES", -1)
     li = t(spark, sf_dir, "lineitem")
     got = grouped_exact_percentiles(
         li, ["l_returnflag"], "l_extendedprice", [0.5, 0.25, 0.75]
@@ -139,3 +148,25 @@ def test_grouped_exact_percentiles_vs_single_buffer(spark, sf_dir):
         .collect()
     }
     assert got2 == want2
+
+
+def test_grouped_discrete_percentiles_vs_single_buffer(spark, sf_dir):
+    """Differential twin: count-run per-group percentiles (bounded-domain
+    strategy) == the single-buffer percentile() aggregate."""
+    from profitscout_engine_spark.operators.ranks import (
+        grouped_exact_percentiles_discrete,
+    )
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.dayofmonth("o_orderdate").alias("dom")
+    )
+    got = grouped_exact_percentiles_discrete(
+        o, ["o_orderpriority"], "dom", [0.5, 0.9, 0.25]
+    )
+    want = {
+        (r["o_orderpriority"],): r["q"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.expr("percentile(dom, array(0.5, 0.9, 0.25))").alias("q"))
+        .collect()
+    }
+    assert got == want
