@@ -108,66 +108,16 @@ _MODULES = (
     "tpch",
 )
 
-# Round-5 window rotation (NOTES.md plan): every query with NO driver row yet,
-# oldest additions first — the driver's 50-query window takes the first 50, and
-# positions 51+ stay in age order so round 6 rotates by simple deletion of the
-# verified prefix. Round-4's first 50 (sketch family through
-# q17_small_quantity_revenue) all went hash-green in CORRECTNESS_r04 and were
-# deleted; the 93 remaining backlog names lead, with round-5 additions appended
-# at the tail (driver rows due r6/r7). Everything rotated out was driver-green
-# in r1-r4 and stays pinned by tests/test_correctness.py. Rule enforced: no
-# oracle-paired query ships more than two rounds without a driver row.
+# Round-6 window rotation (VERDICT r5 plan): delete the 49 names that went
+# HASH-GREEN in CORRECTNESS_r05 — NOT the mechanical first 50, because the one
+# red row (sliding_window_rate, a comparator-parity tz defect fixed this round)
+# must STAY in the window for driver re-verification. What remains is that red
+# row + the 47 never-driver-checked backlog names (oldest first) = 48 <= 50:
+# the ENTIRE backlog fits, so a green CORRECTNESS_r06 means every oracle-paired
+# query in the registry is driver-verified. Everything rotated out was
+# driver-green in r1-r5 and stays pinned by tests/test_correctness.py.
 _WINDOW_FRONT = (
-    "q22_dormant_balance",
-    "fuzzy_dedup_edit",
-    "triangle_count",
-    "bm25_search",
     "sliding_window_rate",
-    "grouping_sets_traffic",
-    "running_distinct_users",
-    "cusum_drift",
-    "mad_outliers",
-    "k_anonymity_audit",
-    "dq_audit",
-    "inverted_index_build",
-    "knn_label_eval",
-    "prefix_filter_jaccard",
-    "rolling_median_value",
-    "dedup_consensus",
-    "equi_depth_histogram",
-    "copurchase_pairs",
-    "event_transition_matrix",
-    "seasonality_index",
-    "benford_audit",
-    "trend_fit_ols",
-    "mix_shift_monitor",
-    "rfm_segmentation",
-    "ab_test_stats",
-    "keyset_pagination",
-    "ltv_cohort_curve",
-    "fulfillment_latency",
-    "duplicate_order_scan",
-    "revenue_pareto_curve",
-    "revenue_gini_by_nation",
-    "ngram_novelty_score",
-    "q2_min_cost_supplier",
-    "q4_priority_checking",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_delay_priority",
-    "q14_promo_share",
-    "q19_disjunct_revenue",
-    "q20_dominant_supplier",
-    "q21_waiting_supplier",
-    "join_size_estimate",
-    "stream_static_enrich",
-    "hybrid_rank_fusion",
-    "sequence_pattern_match",
-    "chi_square_independence",
-    "corpus_filter_pipeline",
-    "contamination_spread",
-    "table_checksum",
     "autocorrelation_acf",
     "threshold_sweep_components",
     "multi_touch_attribution",
@@ -195,7 +145,6 @@ _WINDOW_FRONT = (
     "woe_iv_source",
     "stream_cusum_monitor",
     "kmv_intersect_users",
-    # round-4 additions (youngest — driver rows due r6)
     "exact_substring_dedup",
     "dim_truncation_recall",
     "bounded_window_funnel",
@@ -212,7 +161,6 @@ _WINDOW_FRONT = (
     "source_minhash_similarity",
     "sliding_distinct_users",
     "dedup_impact_report",
-    # round-5 additions (youngest — driver rows due r7)
     "sweep_grid_full",
     "enrichment_news_rollup",
     "shard_manifest",

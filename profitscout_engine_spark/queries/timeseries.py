@@ -320,8 +320,8 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sliding_window_rate",
     oracle="""
     WITH b AS (
-        SELECT to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800)
-                   AS bucket,
+        SELECT CAST(to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800)
+                    AS TIMESTAMP) AS bucket,
                event_type, value
         FROM events
     ),

@@ -38,21 +38,30 @@ def test_entry_contract(spark):
 
 
 def test_driver_window_order_is_pinned():
-    """The driver verifies the FIRST 50 registered queries. Rotation
-    contract: _WINDOW_FRONT holds the full never-driver-verified backlog
-    in age order (oldest first), so this round's window takes the first
-    50 and later rounds rotate by deleting the verified prefix. Round 5
-    deleted the 50 names that went hash-green in CORRECTNESS_r04, so the
-    late-r3 backlog now leads."""
+    """The driver verifies the FIRST 50 registered queries. Round-6 rotation
+    (VERDICT r5): the 49 names hash-green in CORRECTNESS_r05 were deleted,
+    keeping the one red row (sliding_window_rate — comparator-parity tz
+    defect, fixed this round) IN the window plus the 47 never-checked
+    backlog names = 48. A green CORRECTNESS_r06 therefore driver-verifies
+    every oracle-paired query in the registry."""
     from profitscout_engine_spark.queries import _WINDOW_FRONT
 
     names = list(load_registry())
     assert names[: len(_WINDOW_FRONT)] == list(_WINDOW_FRONT)
-    assert len(_WINDOW_FRONT) >= 50
+    assert len(_WINDOW_FRONT) == 48
+    # the red row stays in, at the head
+    assert names[0] == "sliding_window_rate"
     window = set(names[:50])
-    # age-order head: backlog positions 51-100 of the r4 ordering
-    assert {"q22_dormant_balance", "fuzzy_dedup_edit", "triangle_count"} <= window
-    # r4-verified names must be GONE from the front
-    assert not {"hll_distinct_portable", "rsi_macd", "monte_carlo_paths"} & set(
+    # never-driver-checked backlog + round-5 additions are all inside
+    assert {
+        "autocorrelation_acf",
+        "pq_encode",
+        "stream_dedup_bands",
+        "exact_substring_dedup",
+        "sweep_grid_full",
+        "curriculum_stage_split",
+    } <= window
+    # r5-verified names must be GONE from the front
+    assert not {"q22_dormant_balance", "fuzzy_dedup_edit", "triangle_count"} & set(
         _WINDOW_FRONT
     )
