@@ -43,6 +43,25 @@ _BKT = "_rank_bkt"
 # so this is a pure physical-strategy choice — the same call a CBO makes.
 PERCENTILE_BUFFER_MAX_BYTES = 256 << 20
 
+# Loud-failure cap on the bounded-domain collect in
+# grouped_exact_percentiles_discrete: the caller ASSERTS |groups|·|domain| is
+# bounded, but a misjudged domain (a float column, an unbounded id) would
+# otherwise OOM the driver silently. 100k (group, value) rows ≈ a few MB.
+DISCRETE_COLLECT_MAX_ROWS = 100_000
+
+# percentile_literal_map embeds 2·|groups| literal expressions into the plan;
+# Catalyst analysis goes superlinear past ~10^4 map entries. Past this cap the
+# caller should join against a small boundary DataFrame (broadcast) instead of
+# a literal map.
+LITERAL_MAP_MAX_GROUPS = 10_000
+
+
+def _quoted(col: str) -> str:
+    """Backtick-quote an identifier for use inside an F.expr string so the
+    fast single-buffer path accepts the same column names (spaces, dots,
+    hyphens) the F.col-based distributed path does."""
+    return "`" + col.replace("`", "``") + "`"
+
 
 def _plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's estimated size of the frame (no job). Unknown -> huge,
@@ -164,7 +183,7 @@ def exact_percentiles(
     if _plan_size_bytes(df) <= PERCENTILE_BUFFER_MAX_BYTES:
         qlist = ", ".join(repr(q) for q in probs)
         [row] = df.agg(
-            F.expr(f"percentile({col}, array({qlist}))").alias("qs")
+            F.expr(f"percentile({_quoted(col)}, array({qlist}))").alias("qs")
         ).collect()
         return list(row["qs"]) if row["qs"] is not None else [
             float("nan") for _ in probs
@@ -206,13 +225,27 @@ def grouped_exact_percentiles_discrete(
     aggregation collapses the data to |groups|·|domain| rows, collected,
     and the order statistics fall out of the sorted count runs on the
     driver — no value buffer, no extra passes, exact at any row count.
-    Interpolation uses the engine formula (ceil-p)*lo + (p-floor)*hi."""
+    Interpolation uses the engine formula (ceil-p)*lo + (p-floor)*hi.
+
+    The bounded-domain assertion is ENFORCED, not trusted: the collect is
+    capped at DISCRETE_COLLECT_MAX_ROWS via limit(cap+1) — a misjudged
+    domain (float column, unbounded id) raises loudly instead of OOMing
+    the driver silently; the failure message points at
+    grouped_exact_percentiles, which handles unbounded domains."""
+    cap = DISCRETE_COLLECT_MAX_ROWS
     rows = (
         df.where(F.col(col).isNotNull())
         .groupBy(*group_cols, col)
         .agg(F.count(F.lit(1)).alias("_n"))
+        .limit(cap + 1)
         .collect()
     )
+    if len(rows) > cap:
+        raise ValueError(
+            f"grouped_exact_percentiles_discrete: |groups|x|domain| exceeds "
+            f"{cap} rows — column {col!r} is not bounded-domain here; use "
+            f"grouped_exact_percentiles (range-bucketed) instead"
+        )
     runs: dict[tuple, list[tuple[float, int]]] = {}
     for r in rows:
         runs.setdefault(tuple(r[g] for g in group_cols), []).append(
@@ -252,13 +285,53 @@ def group_key(*cols: str) -> Column:
     return F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
 
 
+def _spark_str(v) -> str:
+    """Python-side rendering that MATCHES Spark's cast-to-string for the
+    group-key types this module supports, so percentile_literal_map keys
+    line up with group_key() lookups. Python ``str()`` silently diverges
+    for booleans ("True" vs "true"), floats ("1e-07" vs "1.0E-7") and
+    fractional timestamps (Python pads micros to 6 digits, Spark trims
+    trailing zeros) — the first two are remapped/rejected here so a
+    mismatch raises instead of returning NULL from the map lookup."""
+    import datetime
+
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        raise TypeError(
+            "percentile_literal_map: float group keys are unsupported — "
+            "Spark's Double.toString and Python's repr render differently "
+            "(1.0E-7 vs 1e-07); cast the group column to string upstream"
+        )
+    if isinstance(v, datetime.datetime) and v.microsecond:
+        raise TypeError(
+            "percentile_literal_map: fractional-second timestamp group keys "
+            "are unsupported (Spark trims trailing micro zeros, Python pads)"
+            "; cast the group column to string upstream"
+        )
+    return str(v)  # str, int, date, whole-second datetime all match Spark
+
+
 def percentile_literal_map(
     qs: dict[tuple, list[float]], scalar: bool = False
 ) -> Column:
     """Literal map from group-key string to percentile payload (array, or
     the first percentile as a scalar when ``scalar``), correctly TYPED
     even when ``qs`` is empty — a bare ``create_map()`` is map<null,null>
-    and fails analysis on an empty corpus."""
+    and fails analysis on an empty corpus.
+
+    Keys are rendered with :func:`_spark_str` so they match what
+    :func:`group_key` produces Spark-side (boolean/float/fractional-ts
+    divergences raise instead of silently missing the lookup). Bounded to
+    LITERAL_MAP_MAX_GROUPS entries — past that Catalyst analysis of the
+    2·|groups| literal expressions goes superlinear; join a broadcast
+    boundary frame instead."""
+    if len(qs) > LITERAL_MAP_MAX_GROUPS:
+        raise ValueError(
+            f"percentile_literal_map: {len(qs)} groups exceeds "
+            f"{LITERAL_MAP_MAX_GROUPS} — embed boundaries via a broadcast "
+            f"join frame, not a literal map"
+        )
     vtype = "double" if scalar else "array<double>"
     if not qs:
         return F.map_from_arrays(
@@ -266,7 +339,7 @@ def percentile_literal_map(
         )
     entries: list[Column] = []
     for key, vals in qs.items():
-        k = "\x1f".join(str(v) for v in key)
+        k = "\x1f".join(_spark_str(v) for v in key)
         entries += [
             F.lit(k),
             F.lit(vals[0]) if scalar else F.array(*[F.lit(v) for v in vals]),
@@ -310,7 +383,7 @@ def grouped_exact_percentiles(
         rows = (
             df.where(F.col(col).isNotNull())
             .groupBy(*group_cols)
-            .agg(F.expr(f"percentile({col}, array({qlist}))").alias("qs"))
+            .agg(F.expr(f"percentile({_quoted(col)}, array({qlist}))").alias("qs"))
             .collect()
         )
         return {

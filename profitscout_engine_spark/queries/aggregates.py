@@ -392,7 +392,7 @@ def sweep_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'split' END AS consensus_level
     FROM sized
     """,
-    tags=("A16",),
+    tags=("A16", "T7"),
 )
 def consensus_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
     """agent-arena consensus: vote tally per (ticker, direction), avg
@@ -441,7 +441,7 @@ def consensus_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     GROUP BY lang
     """,
-    tags=("A17",),
+    tags=("A17", "T6"),
 )
 def summary_top_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-summary shape: counts + first-10 ids per side. collect_list is

@@ -1105,7 +1105,7 @@ def _dp_oracle() -> str:
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_true,
            ROUND(COUNT(*) + {noise}, 4) AS n_noisy,
-           {DP_EPSILON} AS epsilon
+           {DP_EPSILON}E0 AS epsilon
     FROM events
     GROUP BY event_type
     """

@@ -555,7 +555,7 @@ def trader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
            (peak_pct >= 15 AND day3_pct IS NOT NULL) AS is_win
     FROM pcts
     """,
-    tags=("J7", "W8", "W9", "A18", "P5", "pipeline-wintracker"),
+    tags=("J7", "W8", "W9", "A18", "P5", "T5", "T8", "S6", "J10", "pipeline-wintracker"),
 )
 def wintracker_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Win-tracker outcome labeling end-to-end (win-tracker/main.py:

@@ -185,7 +185,7 @@ def string_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- P11+A8: derived boolean flags + boolean-group aggregate ------------------
+# --- P11+P12+A8: derived boolean flags + flag-partition row-count sanity ------
 @query(
     "flag_groups",
     oracle="""
@@ -197,7 +197,7 @@ def string_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY 1, 2
     """,
-    tags=("P11", "A8"),
+    tags=("P11", "P12", "A8"),
 )
 def flag_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort flags (HEDGE_HIGH_RR-style) + per-flag-group aggregates."""

@@ -327,6 +327,21 @@ def chrono_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         within = o.where(F.col("o_orderdate") == F.lit(cutoff_date)).select(
             "o_orderkey"
         )
+        # The pos == r locator REQUIRES unique keys within the cutoff date
+        # (ties produce fractional avg ranks and the unpack would raise a
+        # bare ValueError). o_orderkey is the table's primary key, so this
+        # is a data-contract assertion — checked explicitly on the one
+        # date's rows so a violated contract fails with a diagnosis, not a
+        # confusing unpack error (ADVICE r5).
+        [uniq] = within.agg(
+            (F.count(F.lit(1)) == F.count_distinct("o_orderkey")).alias("u")
+        ).collect()
+        if not uniq["u"]:
+            raise ValueError(
+                "chrono_split: o_orderkey is not unique within the cutoff "
+                f"date {cutoff_date} — the NTILE tie order would be "
+                "arbitrary; deduplicate the key or split on a unique key"
+            )
         [cr] = (
             with_avg_rank(within, "o_orderkey", "pos")
             .where(F.col("pos") == F.lit(float(r)))

@@ -65,9 +65,14 @@ def _stage_slices(src_path: str, tag: str, n_files: int, write_slices) -> str:
         return stage
     tmp = f"{stage}.tmp-{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
-    write_slices(src_path, tmp)
-    for i in range(n_files):
-        os.utime(f"{tmp}/slice-{i:03d}.parquet", (1_000_000 + i, 1_000_000 + i))
+    try:
+        write_slices(src_path, tmp)
+        for i in range(n_files):
+            os.utime(f"{tmp}/slice-{i:03d}.parquet", (1_000_000 + i, 1_000_000 + i))
+    except BaseException:
+        # a failed build must not orphan the process-private temp dir
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     try:
         os.rename(tmp, stage)  # atomic publish; loser of a race cleans up
     except OSError:

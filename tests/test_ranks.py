@@ -23,8 +23,14 @@ REGISTRY = load_registry()
 
 def test_avg_rank_matches_global_window(spark, sf_dir):
     """with_avg_rank == RANK() + (ties-1)/2 over one global window, on a
-    column with heavy ties (o_orderdate)."""
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate").limit(3000)
+    column with heavy ties (o_orderdate). Sample by a KEY PREDICATE, not
+    an unordered limit — limit() is re-executed per job (got / want run
+    separately) and Spark does not guarantee the same rows each time."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .where(F.col("o_orderkey") % 2 == 0)
+    )
     got = (
         with_avg_rank(o, "o_orderdate", "r")
         .select("o_orderkey", "r")
@@ -64,7 +70,13 @@ def test_avg_rank_null_and_degenerate(spark):
 
 
 def test_order_statistics_exact(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem").select("l_extendedprice").limit(5000)
+    # key-predicate sample, not limit(): limit re-executes nondeterministically
+    # across the collect job and the operator's own jobs
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 3 == 0)
+        .select("l_extendedprice")
+    )
     vals = sorted(r[0] for r in li.collect())
     pos = [1, 2, len(vals) // 2, len(vals) - 1, len(vals)]
     got = order_statistics(li, "l_extendedprice", pos)
@@ -170,3 +182,60 @@ def test_grouped_discrete_percentiles_vs_single_buffer(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_discrete_collect_cap_raises(spark, monkeypatch):
+    """A misjudged 'bounded' domain must raise loudly, not OOM the driver
+    silently (VERDICT r5 hardening item)."""
+    import pytest
+
+    import profitscout_engine_spark.operators.ranks as ranks
+    from profitscout_engine_spark.operators.ranks import (
+        grouped_exact_percentiles_discrete,
+    )
+
+    monkeypatch.setattr(ranks, "DISCRETE_COLLECT_MAX_ROWS", 10)
+    df = spark.range(100).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("v")
+    )
+    with pytest.raises(ValueError, match="not bounded-domain"):
+        grouped_exact_percentiles_discrete(df, ["g"], "v", [0.5])
+    # under the cap it still works
+    monkeypatch.setattr(ranks, "DISCRETE_COLLECT_MAX_ROWS", 100_000)
+    got = grouped_exact_percentiles_discrete(df, ["g"], "v", [0.5])
+    assert set(got) == {(0,), (1,)}
+
+
+def test_literal_map_group_cap_and_key_format():
+    """percentile_literal_map: |groups| cap raises with broadcast-join
+    guidance; keys render in Spark's cast-to-string forms (booleans
+    lowercase, floats rejected) so group_key() lookups can't silently
+    miss (ADVICE r5)."""
+    import pytest
+
+    from profitscout_engine_spark.operators.ranks import percentile_literal_map
+
+    big = {(str(i),): [1.0] for i in range(10_001)}
+    with pytest.raises(ValueError, match="broadcast"):
+        percentile_literal_map(big)
+    with pytest.raises(TypeError, match="float group keys"):
+        percentile_literal_map({(0.1,): [1.0]})
+    # boolean keys render Spark-style: the literal map must contain "true"
+    col = percentile_literal_map({(True,): [1.0]}, scalar=True)
+    assert "true" in repr(col) and "True" not in repr(col)
+
+
+def test_quoted_identifier_fast_path(spark):
+    """The single-buffer fast path must accept column names that need
+    backtick quoting, like the F.col-based distributed path (ADVICE r5)."""
+    from profitscout_engine_spark.operators.ranks import (
+        exact_percentiles,
+        grouped_exact_percentiles,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 2).alias("g"), F.col("id").cast("double").alias("odd name")
+    )
+    assert exact_percentiles(df, "odd name", [0.5]) == [49.5]
+    got = grouped_exact_percentiles(df, ["g"], "odd name", [0.5])
+    assert got == {(0,): [49.0], (1,): [50.0]}
