@@ -730,7 +730,12 @@ RFM_ASOF = "2001-09-01 00:00:00"
                date_diff('day', MAX(o_orderdate),
                          TIMESTAMP '{RFM_ASOF}') AS recency_days,
                CAST(COUNT(*) AS BIGINT) AS frequency,
-               SUM(o_totalprice) AS monetary
+               -- integral cents before the sum: a float group-sum
+               -- accumulates in engine-specific order, and an
+               -- ULP-divergent monetary under a quantile boundary flips
+               -- the strict < score (bit at the 8x stress check)
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) / 100.0E0 AS monetary
         FROM orders
         WHERE o_orderdate < TIMESTAMP '{RFM_ASOF}'
         GROUP BY o_custkey
@@ -781,7 +786,12 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(RFM_ASOF).cast("timestamp"), F.max("o_orderdate")
             ).cast("long").alias("recency_days"),
             F.count("*").alias("frequency"),
-            F.sum("o_totalprice").alias("monetary"),
+            # exact integer cents before the sum (8x-stress trap: float
+            # group-sum order flips an ULP under a quartile boundary)
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / F.lit(100.0)
+            ).alias("monetary"),
         )
 
     rfm = shared(spark, sf_dir, "rfm_triple", _rfm_build)

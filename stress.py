@@ -11,9 +11,19 @@ one-buffer aggregate grows worse and eventually OOMs.
 
     python stress.py                       # default: 8x, round-5 rewrites
     python stress.py 4 q1_pricing_summary  # 4x, chosen queries
+    python stress.py --check               # CORRECTNESS at 8x: DuckDB oracle
+                                           # over the replicated parquet for
+                                           # the group-size-dependent float
+                                           # queries (VERDICT r5 item 5)
+    python stress.py --check 4 mad_outliers  # check mode, chosen K/queries
 
-Perf-only: no oracle at the replicated scale (fixtures are
-driver-provided; this synthesizes bytes purely to observe runtime).
+Timing mode is perf-only (replicated bytes never feed a correctness
+claim); --check mode IS a correctness claim — it closes the ">sf0.1
+float/ANSI traps" gap the missing sf1 fixture leaves open, by running
+the full driver-style oracle compare over the 8x key-shifted replica.
+Group-size-dependent accumulations (percentile interpolation, moment
+sums, windowed cumulations, 2dp rounding of float group sums) see 8x
+longer runs there than any shipped fixture exercises.
 """
 
 from __future__ import annotations
@@ -60,6 +70,79 @@ DEFAULT_QUERIES = [
     "enrichment_news_rollup",
 ]
 
+# --check mode targets: queries whose float paths depend on GROUP SIZE —
+# percentile/median interpolation over growing groups, moment-sum statistics,
+# ordered window cumulations, 2dp rounding of float group sums. These are the
+# shapes where an accumulation-order or interpolation trap hides above sf0.1
+# (the class that bit range_window_revenue and q9_product_profit AT sf0.1).
+CHECK_QUERIES = [
+    # exact-percentile strategy consumers (ranks.py)
+    "group_quantiles",
+    "fulfillment_latency",
+    "mad_outliers",
+    "rfm_segmentation",
+    "tree_split_gain",
+    "sweep_rollup",
+    "equi_depth_histogram",
+    "curriculum_stage_split",
+    "chrono_split",
+    "seasonal_anomaly",
+    "rolling_median_value",
+    # moment-sum statistics
+    "spearman_rank_corr",
+    "trend_fit_ols",
+    "ab_test_stats",
+    "chi_square_independence",
+    "revenue_gini_by_nation",
+    "autocorrelation_acf",
+    # ordered window cumulations / running sums
+    "cusum_drift",
+    "ltv_cohort_curve",
+    "range_window_revenue",
+    # 2dp-rounded float group sums at 8x group sizes
+    "q1_pricing_summary",
+    "q9_product_profit",
+]
+
+
+def check_correctness(spark, reg, names: list[str], big: str, k: int) -> int:
+    """Driver-style oracle compare AT THE REPLICATED SCALE: DuckDB views over
+    the Kx parquet, exact value compare through tests/conftest's comparator
+    (the same typed-dtype + exact-value gate the local sweeps use)."""
+    from tests.conftest import assert_frames_match
+
+    con = duckdb.connect()
+    for tbl in SHIFTS:
+        if os.path.exists(f"{big}/{tbl}.parquet"):
+            con.sql(
+                f"CREATE VIEW {tbl} AS SELECT * FROM '{big}/{tbl}.parquet'"
+            )
+    failed = []
+    for name in names:
+        spec = reg[name]
+        if spec.oracle is None:
+            print(f"  {name:28s} SKIP (rows-only by design)", flush=True)
+            continue
+        t0 = time.monotonic()
+        try:
+            sdf = spec.fn(spark, big).toPandas()
+            odf = con.sql(spec.oracle).df()
+            assert_frames_match(sdf, odf, name)
+            print(
+                f"  {name:28s} EXACT at {k}x ({len(sdf)} rows, "
+                f"{time.monotonic() - t0:5.1f}s)",
+                flush=True,
+            )
+        except Exception as exc:  # noqa: BLE001 — report every failure
+            failed.append(name)
+            msg = str(exc).splitlines()[0][:160]
+            print(f"  {name:28s} FAIL at {k}x: {msg}", flush=True)
+    print(
+        f"check mode: {len(names) - len(failed)}/{len(names)} exact at {k}x"
+        + (f"; FAILED: {failed}" if failed else "")
+    )
+    return 1 if failed else 0
+
 
 def build_replica(k: int) -> str:
     out = f"{STAGE}_x{k}"
@@ -98,8 +181,13 @@ def build_replica(k: int) -> str:
 
 
 def main() -> int:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 8
-    names = [a for a in sys.argv[1:] if not a.isdigit()] or DEFAULT_QUERIES
+    args = sys.argv[1:]
+    check = "--check" in args
+    args = [a for a in args if a != "--check"]
+    k = int(args[0]) if args and args[0].isdigit() else 8
+    names = [a for a in args if not a.isdigit()] or (
+        CHECK_QUERIES if check else DEFAULT_QUERIES
+    )
     reg = load_registry()
     unknown = [n for n in names if n not in reg]
     if unknown:
@@ -108,6 +196,8 @@ def main() -> int:
     print(f"building {k}x replica of {BASE} ...", flush=True)
     big = build_replica(k)
     spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    if check:
+        return check_correctness(spark, reg, names, big, k)
     results = {}
     for name in names:
         reg[name].fn(spark, BASE).count()  # warm-up: JIT/codegen/IO cache
