@@ -102,6 +102,34 @@ CHECK_QUERIES = [
     # 2dp-rounded float group sums at 8x group sizes
     "q1_pricing_summary",
     "q9_product_profit",
+    # wave 2 (round 6): the broader float-sum / ratio / cumulation surface
+    # over bounded-key groups that grow 8x — all exact on first run
+    "conditional_aggregates",
+    "date_span_rates",
+    "value_counts_pct",
+    "histogram_buckets",
+    "interval_peak_load",
+    "grouping_sets_traffic",
+    "running_distinct_users",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q11_important_stock",
+    "q14_promo_share",
+    "q17_small_quantity_revenue",
+    "q22_dormant_balance",
+    "retention_cohorts",
+    "column_entropy",
+    "table_profile",
+    "zscore_normalize",
+    "length_winsorize",
+    "bm25_search",
+    "benford_audit",
+    "seasonality_index",
+    "event_transition_matrix",
+    "revenue_pareto_curve",
+    "mix_shift_monitor",
+    "temperature_mix_sample",
 ]
 
 
