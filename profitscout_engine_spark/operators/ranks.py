@@ -208,8 +208,16 @@ def exact_percentiles(
             wanted.append((lo, hi, (k + 1) - p, p - k))
             positions.update((lo, hi))
         stats = _order_statistics_inner(vals, sorted(positions), num_buckets)
+        # Equal-collapse parity: Spark's native percentile() aggregates
+        # duplicates into (value, count) pairs, so a fractional position
+        # straddling two EQUAL values returns the value EXACTLY — while the
+        # naive weighted sum w_lo*x + w_hi*x is an ULP off (bit at the 2x
+        # replica, where every value is duplicated). Collapse before
+        # interpolating so both strategies stay bit-identical.
         return [
-            w_lo * stats[lo] + w_hi * stats[hi] if w_hi > 0.0 else stats[lo]
+            stats[lo]
+            if w_hi <= 0.0 or stats[lo] == stats[hi]
+            else w_lo * stats[lo] + w_hi * stats[hi]
             for lo, hi, w_lo, w_hi in wanted
         ]
     finally:
@@ -271,8 +279,11 @@ def grouped_exact_percentiles_discrete(
             p = q * (n - 1)
             k = int(p)
             lo, hi, w_lo, w_hi = k + 1, min(k + 2, n), (k + 1) - p, p - k
+            vlo, vhi = at(lo), at(hi)
+            # equal-collapse: match Spark percentile()'s count-pair
+            # semantics (see exact_percentiles)
             res.append(
-                w_lo * at(lo) + w_hi * at(hi) if w_hi > 0.0 else at(lo)
+                vlo if w_hi <= 0.0 or vlo == vhi else w_lo * vlo + w_hi * vhi
             )
         out[key] = res
     return out
@@ -488,11 +499,13 @@ def _grouped_exact_percentiles_inner(
     stats: dict[tuple[str, int], float] = {}
     for r in hits:
         stats[(r["_g"], needed[(r["_g"], r[_BKT])][r["_rn"]])] = float(r["_v"])
+    # equal-collapse: match Spark percentile()'s count-pair semantics
+    # (see exact_percentiles)
     return {
         gvals[g]: [
-            w_lo * stats[(g, lo)] + w_hi * stats[(g, hi)]
-            if w_hi > 0.0
-            else stats[(g, lo)]
+            stats[(g, lo)]
+            if w_hi <= 0.0 or stats[(g, lo)] == stats[(g, hi)]
+            else w_lo * stats[(g, lo)] + w_hi * stats[(g, hi)]
             for lo, hi, w_lo, w_hi in per
         ]
         for g, per in wanted.items()

@@ -21,6 +21,7 @@ from ..operators.ranks import (
     percentile_literal_map,
 )
 from . import query
+from ._oracle import exact_quantile_bounds_sql
 from ._util import t
 
 
@@ -721,10 +722,15 @@ def pivot_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unpivot_supplier_metrics",
     oracle="""
     WITH m AS (
+        -- integral 1e-4 units before each sum: AVG's float accumulation is
+        -- engine-order-specific and the 4dp round flips at 2x group sizes
         SELECT l_suppkey,
-               ROUND(AVG(l_quantity), 4) AS avg_qty,
-               ROUND(AVG(l_extendedprice), 4) AS avg_price,
-               ROUND(AVG(l_discount), 4) AS avg_disc
+               ROUND(CAST(SUM(CAST(round(l_quantity * 10000E0) AS BIGINT))
+                          AS BIGINT) / 10000E0 / COUNT(*), 4) AS avg_qty,
+               ROUND(CAST(SUM(CAST(round(l_extendedprice * 10000E0) AS BIGINT))
+                          AS BIGINT) / 10000E0 / COUNT(*), 4) AS avg_price,
+               ROUND(CAST(SUM(CAST(round(l_discount * 10000E0) AS BIGINT))
+                          AS BIGINT) / 10000E0 / COUNT(*), 4) AS avg_disc
         FROM lineitem GROUP BY l_suppkey
     )
     SELECT l_suppkey, 'avg_qty' AS metric, avg_qty AS value FROM m
@@ -743,10 +749,17 @@ def unpivot_supplier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL, which Spark's unpivot replaces with a single pass).
     """
     li = t(spark, sf_dir, "lineitem")
+
+    # integral 1e-4 units before each sum (2x-replica trap: AVG's float
+    # accumulation order flips the 4dp round)
+    def _avg4(col: str):
+        s = F.sum(F.round(F.col(col) * 10000).cast("long"))
+        return r4(s / F.lit(10000.0) / F.count(F.lit(1)))
+
     m = li.groupBy("l_suppkey").agg(
-        r4(F.avg("l_quantity")).alias("avg_qty"),
-        r4(F.avg("l_extendedprice")).alias("avg_price"),
-        r4(F.avg("l_discount")).alias("avg_disc"),
+        _avg4("l_quantity").alias("avg_qty"),
+        _avg4("l_extendedprice").alias("avg_price"),
+        _avg4("l_discount").alias("avg_disc"),
     )
     return m.unpivot(
         ids=["l_suppkey"],
@@ -954,11 +967,8 @@ EQUIDEPTH_BUCKETS = 10
 @query(
     "equi_depth_histogram",
     oracle=f"""
-    WITH bounds AS (
-        SELECT quantile_cont(l_extendedprice,
-                   [{", ".join(str((i + 1) / 10.0) for i in range(9))}]) AS qs
-        FROM lineitem
-    )
+    WITH {exact_quantile_bounds_sql("lineitem", "l_extendedprice",
+                                    [(i + 1) / 10.0 for i in range(9)], "bounds")}
     SELECT bucket,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            ROUND(MIN(l_extendedprice), 2) AS lo,

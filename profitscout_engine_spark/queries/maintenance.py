@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..exprs import r2, r4
 from ..operators.ranks import with_avg_rank
 from . import query
+from ._oracle import exact_quantile_bounds_sql
 from ._util import t
 
 # --- one-pass column profile --------------------------------------------------
@@ -740,11 +741,16 @@ RFM_ASOF = "2001-09-01 00:00:00"
         WHERE o_orderdate < TIMESTAMP '{RFM_ASOF}'
         GROUP BY o_custkey
     ),
+    {exact_quantile_bounds_sql("rfm", "recency_days", [0.25, 0.5, 0.75], "rqb")},
+    {exact_quantile_bounds_sql("rfm", "frequency", [0.25, 0.5, 0.75], "fqb")},
+    {exact_quantile_bounds_sql("rfm", "monetary", [0.25, 0.5, 0.75], "mqb")},
+    -- Spark-percentile-parity quantiles (equal-collapse; see _oracle.py):
+    -- quantile_cont's weighted sum over equal straddled values is an ULP
+    -- off for the non-dyadic terms (0.75*monetary rounds), and the
+    -- boundary feeds a strict < score comparison.
     bounds AS (
-        SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rq,
-               quantile_cont(frequency,    [0.25, 0.5, 0.75]) AS fq,
-               quantile_cont(monetary,     [0.25, 0.5, 0.75]) AS mq
-        FROM rfm
+        SELECT rqb.qs AS rq, fqb.qs AS fq, mqb.qs AS mq
+        FROM rqb, fqb, mqb
     )
     SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
            frequency, ROUND(monetary, 2) AS monetary,

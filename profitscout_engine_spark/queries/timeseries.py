@@ -549,16 +549,21 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hr,
                CAST(COUNT(*) AS BIGINT) AS n,
-               SUM(value) AS s
+               -- integral micro-units before the sum: a float group-sum
+               -- accumulates in engine-specific order and the 4dp-rounded
+               -- mean flips at 2x group sizes (replica-sweep trap)
+               CAST(SUM(CAST(round(value * 1000000E0) AS BIGINT)) AS BIGINT) AS s
         FROM events
         GROUP BY 1, 2
     ),
     tot AS (
-        SELECT event_type, SUM(n) AS tn, SUM(s) AS ts_ FROM hourly GROUP BY 1
+        SELECT event_type, CAST(SUM(n) AS BIGINT) AS tn,
+               CAST(SUM(s) AS BIGINT) AS ts_ FROM hourly GROUP BY 1
     )
     SELECT h.event_type, h.hr, h.n,
-           ROUND(h.s / h.n, 4) AS hour_mean,
-           ROUND((h.s / h.n) / (t.ts_ / t.tn), 4) AS seasonal_index
+           ROUND(h.s / 1000000E0 / h.n, 4) AS hour_mean,
+           ROUND((h.s / 1000000E0 / h.n) / (t.ts_ / 1000000E0 / t.tn), 4)
+               AS seasonal_index
     FROM hourly h JOIN tot t ON t.event_type = h.event_type
     """,
     tags=("timeseries", "seasonality", "A1"),
@@ -573,20 +578,26 @@ def seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays one shuffle at any scale. Ratio-of-ratios evaluates on the
     identical sums in both engines, then stable-rounds."""
     ev = t(spark, sf_dir, "events")
+    # integral micro-units before the sum (2x-replica trap: float group
+    # sums accumulate in engine-specific order, 4dp means flip)
     hourly = ev.groupBy(
         "event_type", F.hour("ts").cast("long").alias("hr")
-    ).agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("s"),
+    )
     tot = hourly.groupBy("event_type").agg(
         F.sum("n").alias("tn"), F.sum("s").alias("ts_")
     )
+    um = F.lit(1000000.0)
     return hourly.join(tot, "event_type").select(
         "event_type",
         "hr",
         "n",
-        r4(F.col("s") / F.col("n")).alias("hour_mean"),
-        r4((F.col("s") / F.col("n")) / (F.col("ts_") / F.col("tn"))).alias(
-            "seasonal_index"
-        ),
+        r4(F.col("s") / um / F.col("n")).alias("hour_mean"),
+        r4(
+            (F.col("s") / um / F.col("n")) / (F.col("ts_") / um / F.col("tn"))
+        ).alias("seasonal_index"),
     )
 
 

@@ -127,7 +127,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+           -- integral 1e-4 units before the group sum (the q9 rule; float
+           -- accumulation order flipped the 2dp round at 2x group sizes)
+           ROUND(CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+                     * 1e4 + 0.5) AS BIGINT)) AS BIGINT) / 1e4, 2) AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -176,7 +179,15 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             r2(
-                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice")
+                        * (F.lit(1.0) - F.col("l_discount"))
+                        * F.lit(1e4)
+                        + F.lit(0.5)
+                    ).cast("long")
+                )
+                / F.lit(1e4)
             ).alias("revenue")
         )
     )

@@ -130,6 +130,7 @@ CHECK_QUERIES = [
     "revenue_pareto_curve",
     "mix_shift_monitor",
     "temperature_mix_sample",
+    "unpivot_supplier_metrics",
 ]
 
 
