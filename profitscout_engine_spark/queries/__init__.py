@@ -112,10 +112,11 @@ _MODULES = (
 # HASH-GREEN in CORRECTNESS_r05 — NOT the mechanical first 50, because the one
 # red row (sliding_window_rate, a comparator-parity tz defect fixed this round)
 # must STAY in the window for driver re-verification. What remains is that red
-# row + the 47 never-driver-checked backlog names (oldest first) = 48 <= 50:
-# the ENTIRE backlog fits, so a green CORRECTNESS_r06 means every oracle-paired
-# query in the registry is driver-verified. Everything rotated out was
-# driver-green in r1-r5 and stays pinned by tests/test_correctness.py.
+# row + the 47 never-driver-checked backlog names (oldest first) = 48, plus
+# the two round-6 additions in the free slots = 50: the ENTIRE backlog fits,
+# so a green CORRECTNESS_r06 means every oracle-paired query in the registry
+# is driver-verified. Everything rotated out was driver-green in r1-r5 and
+# stays pinned by tests/test_correctness.py.
 _WINDOW_FRONT = (
     "sliding_window_rate",
     "autocorrelation_acf",
@@ -165,6 +166,9 @@ _WINDOW_FRONT = (
     "enrichment_news_rollup",
     "shard_manifest",
     "curriculum_stage_split",
+    # round-6 additions: fill the window's 2 free slots (48 + 2 = 50)
+    "systematic_resample",
+    "conformal_calibration",
 )
 
 

@@ -2089,3 +2089,320 @@ def curriculum_stage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+# --- token-budget epoch allocation: capped water-filling over sources ----------
+# UniMax-style (Chung et al. 2023) budget split: give every source as equal a
+# share of the token budget as possible, but never repeat a source for more
+# than EPOCH_CAP epochs of its own corpus. Integer token sums and an integer
+# budget keep the water-level search exact; floats appear only in the final
+# level division (identical IEEE ops on both engines).
+EPOCH_CAP = 3  # max epochs any single source may be repeated
+BUDGET_TENTHS = 29  # token budget = 2.9 x the corpus's own token count
+
+
+def _budget_oracle() -> str:
+    return f"""
+    WITH per AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS tokens,
+               CAST(SUM(n_chars) AS BIGINT) * {EPOCH_CAP} AS cap_tokens
+        FROM documents GROUP BY 1
+    ),
+    consts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_src,
+               (CAST(SUM(tokens) AS BIGINT) * {BUDGET_TENTHS}) // 10 AS budget
+        FROM per
+    ),
+    ord AS (
+        SELECT per.*, n_src, budget,
+               ROW_NUMBER() OVER (ORDER BY cap_tokens, source) AS i,
+               CAST(SUM(cap_tokens) OVER (
+                   ORDER BY cap_tokens, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS pc
+        FROM per CROSS JOIN consts
+    ),
+    flag AS (
+        SELECT *, (pc + (n_src - i) * cap_tokens < budget) AS capped FROM ord
+    ),
+    sel AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN capped THEN 1 END), 0) AS BIGINT) AS k,
+               CAST(COALESCE(SUM(CASE WHEN capped THEN cap_tokens END), 0)
+                   AS BIGINT) AS pk
+        FROM flag
+    )
+    SELECT source, n_docs, tokens, cap_tokens, capped,
+           ROUND(LEAST(CAST(cap_tokens AS DOUBLE),
+                       CASE WHEN k < n_src
+                            THEN CAST(budget - pk AS DOUBLE) / (n_src - k)
+                            ELSE CAST(cap_tokens AS DOUBLE) END), 4) AS alloc_tokens,
+           ROUND(LEAST(CAST(cap_tokens AS DOUBLE),
+                       CASE WHEN k < n_src
+                            THEN CAST(budget - pk AS DOUBLE) / (n_src - k)
+                            ELSE CAST(cap_tokens AS DOUBLE) END) / tokens, 6)
+               AS epochs
+    FROM flag CROSS JOIN sel
+    """
+
+
+@query(
+    "token_budget_epochs",
+    oracle=_budget_oracle(),
+    tags=("curation", "data-mix", "budget", "A-agg"),
+)
+def token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax-style token-budget allocation (Chung et al. 2023,
+    "UniMax: Fairer and More Effective Language Sampling"): distribute a
+    training token budget (2.9x the corpus) as uniformly as possible
+    across sources, capping every source at EPOCH_CAP epochs of its own
+    tokens and water-filling the freed budget into the uncapped rest.
+    The closed form rides sorted prefix sums: sources sorted by cap, a
+    source is capped iff prefix_caps + remaining_sources * its_cap stays
+    under the budget (that expression is monotone in the sort order, so
+    the capped set is a prefix), and the common water level is
+    (budget - capped_caps) / n_uncapped. Per-source sums are one hash
+    aggregation; the water-level search is a window over the BOUNDED
+    |sources| frame (the sweep-table precedent) with the two selector
+    scalars riding a 1-row broadcast. All comparisons are exact BIGINT;
+    the only floats are the final level division and the epochs ratio —
+    single identical IEEE ops on both engines, rounded for display."""
+    d = t(spark, sf_dir, "documents").select("source", "n_chars")
+    per = (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("tokens"),
+        )
+        .withColumn("cap_tokens", F.col("tokens") * F.lit(EPOCH_CAP))
+    )
+    consts = per.agg(
+        F.count("*").cast("long").alias("n_src"),
+        F.expr(f"sum(tokens) * {BUDGET_TENTHS} div 10").alias("budget"),
+    )
+    w = Window.orderBy("cap_tokens", "source")  # bounded: |sources| rows
+    flag = (
+        per.crossJoin(F.broadcast(consts))
+        .withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "pc",
+            F.sum("cap_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "capped",
+            F.col("pc") + (F.col("n_src") - F.col("i")) * F.col("cap_tokens")
+            < F.col("budget"),
+        )
+    )
+    sel = flag.agg(
+        F.coalesce(F.sum(F.when(F.col("capped"), 1)), F.lit(0))
+        .cast("long")
+        .alias("k"),
+        F.coalesce(F.sum(F.when(F.col("capped"), F.col("cap_tokens"))), F.lit(0))
+        .cast("long")
+        .alias("pk"),
+    )
+    level = F.when(
+        F.col("k") < F.col("n_src"),
+        (F.col("budget") - F.col("pk")).cast("double") / (F.col("n_src") - F.col("k")),
+    ).otherwise(F.col("cap_tokens").cast("double"))
+    alloc = F.least(F.col("cap_tokens").cast("double"), level)
+    return (
+        flag.crossJoin(F.broadcast(sel))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            "cap_tokens",
+            "capped",
+            r4(alloc).alias("alloc_tokens"),
+            r6(alloc / F.col("tokens")).alias("epochs"),
+        )
+    )
+
+
+# --- deterministic weighted systematic resampling over a global prefix sum ----
+# The particle-filter / data-selection resampler: N equally spaced probes at
+# positions (j + 1/2) * W / N walk the cumulative weight line; a document is
+# drawn once per probe landing in its weight interval. Offset fixed at 1/2
+# (deterministic midpoint rule) so both engines derive identical draws with
+# no RNG state. Everything is BIGINT: the probe-count-below function
+# h(c) = (2*c*N + W) div (2*W) is exact integer arithmetic (valid while
+# 2*W*N < 2^63 — at larger scales widen to DECIMAL), and a document's draw
+# count is h(cum) - h(cum - w), which telescopes to exactly N draws.
+RESAMPLE_DIV = 4  # N = |docs| div 4 target draws
+
+
+def _resample_oracle() -> str:
+    return f"""
+    WITH consts AS (
+        SELECT CAST(SUM(n_chars) AS BIGINT) AS w_total,
+               CAST(COUNT(*) AS BIGINT) // {RESAMPLE_DIV} AS n_target
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_chars AS weight,
+               CAST(SUM(n_chars) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_w
+        FROM documents
+    )
+    SELECT doc_id, weight, cum_w,
+           ((2 * cum_w * n_target + w_total) // (2 * w_total)
+            - (2 * (cum_w - weight) * n_target + w_total) // (2 * w_total))
+               AS n_samples
+    FROM cum CROSS JOIN consts
+    WHERE (2 * cum_w * n_target + w_total) // (2 * w_total)
+          - (2 * (cum_w - weight) * n_target + w_total) // (2 * w_total) > 0
+    """
+
+
+@query(
+    "systematic_resample",
+    oracle=_resample_oracle(),
+    tags=("curation", "sampling", "prefix-sum", "W-window"),
+)
+def systematic_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted systematic resampling (the low-variance resampler of
+    particle filtering, reused by data-selection pipelines to draw a
+    token-weighted document sample in one pass): N midpoint probes on
+    the cumulative-weight line, each drawing the document whose interval
+    it lands in. The global running total comes from
+    ``operators.scan.with_prefix_sum`` — the range-bucketed distributed
+    prefix sum (bucket offsets over a bounded frame + local cumsum), so
+    no single-partition window ever sees the corpus. Draw counts are the
+    difference of the exact integer probe-counting function at the
+    interval's two ends; the two corpus scalars ride a 1-row broadcast.
+    Output is the drawn documents only (≤ N rows)."""
+    from ..operators.scan import with_prefix_sum
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("weight")
+    )
+    cum = with_prefix_sum(d, "doc_id", "weight", "cum_w")
+    consts = d.agg(
+        F.sum("weight").cast("long").alias("w_total"),
+        F.expr(f"count(1) div {RESAMPLE_DIV}").alias("n_target"),
+    )
+    j = (
+        cum.crossJoin(F.broadcast(consts))
+        .withColumn("_hi", 2 * F.col("cum_w") * F.col("n_target") + F.col("w_total"))
+        .withColumn(
+            "_lo",
+            2 * (F.col("cum_w") - F.col("weight")) * F.col("n_target")
+            + F.col("w_total"),
+        )
+        .withColumn("_den", 2 * F.col("w_total"))
+        .withColumn("n_samples", F.expr("_hi div _den") - F.expr("_lo div _den"))
+    )
+    return j.where(F.col("n_samples") > 0).select(
+        "doc_id", "weight", "cum_w", "n_samples"
+    )
+
+
+# --- split-conformal calibration: distribution-free coverage per language -----
+# Split conformal prediction (Vovk et al.; Lei et al. 2018): on a calibration
+# half, take the ceil((n+1)(1-alpha))-th smallest nonconformity score as the
+# quantile q-hat; the test half is then covered (score <= q-hat) with
+# probability >= 1-alpha, distribution-free. Scores are |n_chars - mean|
+# residuals from the calibration mean — one identical IEEE op per row on both
+# engines — and the order statistic is located by counting over the BOUNDED
+# distinct-score table per language (the equi-depth precedent), never by
+# ranking raw rows in one task.
+CONF_COVER_NUM = 9  # (1 - alpha) = 9/10
+
+
+def _conformal_oracle() -> str:
+    return f"""
+    WITH cal AS (SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 0),
+    tst AS (SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 1),
+    st AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_cal,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mu,
+               ({CONF_COVER_NUM} * (CAST(COUNT(*) AS BIGINT) + 1) + 9) // 10 AS k
+        FROM cal GROUP BY 1
+    ),
+    sc AS (SELECT cal.lang, ABS(n_chars - mu) AS s FROM cal JOIN st USING (lang)),
+    grp AS (SELECT lang, s, CAST(COUNT(*) AS BIGINT) AS c FROM sc GROUP BY 1, 2),
+    run AS (
+        SELECT lang, s,
+               CAST(SUM(c) OVER (
+                   PARTITION BY lang ORDER BY s
+               ) AS BIGINT) AS rc
+        FROM grp
+    ),
+    qh AS (
+        SELECT run.lang, MIN(s) AS qhat
+        FROM run JOIN st USING (lang) WHERE rc >= k GROUP BY 1
+    )
+    SELECT st.lang, n_cal, k,
+           ROUND(qhat, 4) AS qhat,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(AVG(CASE WHEN ABS(tst.n_chars - mu) <= qhat
+                          THEN 1.0E0 ELSE 0.0E0 END), 6) AS coverage
+    FROM tst
+    JOIN st USING (lang)
+    JOIN qh ON qh.lang = tst.lang
+    GROUP BY 1, 2, 3, 4
+    """
+
+
+@query(
+    "conformal_calibration",
+    oracle=_conformal_oracle(),
+    tags=("curation", "conformal", "evaluation", "A12"),
+)
+def conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration audit per language: the doc_id-parity
+    halves give a calibration and a test split; q-hat is the
+    ceil((n+1)(1-alpha))-th smallest |length - calibration-mean| score,
+    and the reported coverage is the test-half fraction within q-hat
+    (the distribution-free >= 1-alpha guarantee a data pipeline checks
+    before trusting a filter threshold). The order statistic is found by
+    a running count over the distinct-score table per language (bounded
+    by the length domain, the equi-depth precedent); per-language
+    scalars (mean, k, q-hat) ride broadcasts, so the only corpus-sized
+    passes are two hash aggregations. Score, mean and coverage are each
+    single IEEE ops over exact integer sums — identical on both
+    engines."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    cal = d.where(F.col("doc_id") % 2 == 0)
+    tst = d.where(F.col("doc_id") % 2 == 1)
+    st = (
+        cal.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_cal"),
+            F.sum("n_chars").cast("long").alias("s_cal"),
+        )
+        .withColumn("mu", F.col("s_cal").cast("double") / F.col("n_cal"))
+        .withColumn("k", F.expr(f"({CONF_COVER_NUM} * (n_cal + 1) + 9) div 10"))
+    )
+    scores = cal.join(F.broadcast(st.select("lang", "mu")), "lang").select(
+        "lang", F.abs(F.col("n_chars") - F.col("mu")).alias("s")
+    )
+    grp = scores.groupBy("lang", "s").agg(F.count("*").cast("long").alias("c"))
+    run = grp.withColumn(
+        "rc", F.sum("c").over(Window.partitionBy("lang").orderBy("s"))
+    )
+    qh = (
+        run.join(F.broadcast(st.select("lang", "k")), "lang")
+        .where(F.col("rc") >= F.col("k"))
+        .groupBy("lang")
+        .agg(F.min("s").alias("qhat"))
+    )
+    return (
+        tst.join(F.broadcast(st.select("lang", "n_cal", "k", "mu")), "lang")
+        .join(F.broadcast(qh), "lang")
+        .groupBy("lang", "n_cal", "k")
+        .agg(
+            F.first(r4(F.col("qhat"))).alias("qhat"),
+            F.count("*").cast("long").alias("n_test"),
+            r6(
+                F.avg((F.abs(F.col("n_chars") - F.col("mu")) <= F.col("qhat")).cast("int"))
+            ).alias("coverage"),
+        )
+        .select("lang", "n_cal", "k", "qhat", "n_test", "coverage")
+    )

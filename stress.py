@@ -131,6 +131,11 @@ CHECK_QUERIES = [
     "mix_shift_monitor",
     "temperature_mix_sample",
     "unpivot_supplier_metrics",
+    # wave 3 (round 6 additions): group-size-dependent means / order
+    # statistics / global prefix sums at 8x
+    "token_budget_epochs",
+    "systematic_resample",
+    "conformal_calibration",
 ]
 
 

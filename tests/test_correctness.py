@@ -42,13 +42,14 @@ def test_driver_window_order_is_pinned():
     (VERDICT r5): the 49 names hash-green in CORRECTNESS_r05 were deleted,
     keeping the one red row (sliding_window_rate — comparator-parity tz
     defect, fixed this round) IN the window plus the 47 never-checked
-    backlog names = 48. A green CORRECTNESS_r06 therefore driver-verifies
-    every oracle-paired query in the registry."""
+    backlog names = 48, plus the two round-6 additions (systematic_resample,
+    conformal_calibration) in the free slots = 50. A green CORRECTNESS_r06
+    therefore driver-verifies every oracle-paired query in the registry."""
     from profitscout_engine_spark.queries import _WINDOW_FRONT
 
     names = list(load_registry())
     assert names[: len(_WINDOW_FRONT)] == list(_WINDOW_FRONT)
-    assert len(_WINDOW_FRONT) == 48
+    assert len(_WINDOW_FRONT) == 50
     # the red row stays in, at the head
     assert names[0] == "sliding_window_rate"
     window = set(names[:50])
@@ -60,6 +61,8 @@ def test_driver_window_order_is_pinned():
         "exact_substring_dedup",
         "sweep_grid_full",
         "curriculum_stage_split",
+        "systematic_resample",
+        "conformal_calibration",
     } <= window
     # r5-verified names must be GONE from the front
     assert not {"q22_dormant_balance", "fuzzy_dedup_edit", "triangle_count"} & set(

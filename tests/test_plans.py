@@ -168,6 +168,9 @@ _NL_JOIN_OK = {
     # 1-row global-scalar cross joins (entropy totals)
     "column_entropy",
     "vocab_coverage",
+    # 1-row global-scalar cross joins (token budget / n_src, W / N probes)
+    "token_budget_epochs",
+    "systematic_resample",
 }
 
 
