@@ -558,3 +558,111 @@ def with_avg_rank(
         )
         .drop(_BKT, "_rk", "_tc", "_off")
     )
+
+
+def grouped_weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    weight: str,
+    num_buckets: int = 32,
+) -> dict[tuple, int | float]:
+    """Exact LOWER weighted median per group — the smallest value v with
+    2 * cumulative_weight(<= v) >= total_weight — for the bounded-group /
+    huge-rows shape, computed with the range-bucketed decomposition
+    (ranks.py header) instead of any per-group sort or value buffer:
+
+    1. one pass: global approx value boundaries (load balance only) +
+       per-group total weights, collected;
+    2. one pass: per-(group, bucket) weight sums (<= |groups|*buckets
+       rows, collected) locate each group's crossing bucket on the
+       driver;
+    3. one pass: a RANGE-framed running weight inside ONLY the needed
+       (group, bucket) slices — ties on the value share the
+       through-the-peers total, exactly the cumw(<=v) the definition
+       needs — and min(v) past the crossing is the answer.
+
+    Weights must be non-negative; integer weights keep every comparison
+    exact BIGINT (the house fixed-point rule). No interpolation — the
+    lower median is an order statistic, so the result is always an input
+    value (returned in the column's native type). Null group keys and
+    null values/weights are excluded, matching SQL aggregate semantics.
+    """
+    vals = (
+        df.select(
+            *[F.col(g).alias(f"_g{i}") for i, g in enumerate(group_cols)],
+            F.col(col).alias("_v"),
+            _as_double(df, F.col(col)).alias("_vd"),
+            F.col(weight).alias("_w"),
+        )
+        .where(F.col("_v").isNotNull() & F.col("_w").isNotNull())
+        .persist()
+    )
+    gcols = [f"_g{i}" for i in range(len(group_cols))]
+    try:
+        qs = [i / num_buckets for i in range(1, num_buckets)]
+        [brow] = vals.select(
+            F.percentile_approx("_vd", F.array(*[F.lit(q) for q in qs])).alias("b")
+        ).collect()
+        boundaries = sorted(set(brow["b"] or []))
+        part = vals.withColumn(_BKT, _bucket_expr(F.col("_vd"), boundaries))
+        wrows = (
+            part.groupBy(*gcols, _BKT).agg(F.sum("_w").alias("_bw")).collect()
+        )
+        if not wrows:
+            return {}
+        by_g: dict[tuple, list[tuple[int, int]]] = {}
+        for r in wrows:
+            by_g.setdefault(tuple(r[g] for g in gcols), []).append(
+                (r[_BKT], r["_bw"])
+            )
+        # driver: locate each group's crossing bucket and its preceding run
+        target: dict[tuple, tuple[int, int, int]] = {}  # g -> (bkt, run, W)
+        for g, pairs in by_g.items():
+            total = sum(bw for _, bw in pairs)
+            run = 0
+            for bkt, bw in sorted(pairs):
+                if 2 * (run + bw) >= total:
+                    target[g] = (bkt, run, total)
+                    break
+                run += bw
+        hit = functools.reduce(
+            lambda a, b: a | b,
+            [
+                functools.reduce(
+                    lambda x, c: x & c,
+                    [F.col(gc) == F.lit(gv) for gc, gv in zip(gcols, g)],
+                )
+                & (F.col(_BKT) == F.lit(bkt))
+                for g, (bkt, _, _) in target.items()
+            ],
+        )
+        run_map = F.create_map(
+            *[
+                x
+                for g, (_, run, total) in target.items()
+                for x in (
+                    F.concat_ws("\x1f", *[F.lit(_spark_str(v)) for v in g]),
+                    F.array(
+                        F.lit(run).cast("long"), F.lit(total).cast("long")
+                    ),
+                )
+            ]
+        )
+        gkey = F.concat_ws("\x1f", *[F.col(gc).cast("string") for gc in gcols])
+        w_run = Window.partitionBy(*gcols).orderBy("_v")  # RANGE: peers share
+        rows = (
+            part.where(hit)
+            .withColumn("_rt", F.element_at(run_map, gkey))
+            .withColumn("_run", F.sum("_w").over(w_run))
+            .where(
+                2 * (F.element_at(F.col("_rt"), 1) + F.col("_run"))
+                >= F.element_at(F.col("_rt"), 2)
+            )
+            .groupBy(*gcols)
+            .agg(F.min("_v").alias("_m"))
+            .collect()
+        )
+        return {tuple(r[g] for g in gcols): r["_m"] for r in rows}
+    finally:
+        vals.unpersist()

@@ -1332,3 +1332,80 @@ def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("lo")).alias("ci_lo"),
         r4(F.col("hi")).alias("ci_hi"),
     )
+
+
+# --- weighted median: quantity-weighted typical price per return flag ----------
+@query(
+    "weighted_median_price",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag AS flag,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ),
+    tot AS (
+        SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(w) AS BIGINT) AS total_qty
+        FROM base GROUP BY 1
+    ),
+    grp AS (
+        SELECT flag, cents, CAST(SUM(w) AS BIGINT) AS cw FROM base GROUP BY 1, 2
+    ),
+    run AS (
+        SELECT flag, cents,
+               CAST(SUM(cw) OVER (PARTITION BY flag ORDER BY cents) AS BIGINT)
+                   AS rc
+        FROM grp
+    )
+    SELECT run.flag AS l_returnflag, n_items, total_qty,
+           ROUND(MIN(cents) / 100.0E0, 2) AS wmedian_price
+    FROM run JOIN tot USING (flag)
+    WHERE 2 * rc >= total_qty
+    GROUP BY 1, 2, 3
+    """,
+    tags=("A12", "A13", "weighted-median"),
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median unit price per return flag — the robust
+    'typical traded price' statistic (each line votes with its quantity,
+    so a few huge-quantity cheap lines outweigh many tiny expensive
+    ones). Weighted medians have NO built-in aggregate in either engine;
+    the engine side is ``operators.ranks.grouped_weighted_median`` — the
+    range-bucketed decomposition (per-(group,bucket) weight sums locate
+    the crossing bucket; one RANGE-framed running weight inside only
+    that slice), never a per-group sort or value buffer. Prices are
+    integer CENTS before any comparison (fixed-point rule) and the lower
+    weighted median is an order statistic, so the result is exact on
+    both engines. The per-group totals are one hash aggregation; the
+    medians come back as |groups| driver literals (bounded: return flags)."""
+    from ..operators.ranks import grouped_weighted_median
+
+    base = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    med = grouped_weighted_median(base, ["flag"], "cents", "w")
+    mmap = F.create_map(
+        *[x for (flag,), c in med.items() for x in (F.lit(flag), F.lit(c))]
+    ) if med else F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<bigint>")
+    )
+    return (
+        base.groupBy("flag")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("w").cast("long").alias("total_qty"),
+        )
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            "n_items",
+            "total_qty",
+            r2(F.element_at(mmap, F.col("flag")) / F.lit(100.0)).alias(
+                "wmedian_price"
+            ),
+        )
+    )

@@ -2406,3 +2406,88 @@ def conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lang", "n_cal", "k", "qhat", "n_test", "coverage")
     )
+
+
+# --- Neyman allocation: optimal stratified-sample design per language ----------
+# Classic survey-sampling optimum (Neyman 1934): stratum h gets sample share
+# proportional to N_h * sigma_h. With population sigma_h = sqrt(SS_h) / N_h
+# (SS_h = N_h * sum(x^2) - (sum x)^2, the integer moment form), the weight
+# N_h * sigma_h collapses to sqrt(SS_h) — one sqrt per stratum from an exact
+# BIGINT. The sqrt is immediately fixed to integer micro-units so the
+# cross-strata total and every downstream quota division stay exact integer
+# arithmetic (a 5-term float sum would be accumulation-order bait).
+NEYMAN_SAMPLE_DIV = 10  # total sample n = |docs| div 10
+
+
+def _neyman_oracle() -> str:
+    return f"""
+    WITH st AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) * CAST(SUM(n_chars * n_chars) AS BIGINT)
+                   - CAST(SUM(n_chars) AS BIGINT) * CAST(SUM(n_chars) AS BIGINT)
+                   AS ss
+        FROM documents GROUP BY 1
+    ),
+    wts AS (
+        SELECT lang, n_docs, ss,
+               CAST(FLOOR(sqrt(CAST(ss AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+                   AS w_micro
+        FROM st
+    ),
+    consts AS (
+        SELECT CAST(SUM(w_micro) AS BIGINT) AS w_sum,
+               (CAST(SUM(n_docs) AS BIGINT)) // {NEYMAN_SAMPLE_DIV} AS n_sample
+        FROM wts
+    )
+    SELECT lang, n_docs, ss, w_micro,
+           (n_sample * w_micro) // w_sum AS n_alloc,
+           ROUND(CAST(w_micro AS DOUBLE) / w_sum, 6) AS share
+    FROM wts CROSS JOIN consts
+    """
+
+
+@query(
+    "neyman_allocation",
+    oracle=_neyman_oracle(),
+    tags=("curation", "sampling", "A9"),
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample design over languages: each
+    stratum's share of the sample budget (|docs| div 10) is proportional
+    to N_h * sigma_h — the allocation that minimizes the estimator
+    variance for a fixed total n (Neyman 1934, the survey-sampling
+    classic a curation pipeline uses to size per-language eval draws).
+    N_h * sigma_h reduces to sqrt(SS_h) with SS_h the exact BIGINT
+    moment form N*sum(x^2) - (sum x)^2; the sqrt is snapped to integer
+    micro-units before the cross-strata total, so quota division is
+    exact integer arithmetic on both engines (floor quotas; a real
+    pipeline hands the remainder to largest-fraction). One hash
+    aggregation over the corpus; the two totals ride a 1-row broadcast."""
+    d = t(spark, sf_dir, "documents").select("lang", "n_chars")
+    st = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("s2"),
+    )
+    wts = st.select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs") * F.col("s2") - F.col("s1") * F.col("s1")).alias("ss"),
+    ).withColumn(
+        "w_micro",
+        F.floor(F.sqrt(F.col("ss").cast("double")) * 1_000_000 + F.lit(0.5))
+        .cast("long"),
+    )
+    consts = wts.agg(
+        F.sum("w_micro").cast("long").alias("w_sum"),
+        F.expr(f"sum(n_docs) div {NEYMAN_SAMPLE_DIV}").alias("n_sample"),
+    )
+    return wts.crossJoin(F.broadcast(consts)).select(
+        "lang",
+        "n_docs",
+        "ss",
+        "w_micro",
+        F.expr("n_sample * w_micro div w_sum").alias("n_alloc"),
+        r6(F.col("w_micro").cast("double") / F.col("w_sum")).alias("share"),
+    )

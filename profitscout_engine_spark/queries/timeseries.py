@@ -1446,3 +1446,89 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "users_24h",
         r4(F.coalesce("users_1h", F.lit(0)) / F.col("users_24h")).alias("stickiness"),
     )
+
+
+# --- changepoint detection: one binary-segmentation step over daily totals ----
+@query(
+    "changepoint_binseg",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1
+    ),
+    consts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+        FROM daily
+    ),
+    cum AS (
+        SELECT day,
+               CAST(SUM(cents) OVER (ORDER BY day) AS BIGINT) AS sk,
+               CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k
+        FROM daily
+    )
+    SELECT day AS split_day, k AS k_days,
+           ROUND(ABS(CAST(n * sk - k * s AS DOUBLE)) / (n * 100.0E0)
+                 / sqrt(CAST(k * (n - k) AS DOUBLE)), 4) AS cusum_stat,
+           ROUND(sk / (k * 100.0E0), 2) AS mean_before,
+           ROUND((s - sk) / ((n - k) * 100.0E0), 2) AS mean_after
+    FROM cum CROSS JOIN consts
+    WHERE k < n
+    ORDER BY ABS(CAST(n * sk - k * s AS DOUBLE)) / (n * 100.0E0)
+             / sqrt(CAST(k * (n - k) AS DOUBLE)) DESC, day
+    LIMIT 1
+    """,
+    tags=("timeseries", "changepoint", "W5"),
+)
+def changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-shift changepoint estimate — one binary-segmentation step
+    (Scott & Knott; the CUSUM statistic of Page 1954) over the daily
+    revenue series: the split day maximizing the standardized CUSUM
+    |n*S_k - k*S| / (n * sqrt(k(n-k))), reported with the before/after
+    daily means the segmenter would recurse on. Day totals are exact
+    integer cents (one hash aggregation; the float path is single
+    identical IEEE ops over those BIGINTs, inside 2^53). The cumulative
+    walk is a window over the DAILY table — bounded by the calendar,
+    never the event count (the running_distinct_users precedent) — and
+    the argmax is an orderBy().limit(1) TakeOrderedAndProject with a
+    day tie-break, not a full sort."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    consts = daily.agg(
+        F.count("*").cast("long").alias("n"), F.sum("cents").cast("long").alias("s")
+    )
+    w = Window.orderBy("day")  # bounded: one row per calendar day
+    cum = daily.select(
+        "day",
+        F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("sk"),
+        F.row_number().over(w).cast("long").alias("k"),
+    )
+    num = (F.col("n") * F.col("sk") - F.col("k") * F.col("s")).cast("double")
+    stat = (
+        F.abs(num)
+        / (F.col("n") * F.lit(100.0))
+        / F.sqrt((F.col("k") * (F.col("n") - F.col("k"))).cast("double"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(consts))
+        .where(F.col("k") < F.col("n"))
+        .orderBy(stat.desc(), F.col("day"))
+        .limit(1)
+        .select(
+            F.col("day").alias("split_day"),
+            F.col("k").alias("k_days"),
+            r4(stat).alias("cusum_stat"),
+            r2(F.col("sk") / (F.col("k") * F.lit(100.0))).alias("mean_before"),
+            r2(
+                (F.col("s") - F.col("sk"))
+                / ((F.col("n") - F.col("k")) * F.lit(100.0))
+            ).alias("mean_after"),
+        )
+    )

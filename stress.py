@@ -136,6 +136,9 @@ CHECK_QUERIES = [
     "token_budget_epochs",
     "systematic_resample",
     "conformal_calibration",
+    "weighted_median_price",
+    "neyman_allocation",
+    "changepoint_binseg",
 ]
 
 

@@ -168,9 +168,12 @@ _NL_JOIN_OK = {
     # 1-row global-scalar cross joins (entropy totals)
     "column_entropy",
     "vocab_coverage",
-    # 1-row global-scalar cross joins (token budget / n_src, W / N probes)
+    # 1-row global-scalar cross joins (token budget / n_src, W / N probes,
+    # stratified-sample totals, CUSUM series totals)
     "token_budget_epochs",
     "systematic_resample",
+    "neyman_allocation",
+    "changepoint_binseg",
 }
 
 

@@ -120,3 +120,84 @@ def test_conformal_calibration_order_statistic(spark, sf_dir):
         k = (9 * (len(g) + 1) + 9) // 10
         assert abs(round(s.iloc[k - 1], 4) - r["qhat"]) < 1e-9
         assert r["n_cal"] == len(g) and r["k"] == k
+
+
+def test_grouped_weighted_median_hand_case(spark):
+    """Lower weighted median on a hand-checkable frame, including a
+    heavy-tail group where the unweighted median would differ."""
+    from profitscout_engine_spark.operators.ranks import grouped_weighted_median
+
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 1), ("a", 3, 1),   # plain median 2
+         ("b", 10, 1), ("b", 20, 9),              # weight mass on 20
+         ("c", 5, 2), ("c", 7, 2)],               # even split -> lower = 5
+        "g string, v int, w int",
+    )
+    assert grouped_weighted_median(df, ["g"], "v", "w") == {
+        ("a",): 2, ("b",): 20, ("c",): 5,
+    }
+
+
+def test_grouped_weighted_median_matches_pandas(spark, sf_dir):
+    """Fixture differential: the operator == the classic cumsum rule
+    computed in pandas per group."""
+    from pyspark.sql import functions as F
+
+    from profitscout_engine_spark.operators.ranks import grouped_weighted_median
+
+    base = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("g"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+    )
+    got = grouped_weighted_median(base, ["g"], "v", "w")
+    pdf = base.toPandas()
+    for g, grp in pdf.groupby("g"):
+        grp = grp.sort_values("v")
+        cum = grp["w"].cumsum()
+        want = int(grp.loc[cum.index[2 * cum >= grp["w"].sum()][0], "v"])
+        assert got[(g,)] == want, g
+
+
+def test_neyman_allocation_invariants(spark, sf_dir):
+    """Floor quotas never exceed the budget, shares sum to 1, and the
+    allocation orders with the stratum weight."""
+    out = REGISTRY["neyman_allocation"].fn(spark, sf_dir).toPandas()
+    n_sample = int(out["n_docs"].sum()) // 10
+    assert out["n_alloc"].sum() <= n_sample
+    assert n_sample - out["n_alloc"].sum() < len(out)  # floor loses < 1 each
+    assert abs(out["share"].sum() - 1.0) < 1e-4
+    srt = out.sort_values("w_micro")
+    assert srt["n_alloc"].is_monotonic_increasing
+
+
+def test_changepoint_binseg_matches_numpy(spark, sf_dir):
+    """The selected split maximizes the standardized CUSUM computed
+    independently in numpy over the same integer daily series."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    out = REGISTRY["changepoint_binseg"].fn(spark, sf_dir).toPandas()
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("c"))
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    cents = daily["c"].to_numpy()
+    n, s = len(cents), cents.sum()
+    sk = cents.cumsum()
+    k = np.arange(1, n + 1)
+    stat = np.abs((n * sk - k * s).astype(float)) / (n * 100.0) / np.sqrt(
+        (k * (n - k)).astype(float)
+    )
+    best = int(np.argmax(stat[: n - 1]))
+    assert out.loc[0, "split_day"] == daily.loc[best, "day"]
+    assert abs(out.loc[0, "cusum_stat"] - round(stat[best], 4)) < 1e-9
