@@ -587,7 +587,36 @@ def grouped_weighted_median(
     lower median is an order statistic, so the result is always an input
     value (returned in the column's native type). Null group keys and
     null values/weights are excluded, matching SQL aggregate semantics.
+
+    Stats-gated like :func:`exact_percentiles`: below the buffer bound
+    the answer comes from ONE windowed pass over the per-(group, value)
+    weight table (the oracle's own shape — fine while distinct values
+    fit a partition); above it the three-pass decomposition runs. Both
+    paths are exact order statistics, so this is a pure physical choice.
     """
+    if _plan_size_bytes(df) <= PERCENTILE_BUFFER_MAX_BYTES:
+        gcols = [f"_g{i}" for i in range(len(group_cols))]
+        g2 = (
+            df.select(
+                *[F.col(g).alias(f"_g{i}") for i, g in enumerate(group_cols)],
+                F.col(col).alias("_v"),
+                F.col(weight).alias("_w"),
+            )
+            .where(F.col("_v").isNotNull() & F.col("_w").isNotNull())
+            .groupBy(*gcols, "_v")
+            .agg(F.sum("_w").alias("_cw"))
+        )
+        w_run = Window.partitionBy(*gcols).orderBy("_v")
+        w_all = Window.partitionBy(*gcols)
+        rows = (
+            g2.withColumn("_run", F.sum("_cw").over(w_run))
+            .withColumn("_tot", F.sum("_cw").over(w_all))
+            .where(2 * F.col("_run") >= F.col("_tot"))
+            .groupBy(*gcols)
+            .agg(F.min("_v").alias("_m"))
+            .collect()
+        )
+        return {tuple(r[g] for g in gcols): r["_m"] for r in rows}
     vals = (
         df.select(
             *[F.col(g).alias(f"_g{i}") for i, g in enumerate(group_cols)],

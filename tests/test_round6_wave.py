@@ -201,3 +201,21 @@ def test_changepoint_binseg_matches_numpy(spark, sf_dir):
     best = int(np.argmax(stat[: n - 1]))
     assert out.loc[0, "split_day"] == daily.loc[best, "day"]
     assert abs(out.loc[0, "cusum_stat"] - round(stat[best], 4)) < 1e-9
+
+
+def test_grouped_weighted_median_paths_agree(spark, sf_dir, monkeypatch):
+    """The stats-gated fast (windowed) and distributed (bucketed) paths
+    are bit-identical — the strategy switch is purely physical."""
+    from pyspark.sql import functions as F
+
+    from profitscout_engine_spark.operators import ranks
+
+    base = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    fast = ranks.grouped_weighted_median(base, ["g"], "v", "w")
+    monkeypatch.setattr(ranks, "PERCENTILE_BUFFER_MAX_BYTES", 0)
+    dist = ranks.grouped_weighted_median(base, ["g"], "v", "w")
+    assert fast == dist
