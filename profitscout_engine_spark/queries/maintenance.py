@@ -1120,3 +1120,124 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return m.select("n", r4(num / den).alias("spearman_rho"))
+
+
+# --- Kaplan-Meier survival curve over user churn -------------------------------
+@query(
+    "kaplan_meier_retention",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l
+        FROM events GROUP BY 1
+    ),
+    m AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    s AS (SELECT f AS day, CAST(COUNT(*) AS BIGINT) AS n_start FROM u GROUP BY 1),
+    e AS (SELECT l AS day, CAST(COUNT(*) AS BIGINT) AS n_end FROM u GROUP BY 1),
+    d AS (
+        SELECT l AS day, CAST(COUNT(*) AS BIGINT) AS n_churn
+        FROM u CROSS JOIN m WHERE l < maxd GROUP BY 1
+    ),
+    spine AS (
+        SELECT days.day,
+               COALESCE(n_start, 0) AS ns, COALESCE(n_end, 0) AS ne,
+               COALESCE(n_churn, 0) AS nd
+        FROM days LEFT JOIN s USING (day) LEFT JOIN e USING (day)
+                  LEFT JOIN d USING (day)
+    ),
+    risk AS (
+        SELECT day, nd,
+               CAST(SUM(ns) OVER (ORDER BY day) AS BIGINT)
+                   - CAST(COALESCE(SUM(ne) OVER (
+                         ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS BIGINT) AS nr
+        FROM spine
+    ),
+    km AS (
+        SELECT day, nr, nd,
+               exp(SUM(CASE WHEN nd > 0 THEN ln((nr - nd) * 1.0E0 / nr)
+                            ELSE 0.0E0 END) OVER (ORDER BY day)) AS surv
+        FROM risk
+    )
+    SELECT day, nr AS n_risk, nd AS n_churn, ROUND(surv, 6) AS survival
+    FROM km WHERE nd > 0
+    """,
+    tags=("maintenance", "survival", "retention", "W5"),
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for user churn (Kaplan & Meier 1958):
+    a user churns on their last-seen day unless still active on the
+    corpus's final day (right-censored); the curve multiplies
+    (1 - churns/at-risk) over event days — the retention statistic that
+    handles censoring correctly where naive retention_cohorts ratios do
+    not. At-risk counts come from running start/exit totals over the
+    CALENDAR-bounded day spine (never a per-user window); the product
+    accumulates as exp(ordered sum of ln factors) — each ln a single
+    IEEE op on exact BIGINT counts, summed left-to-right identically by
+    both engines over the bounded frame (the monte_carlo_paths
+    precedent). One user-level aggregation, three day-level aggregates,
+    one broadcast scalar."""
+    from ..exprs import r6
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("day").alias("f"), F.max("day").alias("l")
+    )
+    m = ev.agg(F.max("day").alias("maxd"))
+    days = ev.select("day").distinct()
+    s = u.groupBy(F.col("f").alias("day")).agg(
+        F.count("*").cast("long").alias("ns")
+    )
+    e = u.groupBy(F.col("l").alias("day")).agg(
+        F.count("*").cast("long").alias("ne")
+    )
+    d = (
+        u.crossJoin(F.broadcast(m))
+        .where(F.col("l") < F.col("maxd"))
+        .groupBy(F.col("l").alias("day"))
+        .agg(F.count("*").cast("long").alias("nd"))
+    )
+    spine = (
+        days.join(s, "day", "left")
+        .join(e, "day", "left")
+        .join(d, "day", "left")
+        .select(
+            "day",
+            F.coalesce("ns", F.lit(0)).alias("ns"),
+            F.coalesce("ne", F.lit(0)).alias("ne"),
+            F.coalesce("nd", F.lit(0)).alias("nd"),
+        )
+    )
+    w = Window.orderBy("day")  # bounded: one row per calendar day
+    risk = spine.select(
+        "day",
+        "nd",
+        (
+            F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            - F.coalesce(
+                F.sum("ne").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("nr"),
+    )
+    km = risk.withColumn(
+        "surv",
+        F.exp(
+            F.sum(
+                F.when(
+                    F.col("nd") > 0,
+                    F.log((F.col("nr") - F.col("nd")) * F.lit(1.0) / F.col("nr")),
+                ).otherwise(F.lit(0.0))
+            ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        ),
+    )
+    return km.where(F.col("nd") > 0).select(
+        "day",
+        F.col("nr").alias("n_risk"),
+        F.col("nd").alias("n_churn"),
+        r6(F.col("surv")).alias("survival"),
+    )

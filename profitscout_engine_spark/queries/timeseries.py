@@ -1532,3 +1532,105 @@ def changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_after"),
         )
     )
+
+
+# --- lead-lag cross-correlation between two event-type series ------------------
+XCORR_MAX_LAG = 3  # lags -3..+3 days
+
+
+def _xcorr_oracle() -> str:
+    return f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    lags AS (
+        SELECT CAST(i AS INTEGER) AS lag
+        FROM UNNEST(range(-{XCORR_MAX_LAG}, {XCORR_MAX_LAG + 1})) AS u(i)
+    ),
+    pairs AS (
+        SELECT lag, a.x AS x, b.y AS y
+        FROM daily a CROSS JOIN lags JOIN daily b ON b.day = a.day + lag
+    ),
+    mom AS (
+        SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pairs GROUP BY 1
+    )
+    SELECT lag, n AS n_days,
+           ROUND(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                      THEN NULL
+                      ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END, 6)
+               AS xcorr
+    FROM mom
+    """
+
+
+@query(
+    "cross_correlation_lags",
+    oracle=_xcorr_oracle(),
+    tags=("timeseries", "xcorr", "A9"),
+)
+def cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlogram between the click and purchase daily
+    revenue series (lags -3..+3): the attribution-lag diagnostic that
+    says how many days clicks lead purchases — the two-series companion
+    of ``autocorrelation_acf``. Daily totals are exact integer cents
+    from ONE conditional hash aggregation; each lag's Pearson r comes
+    from the BIGINT moment form (n*Sxy - Sx*Sy over the product of the
+    two sqrt variances, every input exact — valid while n*S stays under
+    2^63, true far past these fixtures). The lag fan-out joins the
+    CALENDAR-bounded daily table to itself shifted by a 7-row literal
+    lag spine — never the event table. NULL where a window has zero
+    variance, identically on both engines."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", cents).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    lags = spark.range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.select("day", "x")
+    b = daily.select(F.col("day").alias("bday"), "y")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bday") == F.date_add(F.col("day"), F.col("lag")))
+    )
+    mom = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (vx == 0) | (vy == 0), F.lit(None).cast("double")
+    ).otherwise(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+    )
+    from ..exprs import r6
+
+    return mom.select("lag", F.col("n").alias("n_days"), r6(r).alias("xcorr"))

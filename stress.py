@@ -139,6 +139,8 @@ CHECK_QUERIES = [
     "weighted_median_price",
     "neyman_allocation",
     "changepoint_binseg",
+    "kaplan_meier_retention",
+    "cross_correlation_lags",
 ]
 
 

@@ -174,6 +174,9 @@ _NL_JOIN_OK = {
     "systematic_resample",
     "neyman_allocation",
     "changepoint_binseg",
+    # 1-row max-day broadcast / 7-row literal lag spine cross joins
+    "kaplan_meier_retention",
+    "cross_correlation_lags",
 }
 
 

@@ -219,3 +219,59 @@ def test_grouped_weighted_median_paths_agree(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(ranks, "PERCENTILE_BUFFER_MAX_BYTES", 0)
     dist = ranks.grouped_weighted_median(base, ["g"], "v", "w")
     assert fast == dist
+
+
+def test_kaplan_meier_invariants(spark, sf_dir):
+    """Survival is a non-increasing product in (0,1]; at-risk counts and
+    churn counts match a pandas replay of the definition."""
+    from pyspark.sql import functions as F
+
+    out = (
+        REGISTRY["kaplan_meier_retention"].fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert (out["survival"].diff().dropna() <= 0).all()
+    assert ((out["survival"] > 0) & (out["survival"] <= 1)).all()
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("f"), F.max(F.to_date("ts")).alias("l"))
+        .toPandas()
+    )
+    maxd = u["l"].max()
+    surv = 1.0
+    for _, r in out.iterrows():
+        day = r["day"]
+        nr = ((u["f"] <= day) & (u["l"] >= day)).sum()
+        nd = ((u["l"] == day) & (u["l"] < maxd)).sum()
+        assert r["n_risk"] == nr and r["n_churn"] == nd
+        surv *= (nr - nd) / nr
+        assert abs(r["survival"] - round(surv, 6)) < 1e-9
+
+
+def test_cross_correlation_lag_zero_and_symmetry(spark, sf_dir):
+    """Lag 0 equals numpy's Pearson r of the two daily series, and each
+    lag's n_days shrinks by the lag magnitude."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    out = REGISTRY["cross_correlation_lags"].fn(spark, sf_dir).toPandas()
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", cents).otherwise(F.lit(0))).alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(F.lit(0))).alias("y"),
+        )
+        .toPandas()
+        .sort_values("day")
+    )
+    r0 = float(out.loc[out["lag"] == 0, "xcorr"].iloc[0])
+    want = np.corrcoef(daily["x"].to_numpy(float), daily["y"].to_numpy(float))[0, 1]
+    assert abs(r0 - round(want, 6)) < 1e-4
+    n0 = int(out.loc[out["lag"] == 0, "n_days"].iloc[0])
+    for _, r in out.iterrows():
+        assert r["n_days"] == n0 - abs(r["lag"])
