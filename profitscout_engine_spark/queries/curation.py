@@ -2491,3 +2491,90 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_sample * w_micro div w_sum").alias("n_alloc"),
         r6(F.col("w_micro").cast("double") / F.col("w_sum")).alias("share"),
     )
+
+
+# --- classifier calibration: reliability diagram + Brier score ------------------
+# Probabilities are snapped to integer MICRO-units the moment they exist, so
+# every downstream sum (bin means, squared Brier terms) is exact BIGINT and
+# immune to accumulation order — the float appears only in the final display
+# divisions. Predictor: a fixed logistic length model; label: lang = 'en'.
+CALIB_BINS = 10
+
+
+def _calib_oracle() -> str:
+    return f"""
+    WITH scored AS (
+        SELECT CAST(FLOOR(1.0E0 / (1.0E0 + exp(-((n_chars - 250) / 100.0E0)))
+                          * 1000000 + 0.5) AS BIGINT) AS p_micro,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    binned AS (
+        SELECT LEAST(p_micro * {CALIB_BINS} // 1000000, {CALIB_BINS - 1}) AS bin,
+               p_micro, y
+        FROM scored
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(p_micro) AS BIGINT) * 1.0E0 / (COUNT(*) * 1000000), 6)
+               AS avg_pred,
+           ROUND(CAST(SUM(y) AS BIGINT) * 1.0E0 / COUNT(*), 6) AS frac_pos,
+           ROUND(CAST(SUM((p_micro - y * 1000000) * (p_micro - y * 1000000))
+                      AS BIGINT) * 1.0E0 / (COUNT(*) * 1000000000000.0E0), 6)
+               AS brier
+    FROM binned GROUP BY 1
+    """
+
+
+@query(
+    "calibration_bins",
+    oracle=_calib_oracle(),
+    tags=("curation", "classifier", "calibration", "evaluation"),
+)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + per-bin Brier score for a probabilistic
+    classifier (the calibration audit run before trusting a model-based
+    quality filter's threshold): a fixed logistic length model predicts
+    P(lang = en), predictions land in CALIB_BINS equal-width bins, and
+    each bin reports mean prediction vs empirical positive rate (their
+    gap IS the calibration error) plus its Brier contribution.
+    Probabilities snap to integer micro-units at birth; bin ids, bin
+    sums and squared Brier terms are then exact BIGINT — accumulation-
+    order-proof (trap-log rule) — with floats only in the display
+    divisions. One scan, one CALIB_BINS-group hash aggregation."""
+    d = t(spark, sf_dir, "documents").select("lang", "n_chars")
+    p_micro = F.floor(
+        F.lit(1.0)
+        / (F.lit(1.0) + F.exp(-((F.col("n_chars") - 250) / F.lit(100.0))))
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    scored = d.select(
+        p_micro.alias("p_micro"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    binned = scored.select(
+        F.least(
+            F.expr(f"p_micro * {CALIB_BINS} div 1000000"),
+            F.lit(CALIB_BINS - 1).cast("long"),
+        ).alias("bin"),
+        "p_micro",
+        "y",
+    )
+    sq = (F.col("p_micro") - F.col("y") * 1_000_000) * (
+        F.col("p_micro") - F.col("y") * 1_000_000
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        r6(
+            F.sum("p_micro").cast("long")
+            * F.lit(1.0)
+            / (F.count("*") * F.lit(1_000_000))
+        ).alias("avg_pred"),
+        r6(F.sum("y").cast("long") * F.lit(1.0) / F.count("*")).alias("frac_pos"),
+        r6(
+            F.sum(sq).cast("long")
+            * F.lit(1.0)
+            / (F.count("*") * F.lit(1_000_000_000_000.0))
+        ).alias("brier"),
+    )

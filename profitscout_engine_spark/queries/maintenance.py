@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..exprs import r2, r4
+from ..exprs import r2, r4, r6
 from ..operators.ranks import with_avg_rank
 from . import query
 from ._oracle import exact_quantile_bounds_sql
@@ -1240,4 +1240,95 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nr").alias("n_risk"),
         F.col("nd").alias("n_churn"),
         r6(F.col("surv")).alias("survival"),
+    )
+
+
+# --- population stability index: distribution drift between corpus halves ------
+# PSI = sum_bins (p_i - q_i) * ln(p_i / q_i), the ML-ops drift metric. Add-one
+# smoothed counts keep every bin's ratio finite; each bin's term is snapped to
+# integer NANO-units before the cross-bin total (a 16-term float sum would be
+# accumulation-order bait — trap-log rule), so the reported PSI is exact
+# BIGINT arithmetic divided once for display.
+PSI_BIN_WIDTH = 64
+PSI_MAX_BIN = 15
+
+
+def _psi_oracle() -> str:
+    return f"""
+    WITH binned AS (
+        SELECT LEAST(n_chars // {PSI_BIN_WIDTH}, {PSI_MAX_BIN}) AS bin,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_a
+        FROM documents
+    ),
+    counts AS (
+        SELECT bin,
+               CAST(SUM(is_a) AS BIGINT) + 1 AS ca,
+               CAST(SUM(1 - is_a) AS BIGINT) + 1 AS cb
+        FROM binned GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+        FROM counts
+    ),
+    terms AS (
+        SELECT bin, ca, cb,
+               CAST(FLOOR((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+                          * ln(CAST(ca AS DOUBLE) / na
+                               / (CAST(cb AS DOUBLE) / nb))
+                          * 1000000000 + 0.5) AS BIGINT) AS t_nano
+        FROM counts CROSS JOIN tot
+    )
+    SELECT bin, ca - 1 AS n_a, cb - 1 AS n_b,
+           ROUND(t_nano / 1.0E9, 6) AS psi_term,
+           ROUND(CAST(SUM(t_nano) OVER () AS BIGINT) / 1.0E9, 6) AS psi_total
+    FROM terms
+    """
+
+
+@query(
+    "psi_drift",
+    oracle=_psi_oracle(),
+    tags=("maintenance", "drift", "psi", "dq"),
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the doc_id-parity halves of the
+    corpus over length bins — the drift gate an ML-ops pipeline runs
+    before reusing a trained filter on a new snapshot (rule of thumb:
+    PSI < 0.1 stable, > 0.25 drifted). Per-bin shares use add-one
+    smoothing so empty bins stay finite; each (p - q) * ln(p/q) term is
+    a short chain of identical IEEE ops on exact integer counts and is
+    snapped to integer nano-units BEFORE the cross-bin total (the
+    trap-log accumulation rule), so the reported total is exact. One
+    scan, one bounded-bin hash aggregation, scalars on a 1-row
+    broadcast; the total rides a window over the 16-row bin table."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    binned = d.select(
+        F.least(
+            F.expr(f"n_chars div {PSI_BIN_WIDTH}"),
+            F.lit(PSI_MAX_BIN).cast("long"),
+        ).alias("bin"),
+        F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0).alias("is_a"),
+    )
+    counts = binned.groupBy("bin").agg(
+        (F.sum("is_a").cast("long") + 1).alias("ca"),
+        (F.sum(1 - F.col("is_a")).cast("long") + 1).alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    pa = F.col("ca").cast("double") / F.col("na")
+    pb = F.col("cb").cast("double") / F.col("nb")
+    terms = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "t_nano",
+        F.floor((pa - pb) * F.log(pa / pb) * 1_000_000_000 + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    w = Window.partitionBy()  # bounded: 16 bin rows
+    return terms.select(
+        "bin",
+        (F.col("ca") - 1).alias("n_a"),
+        (F.col("cb") - 1).alias("n_b"),
+        r6(F.col("t_nano") / F.lit(1.0e9)).alias("psi_term"),
+        r6(F.sum("t_nano").over(w).cast("long") / F.lit(1.0e9)).alias("psi_total"),
     )

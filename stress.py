@@ -141,6 +141,8 @@ CHECK_QUERIES = [
     "changepoint_binseg",
     "kaplan_meier_retention",
     "cross_correlation_lags",
+    "calibration_bins",
+    "psi_drift",
 ]
 
 

@@ -177,6 +177,8 @@ _NL_JOIN_OK = {
     # 1-row max-day broadcast / 7-row literal lag spine cross joins
     "kaplan_meier_retention",
     "cross_correlation_lags",
+    # 1-row smoothed-total broadcast cross join
+    "psi_drift",
 }
 
 

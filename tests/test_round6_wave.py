@@ -275,3 +275,37 @@ def test_cross_correlation_lag_zero_and_symmetry(spark, sf_dir):
     n0 = int(out.loc[out["lag"] == 0, "n_days"].iloc[0])
     for _, r in out.iterrows():
         assert r["n_days"] == n0 - abs(r["lag"])
+
+
+def test_calibration_bins_closure(spark, sf_dir):
+    """Bin means sit inside their bin's probability range, counts cover
+    the corpus, and per-bin Brier equals the pandas replay."""
+    import numpy as np
+
+    out = REGISTRY["calibration_bins"].fn(spark, sf_dir).toPandas()
+    d = t(spark, sf_dir, "documents").select("lang", "n_chars").toPandas()
+    p = np.floor(1.0 / (1.0 + np.exp(-((d["n_chars"] - 250) / 100.0))) * 1e6 + 0.5)
+    y = (d["lang"] == "en").astype(int)
+    b = np.minimum(p * 10 // 1_000_000, 9)
+    assert out["n_docs"].sum() == len(d)
+    for _, r in out.iterrows():
+        m = b == r["bin"]
+        assert r["n_docs"] == m.sum()
+        assert abs(r["avg_pred"] - round(p[m].sum() / m.sum() / 1e6, 6)) < 1e-9
+        assert abs(r["frac_pos"] - round(y[m].sum() / m.sum(), 6)) < 1e-9
+        brier = ((p[m] - y[m] * 1e6) ** 2).sum() / m.sum() / 1e12
+        assert abs(r["brier"] - round(brier, 6)) < 1e-9
+        lo, hi = r["bin"] / 10, (r["bin"] + 1) / 10
+        assert lo - 1e-6 <= r["avg_pred"] <= hi + 1e-6 or r["bin"] == 9
+
+
+def test_psi_drift_identical_halves_near_zero(spark, sf_dir):
+    """PSI of two random-parity halves of one corpus is near zero (the
+    stable-distribution rule of thumb), terms sum to the total, and the
+    smoothed counts reconstruct the corpus."""
+    out = REGISTRY["psi_drift"].fn(spark, sf_dir).toPandas()
+    n = t(spark, sf_dir, "documents").count()
+    assert out["n_a"].sum() + out["n_b"].sum() == n
+    assert abs(out["psi_term"].sum() - out["psi_total"].iloc[0]) < 1e-6
+    assert out["psi_total"].iloc[0] < 0.1  # same population -> stable
+    assert (out["psi_total"] == out["psi_total"].iloc[0]).all()
