@@ -3782,3 +3782,136 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct_tokens_dropped"),
         )
     )
+
+
+# ---- ranking-quality eval: NDCG@k of the index family vs brute truth ---------
+def _ndcg_oracle() -> str:
+    from . import REGISTRY
+
+    truth = REGISTRY["cosine_topk"].oracle
+    ivf = REGISTRY["ivf_search_topk"].oracle
+    pq = REGISTRY["ivfpq_search"].oracle
+    k = RECALL_K
+    # per-position gain in integer NANO-units: floor(1e9 / log2(rank+1) + .5).
+    # The snap is 7+ orders of magnitude coarser than any libm log2 ULP skew,
+    # so both engines derive identical BIGINT gains and every DCG sum is exact.
+    g = "CAST(FLOOR(1000000000 / log2(rank + 1) + 0.5) AS BIGINT)"
+    return f"""
+    WITH truth AS (
+        SELECT a_id, b_id FROM ({truth}) t WHERE rank <= {k}
+    ),
+    m_ivf AS (
+        SELECT a_id, b_id, {g} AS gn FROM ({ivf}) i WHERE rank <= {k}
+    ),
+    m_pq AS (
+        SELECT a_id, b_id, {g} AS gn FROM ({pq}) p WHERE rank <= {k}
+    ),
+    idcg AS (
+        SELECT CAST(SUM(CAST(FLOOR(1000000000 / log2(i + 1) + 0.5) AS BIGINT))
+                    AS BIGINT) AS dn
+        FROM UNNEST(range(1, {k + 1})) AS u(rank_pos), LATERAL (SELECT CAST(rank_pos AS BIGINT) AS i)
+    ),
+    qs AS (SELECT DISTINCT a_id FROM truth),
+    di AS (
+        SELECT t.a_id, CAST(COUNT(*) AS BIGINT) AS hits,
+               CAST(SUM(m.gn) AS BIGINT) AS dcgn
+        FROM truth t JOIN m_ivf m ON m.a_id = t.a_id AND m.b_id = t.b_id
+        GROUP BY t.a_id
+    ),
+    dp AS (
+        SELECT t.a_id, CAST(COUNT(*) AS BIGINT) AS hits,
+               CAST(SUM(m.gn) AS BIGINT) AS dcgn
+        FROM truth t JOIN m_pq m ON m.a_id = t.a_id AND m.b_id = t.b_id
+        GROUP BY t.a_id
+    )
+    SELECT qs.a_id,
+           COALESCE(di.hits, 0) AS hits_ivf,
+           COALESCE(dp.hits, 0) AS hits_ivfpq,
+           ROUND(COALESCE(di.dcgn, 0) * 1.0E0 / dn, 6) AS ndcg_ivf,
+           ROUND(COALESCE(dp.dcgn, 0) * 1.0E0 / dn, 6) AS ndcg_ivfpq
+    FROM qs CROSS JOIN idcg
+    LEFT JOIN di ON di.a_id = qs.a_id LEFT JOIN dp ON dp.a_id = qs.a_id
+    """
+
+
+@query(
+    "ndcg_eval",
+    oracle=_ndcg_oracle(),
+    tags=("similarity", "eval", "ndcg"),
+)
+def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query NDCG@{RECALL_K} of the IVF and IVF-PQ searches against
+    the brute-force cosine truth — the position-weighted companion of
+    ``ann_recall_curve`` (recall says WHETHER the true neighbors were
+    found; NDCG says how HIGH the index ranked them, the metric a
+    two-stage serving stack actually tunes). Binary relevance, ideal
+    DCG = all k true neighbors ranked first (a constant, since every
+    query has exactly k truths). Per-position gains 1/log2(rank+1) are
+    snapped to integer nano-units the moment they exist, so every DCG
+    sum is exact BIGINT and the libm log2 ULP gap between engines
+    vanishes under the snap (7 orders of magnitude of headroom); the
+    only floats are the final display divisions. Composes the registered
+    searches (which score candidates through their documented
+    Arrow-batched packed dot) and reuses the session-shared truth
+    frame — marginal cost over the searches is two join-counts.
+
+    DECLARED EVAL YARDSTICK: the truth side is the O(n²) brute scan
+    (bench-skippable); production samples queries exactly like this
+    before an index rollout."""
+    gain = lambda rank: F.floor(  # noqa: E731 — local gain-in-nanos helper
+        F.lit(1_000_000_000) / F.log2(rank + F.lit(1)) + F.lit(0.5)
+    ).cast("long")
+    truth = shared(
+        spark,
+        sf_dir,
+        "recall_truth",
+        lambda: cosine_topk(spark, sf_dir)
+        .where(F.col("rank") <= RECALL_K)
+        .select("a_id", "b_id"),
+    )
+    m_ivf = (
+        ivf_search_topk(spark, sf_dir)
+        .where(F.col("rank") <= RECALL_K)
+        .select("a_id", "b_id", gain(F.col("rank")).alias("gn"))
+    )
+    m_pq = (
+        ivfpq_search(spark, sf_dir)
+        .where(F.col("rank") <= RECALL_K)
+        .select("a_id", "b_id", gain(F.col("rank")).alias("gn"))
+    )
+    idcg = spark.range(1, RECALL_K + 1).agg(
+        F.sum(gain(F.col("id"))).cast("long").alias("dn")
+    )
+    qs = truth.select("a_id").distinct()
+    di = (
+        truth.join(m_ivf, ["a_id", "b_id"])
+        .groupBy("a_id")
+        .agg(
+            F.count("*").cast("long").alias("hits_ivf"),
+            F.sum("gn").cast("long").alias("dcgn_ivf"),
+        )
+    )
+    dp = (
+        truth.join(m_pq, ["a_id", "b_id"])
+        .groupBy("a_id")
+        .agg(
+            F.count("*").cast("long").alias("hits_ivfpq"),
+            F.sum("gn").cast("long").alias("dcgn_ivfpq"),
+        )
+    )
+    return (
+        qs.crossJoin(F.broadcast(idcg))
+        .join(di, "a_id", "left")
+        .join(dp, "a_id", "left")
+        .select(
+            "a_id",
+            F.coalesce("hits_ivf", F.lit(0)).cast("long").alias("hits_ivf"),
+            F.coalesce("hits_ivfpq", F.lit(0)).cast("long").alias("hits_ivfpq"),
+            r6(
+                F.coalesce("dcgn_ivf", F.lit(0)) * F.lit(1.0) / F.col("dn")
+            ).alias("ndcg_ivf"),
+            r6(
+                F.coalesce("dcgn_ivfpq", F.lit(0)) * F.lit(1.0) / F.col("dn")
+            ).alias("ndcg_ivfpq"),
+        )
+    )

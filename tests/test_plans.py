@@ -95,6 +95,7 @@ _NL_JOIN_OK = {
     "two_stage_rerank",
     # composes the brute yardstick + both IVF searches (their documented shapes)
     "ann_recall_curve",
+    "ndcg_eval",
     # |sources|²-bounded signature pair table (20 corpus sources) — the
     # sketch side is K hashes per source, broadcast by construction
     "source_minhash_similarity",

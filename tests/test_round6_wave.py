@@ -309,3 +309,22 @@ def test_psi_drift_identical_halves_near_zero(spark, sf_dir):
     assert abs(out["psi_term"].sum() - out["psi_total"].iloc[0]) < 1e-6
     assert out["psi_total"].iloc[0] < 0.1  # same population -> stable
     assert (out["psi_total"] == out["psi_total"].iloc[0]).all()
+
+
+def test_ndcg_eval_bounds_and_recall_consistency(spark, sf_dir):
+    """NDCG is in [0,1], equals 1 exactly when all k truths rank 1..k,
+    is 0 exactly when hits are 0, and never exceeds what its hit count
+    alone would allow (ideal placement)."""
+    import numpy as np
+
+    out = REGISTRY["ndcg_eval"].fn(spark, sf_dir).toPandas()
+    k = 3
+    g = np.floor(1e9 / np.log2(np.arange(1, k + 1) + 1) + 0.5)
+    idcg = g.sum()
+    for fam in ("ivf", "ivfpq"):
+        nd, h = out[f"ndcg_{fam}"], out[f"hits_{fam}"]
+        assert ((nd >= 0) & (nd <= 1)).all()
+        assert (nd[h == 0] == 0).all()
+        assert (nd[h == k] > 0.63).all()  # worst all-hit order: g reversed
+        caps = {i: round(g[:i].sum() / idcg, 6) for i in range(k + 1)}
+        assert all(nd.iloc[j] <= caps[int(h.iloc[j])] + 1e-9 for j in range(len(out)))
