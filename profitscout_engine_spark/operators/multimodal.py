@@ -265,3 +265,67 @@ def audio_rms_windows(pcm: DataFrame) -> DataFrame:
     return pcm.mapInPandas(
         analyze, "doc_id long, win_id long, sumsq long, peak long"
     )
+
+
+DHASH_GRID_W = 9  # sample columns (8 horizontal comparisons per row)
+DHASH_GRID_H = 8  # sample rows; rows pair into 4 x 16-bit bands
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("b0", LongType()),
+        StructField("b1", LongType()),
+        StructField("b2", LongType()),
+        StructField("b3", LongType()),
+    ]
+)
+
+
+def dhash_bands(payloads: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) of the decoded P6 image,
+    emitted directly as FOUR 16-bit band integers — the LSH-ready
+    representation (the bands ARE the join keys; no 64-bit assembly, so
+    no signed-overflow edge on either engine).
+
+    Decode parses the header and reshapes to (h, w, 3); grayscale is the
+    exact integer channel sum r+g+b; the image is nearest-neighbor
+    sampled onto a 9x8 grid with the floor index map src = i * dim //
+    grid (pure integers, any input geometry); bit (y, x) = 1 iff
+    gray[y, x] > gray[y, x+1]; band b packs rows 2b and 2b+1 LSB-first:
+    k = (y % 2) * 8 + x. Every step is integer arithmetic on decoded
+    bytes, so the oracle replays it bit-for-bit from the source text.
+    """
+    columns = [f.name for f in DHASH_SCHEMA.fields]
+    gw, gh = DHASH_GRID_W, DHASH_GRID_H
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:3] != b"P6\n":
+                    raise ValueError(f"doc {doc_id}: not a P6 PPM payload")
+                nl_dims = buf.index(b"\n", 3)
+                w_s, h_s = buf[3:nl_dims].split()
+                w, h = int(w_s), int(h_s)
+                nl_max = buf.index(b"\n", nl_dims + 1)
+                img = np.frombuffer(buf, dtype=np.uint8, offset=nl_max + 1).reshape(
+                    h, w, 3
+                )
+                gray = img.astype(np.int64).sum(axis=2)  # exact r+g+b
+                ys = np.arange(gh) * h // gh
+                xs = np.arange(gw) * w // gw
+                grid = gray[np.ix_(ys, xs)]
+                bits = (grid[:, :-1] > grid[:, 1:]).astype(np.int64)  # (8, 8)
+                weights = 1 << np.arange(gw - 1, dtype=np.int64)
+                row_words = bits @ weights  # LSB-first per row
+                bands = [
+                    int(row_words[2 * b] + (row_words[2 * b + 1] << 8))
+                    for b in range(gh // 2)
+                ]
+                rows.append((doc_id, *bands))
+            yield pd.DataFrame(rows, columns=columns)
+
+    return payloads.mapInPandas(hash_batch, schema=DHASH_SCHEMA)

@@ -1398,3 +1398,124 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor(fold15).cast("long").alias("content_xor"),
         )
     )
+
+
+# --- multimodal near-dedup: perceptual dHash + banded Hamming join -------------
+DHASH_RADIUS = 3  # of 64 bits; < #bands, so banding is provably lossless
+
+
+def _dhash_oracle() -> str:
+    r = DHASH_RADIUS
+    return f"""
+    WITH p AS (
+        SELECT doc_id, n_chars, text,
+               n_chars % 64 + 1 AS width,
+               n_chars % 48 + 1 AS height,
+               (n_chars % 64 + 1) * (n_chars % 48 + 1) * 3 AS needed
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, width, height,
+               substr(repeat(text, CAST((needed + n_chars - 1) // n_chars AS INT)),
+                      1, needed) AS body
+        FROM p
+    ),
+    grid AS (
+        SELECT doc_id, CAST(y.i AS BIGINT) AS y, CAST(x.i AS BIGINT) AS x,
+               ascii(substr(body, ((y.i * height // 8) * width
+                                   + (x.i * width // 9)) * 3 + 1, 1))
+             + ascii(substr(body, ((y.i * height // 8) * width
+                                   + (x.i * width // 9)) * 3 + 2, 1))
+             + ascii(substr(body, ((y.i * height // 8) * width
+                                   + (x.i * width // 9)) * 3 + 3, 1)) AS g
+        FROM b
+        CROSS JOIN UNNEST(range(0, 8)) AS y(i)
+        CROSS JOIN UNNEST(range(0, 9)) AS x(i)
+    ),
+    bits AS (
+        SELECT a.doc_id, a.y, a.x, CASE WHEN a.g > c.g THEN 1 ELSE 0 END AS bit
+        FROM grid a
+        JOIN grid c ON c.doc_id = a.doc_id AND c.y = a.y AND c.x = a.x + 1
+        WHERE a.x < 8
+    ),
+    sig AS (
+        SELECT doc_id, y // 2 AS band,
+               CAST(SUM(bit << (CAST(y % 2 AS INT) * 8 + CAST(x AS INT)))
+                    AS BIGINT) AS v
+        FROM bits GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT doc_id,
+               MAX(CASE WHEN band = 0 THEN v END) AS b0,
+               MAX(CASE WHEN band = 1 THEN v END) AS b1,
+               MAX(CASE WHEN band = 2 THEN v END) AS b2,
+               MAX(CASE WHEN band = 3 THEN v END) AS b3
+        FROM sig GROUP BY 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+    )
+    SELECT d1, d2,
+           CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+              + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+              AS BIGINT) AS hamming
+    FROM cand
+    JOIN wide x ON x.doc_id = d1
+    JOIN wide y ON y.doc_id = d2
+    WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= {r}
+    """
+
+
+@query(
+    "image_dhash_neardup",
+    oracle=_dhash_oracle(),
+    tags=("textops", "multimodal", "near-dedup", "lsh"),
+)
+def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate detection over the IMAGE payloads — the
+    multimodal member of the dedup family: each P6 image is decoded and
+    difference-hashed inside one Arrow ``mapInPandas`` pass
+    (``operators/multimodal.py::dhash_bands`` — integer grayscale,
+    9x8 nearest-neighbor grid, 64 comparison bits packed as FOUR 16-bit
+    bands), candidate pairs come from a banded equi-self-join (agree on
+    >= 1 band — the simhash_pairs pattern: with radius {DHASH_RADIUS} < 4
+    bands, the pigeonhole principle guarantees every true pair matches
+    some band exactly, so banding loses nothing), and survivors are verified by the exact Hamming
+    distance (bit_count over XORed bands, pure integers on both
+    engines). The raw pixel payloads never join — only the 4-small-int
+    signature table shuffles, the LSH scale discipline. The oracle
+    replays decode, grid, hash, banding and verification from the
+    source bytes."""
+    from ..operators.multimodal import dhash_bands, with_payload
+
+    sig = dhash_bands(with_payload(_docs(spark, sf_dir)))
+    from ._util import shared
+
+    sig = shared(spark, sf_dir, "dhash_sig", lambda: sig)
+    bands = None
+    for bnd in range(4):
+        part = sig.select(
+            "doc_id", F.lit(bnd).alias("band"), F.col(f"b{bnd}").alias("v")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "v"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    hamming = sum(
+        F.bit_count(F.expr(f"x.b{bnd} ^ y.b{bnd}")) for bnd in range(4)
+    ).cast("long")
+    return (
+        cand.join(sig.alias("x"), F.col("d1") == F.col("x.doc_id"))
+        .join(sig.alias("y"), F.col("d2") == F.col("y.doc_id"))
+        .select("d1", "d2", hamming.alias("hamming"))
+        .where(F.col("hamming") <= DHASH_RADIUS)
+    )

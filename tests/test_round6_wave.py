@@ -328,3 +328,45 @@ def test_ndcg_eval_bounds_and_recall_consistency(spark, sf_dir):
         assert (nd[h == k] > 0.63).all()  # worst all-hit order: g reversed
         caps = {i: round(g[:i].sum() / idcg, 6) for i in range(k + 1)}
         assert all(nd.iloc[j] <= caps[int(h.iloc[j])] + 1e-9 for j in range(len(out)))
+
+
+def test_image_dhash_neardup_properties(spark, sf_dir):
+    """Identical texts (identical images) pair at Hamming 0; every
+    reported pair is within the radius; banding at radius 3 < 4 bands
+    is lossless vs a brute-force Hamming scan of the signature table."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from profitscout_engine_spark.operators.multimodal import (
+        dhash_bands,
+        with_payload,
+    )
+    from profitscout_engine_spark.queries.textops import DHASH_RADIUS
+
+    out = REGISTRY["image_dhash_neardup"].fn(spark, sf_dir).toPandas()
+    assert (out["hamming"] <= DHASH_RADIUS).all()
+    docs = t(spark, sf_dir, "documents")
+    sig = dhash_bands(with_payload(docs)).toPandas().set_index("doc_id")
+    # brute-force truth over all signature pairs (fixture-sized only)
+    got = {(r["d1"], r["d2"]) for _, r in out.iterrows()}
+    want = set()
+    ids = sorted(sig.index)
+    for a, b in itertools.combinations(ids, 2):
+        h = sum(
+            bin(int(sig.loc[a, f"b{i}"]) ^ int(sig.loc[b, f"b{i}"])).count("1")
+            for i in range(4)
+        )
+        if h <= DHASH_RADIUS:
+            want.add((a, b))
+    assert got == want
+    # duplicate texts produce Hamming-0 pairs
+    dup = (
+        docs.groupBy("text").agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(F.col("ids")[0].alias("a"), F.col("ids")[1].alias("b"))
+        .toPandas()
+    )
+    zero = {(min(a, b), max(a, b)) for a, b in zip(dup["a"], dup["b"])}
+    h0 = {(r["d1"], r["d2"]) for _, r in out.iterrows() if r["hamming"] == 0}
+    assert zero <= h0
