@@ -3,43 +3,94 @@ tests/test_plan_regression.py gates against. Run after INTENTIONAL plan
 changes:
 
     python plans_snapshot.py
+
+Snapshot semantics (VERDICT r6 item 4): every query is planned with the
+session cache CLEARED immediately before its build, so the flags always
+describe the full underlying Catalyst plan — never an order-dependent
+``InMemoryTableScan`` stub standing in for whatever an earlier query
+happened to persist.  ``catalog.clearCache()`` works because CacheManager
+substitution is resolved at planning time, not baked into the DataFrame.
+This makes the snapshot deterministic and lets the plan-hygiene gates cover
+the shared-frame ANN/dedup family, previously skipped as cache-dependent.
+
+The run is sharded across worker subprocesses (fresh JVM each): one long
+clear-and-rebuild session accumulates enough plan/broadcast state to OOM
+the driver (observed at ~240 plans on a 16 GiB heap).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from profitscout_engine_spark.plans import explain_str, plan_flags
-from profitscout_engine_spark.queries import load_registry
-from profitscout_engine_spark.session import get_spark
+SF = "/root/testdata/sf0.001"
+CHUNK = 32
+
+
+def worker(names: list[str], out_path: str) -> None:
+    from profitscout_engine_spark.plans import plan_flags
+    from profitscout_engine_spark.queries import load_registry
+    from profitscout_engine_spark.session import get_spark
+
+    spark = get_spark(master="local[8]")
+    reg = load_registry()
+    flags: dict[str, dict] = {}
+    skipped: dict[str, str] = {}
+    for name in names:
+        try:
+            spark.catalog.clearCache()
+            flags[name] = plan_flags(reg[name].fn(spark, SF))
+        except Exception as exc:  # noqa: BLE001 — record and move on
+            skipped[name] = f"{type(exc).__name__}: {exc}"[:200]
+    json.dump({"flags": flags, "skipped": skipped}, open(out_path, "w"))
 
 
 def main() -> None:
-    spark = get_spark(master="local[8]")
-    sf = "/root/testdata/sf0.001"
-    snap: dict[str, dict] = {}
-    skipped: list[str] = []
-    for name, spec in load_registry().items():
-        try:
-            df = spec.fn(spark, sf)
-            plan = explain_str(df)
-            # Shared-frame consumers' plans depend on what the session
-            # cached earlier — structural rules gate them instead.
-            if "InMemoryTableScan" in plan or "InMemoryRelation" in plan:
-                skipped.append(name)
-                continue
-            snap[name] = plan_flags(df)
-        except Exception:
-            skipped.append(name)
-    out = {"sf_dir": sf, "skipped_cache_dependent": sorted(skipped), "flags": snap}
+    from profitscout_engine_spark.queries import load_registry
+
+    names = list(load_registry())
+    flags: dict[str, dict] = {}
+    skipped: dict[str, str] = {}
+    for i in range(0, len(names), CHUNK):
+        chunk = names[i : i + CHUNK]
+        out = f"/tmp/plans_chunk_{i}.json"
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             "--names", ",".join(chunk), "--out", out],
+            capture_output=True, text=True, timeout=900,
+        )
+        if r.returncode != 0 or not os.path.exists(out):
+            for n in chunk:
+                skipped.setdefault(n, f"worker failed: {r.stderr[-160:]}")
+            continue
+        part = json.load(open(out))
+        flags.update(part["flags"])
+        skipped.update(part["skipped"])
+        print(f"chunk {i // CHUNK + 1}: +{len(part['flags'])} "
+              f"(skipped {len(part['skipped'])})", flush=True)
+    out = {
+        "sf_dir": SF,
+        "clear_first": True,
+        "skipped_cache_dependent": dict(sorted(skipped.items())),
+        "flags": flags,
+    }
     json.dump(out, open(os.path.join(os.path.dirname(__file__), "PLANS.json"), "w"),
               indent=1, sort_keys=True)
-    print(f"snapshotted {len(snap)}, cache-dependent {len(skipped)}")
+    print(f"snapshotted {len(flags)}, skipped {len(skipped)}: {list(skipped)[:5]}")
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--names", default="")
+    ap.add_argument("--out", default="")
+    a = ap.parse_args()
+    if a.worker:
+        worker([n for n in a.names.split(",") if n], a.out)
+    else:
+        main()

@@ -560,6 +560,113 @@ def with_avg_rank(
     )
 
 
+# Loud-failure cap on grouped_weighted_median's collected result dict — the
+# dict form exists for bounded-cardinality consumers (return flags, languages);
+# an unbounded group column should use grouped_weighted_median_df and keep the
+# medians distributed.
+WEIGHTED_MEDIAN_COLLECT_MAX_GROUPS = 10_000
+
+
+def grouped_weighted_median_df(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    weight: str,
+    out: str = "wmedian",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Exact LOWER weighted median per group — the smallest value v with
+    2 * cumulative_weight(<= v) >= total_weight — as a DataFrame of
+    ``group_cols + [out]``, one row per group, fully distributed (no
+    driver-side per-group state, so |groups| may grow with the data).
+
+    Both physical strategies filter null group keys, null values, and
+    null weights identically (SQL aggregate semantics), so the stats gate
+    is a pure physical choice:
+
+    - below PERCENTILE_BUFFER_MAX_BYTES: ONE windowed pass over the
+      per-(group, value) weight table — fine while a group's distinct
+      values fit a partition;
+    - above it: the range-bucketed decomposition (ranks.py header), all
+      join-back, no literal maps: (1) global approx value boundaries
+      (load balance only — the single 1-row collect); (2) per-(group,
+      bucket) weight sums + a window over the bounded ≤num_buckets
+      bucket frame per group locate each group's crossing bucket;
+      (3) an equi-join narrows the final RANGE-framed running weight to
+      ONLY the crossing slices — ties on the value share the
+      through-the-peers total, exactly the cumw(<=v) the definition
+      needs — and min(v) past the crossing is the answer.
+
+    Weights must be non-negative; integer weights keep every comparison
+    exact BIGINT (the house fixed-point rule). No interpolation — the
+    lower median is an order statistic, so the result is always an input
+    value in the column's native type. Group keys of any equi-joinable
+    type (including float) work on both paths.
+    """
+    gcols = [f"_g{i}" for i in range(len(group_cols))]
+    nn = functools.reduce(
+        lambda a, b: a & b, [F.col(g).isNotNull() for g in gcols]
+    )
+    vals = df.select(
+        *[F.col(g).alias(f"_g{i}") for i, g in enumerate(group_cols)],
+        F.col(col).alias("_v"),
+        _as_double(df, F.col(col)).alias("_vd"),
+        F.col(weight).alias("_w"),
+    ).where(nn & F.col("_v").isNotNull() & F.col("_w").isNotNull())
+    rename = [F.col(g).alias(orig) for g, orig in zip(gcols, group_cols)]
+
+    if _plan_size_bytes(df) <= PERCENTILE_BUFFER_MAX_BYTES:
+        g2 = vals.groupBy(*gcols, "_v").agg(F.sum("_w").alias("_cw"))
+        w_run = Window.partitionBy(*gcols).orderBy("_v")
+        w_all = Window.partitionBy(*gcols)
+        return (
+            g2.withColumn("_run", F.sum("_cw").over(w_run))
+            .withColumn("_tot", F.sum("_cw").over(w_all))
+            .where(2 * F.col("_run") >= F.col("_tot"))
+            .groupBy(*gcols)
+            .agg(F.min("_v").alias(out))
+            .select(*rename, out)
+        )
+
+    # one bounded collect: the 1-row boundary literals (load balance only —
+    # a returned-DataFrame operator must not own persist/unpersist lifetime,
+    # so the plan below re-derives vals; AQE reuses the shuffle where it can)
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    [brow] = vals.select(
+        F.percentile_approx("_vd", F.array(*[F.lit(q) for q in qs])).alias("b")
+    ).collect()
+    boundaries = sorted(set(brow["b"] or []))
+    part = vals.withColumn(_BKT, _bucket_expr(F.col("_vd"), boundaries))
+    bw = part.groupBy(*gcols, _BKT).agg(F.sum("_w").cast("long").alias("_bw"))
+    # crossing-bucket location: windows over the bounded <= num_buckets
+    # bucket frame per group — never a data-sized frame
+    w_bkt = Window.partitionBy(*gcols).orderBy(_BKT)
+    w_all = Window.partitionBy(*gcols)
+    target = (
+        bw.withColumn("_before", F.sum("_bw").over(w_bkt) - F.col("_bw"))
+        .withColumn("_tot", F.sum("_bw").over(w_all))
+        .where(2 * (F.col("_before") + F.col("_bw")) >= F.col("_tot"))
+        .groupBy(*gcols)
+        .agg(F.min(F.struct(_BKT, "_before", "_tot")).alias("_s"))
+        .select(
+            *gcols,
+            F.col(f"_s.{_BKT}").alias("_tbkt"),
+            F.col("_s._before").alias("_before"),
+            F.col("_s._tot").alias("_tot"),
+        )
+    )
+    w_run = Window.partitionBy(*gcols).orderBy("_v")  # RANGE: peers share
+    return (
+        part.join(target, on=gcols)
+        .where(F.col(_BKT) == F.col("_tbkt"))
+        .withColumn("_run", F.sum("_w").over(w_run))
+        .where(2 * (F.col("_before") + F.col("_run")) >= F.col("_tot"))
+        .groupBy(*gcols)
+        .agg(F.min("_v").alias(out))
+        .select(*rename, out)
+    )
+
+
 def grouped_weighted_median(
     df: DataFrame,
     group_cols: list[str],
@@ -567,131 +674,22 @@ def grouped_weighted_median(
     weight: str,
     num_buckets: int = 32,
 ) -> dict[tuple, int | float]:
-    """Exact LOWER weighted median per group — the smallest value v with
-    2 * cumulative_weight(<= v) >= total_weight — for the bounded-group /
-    huge-rows shape, computed with the range-bucketed decomposition
-    (ranks.py header) instead of any per-group sort or value buffer:
-
-    1. one pass: global approx value boundaries (load balance only) +
-       per-group total weights, collected;
-    2. one pass: per-(group, bucket) weight sums (<= |groups|*buckets
-       rows, collected) locate each group's crossing bucket on the
-       driver;
-    3. one pass: a RANGE-framed running weight inside ONLY the needed
-       (group, bucket) slices — ties on the value share the
-       through-the-peers total, exactly the cumw(<=v) the definition
-       needs — and min(v) past the crossing is the answer.
-
-    Weights must be non-negative; integer weights keep every comparison
-    exact BIGINT (the house fixed-point rule). No interpolation — the
-    lower median is an order statistic, so the result is always an input
-    value (returned in the column's native type). Null group keys and
-    null values/weights are excluded, matching SQL aggregate semantics.
-
-    Stats-gated like :func:`exact_percentiles`: below the buffer bound
-    the answer comes from ONE windowed pass over the per-(group, value)
-    weight table (the oracle's own shape — fine while distinct values
-    fit a partition); above it the three-pass decomposition runs. Both
-    paths are exact order statistics, so this is a pure physical choice.
+    """Collected-dict convenience form of :func:`grouped_weighted_median_df`
+    for BOUNDED group cardinality (return flags, languages, priorities):
+    returns ``{group_tuple: median}``. Capped at
+    WEIGHTED_MEDIAN_COLLECT_MAX_GROUPS via limit(cap+1) — an unbounded
+    group column fails loudly with guidance instead of OOMing the driver;
+    use the ``_df`` variant and keep the medians distributed.
     """
-    if _plan_size_bytes(df) <= PERCENTILE_BUFFER_MAX_BYTES:
-        gcols = [f"_g{i}" for i in range(len(group_cols))]
-        g2 = (
-            df.select(
-                *[F.col(g).alias(f"_g{i}") for i, g in enumerate(group_cols)],
-                F.col(col).alias("_v"),
-                F.col(weight).alias("_w"),
-            )
-            .where(F.col("_v").isNotNull() & F.col("_w").isNotNull())
-            .groupBy(*gcols, "_v")
-            .agg(F.sum("_w").alias("_cw"))
-        )
-        w_run = Window.partitionBy(*gcols).orderBy("_v")
-        w_all = Window.partitionBy(*gcols)
-        rows = (
-            g2.withColumn("_run", F.sum("_cw").over(w_run))
-            .withColumn("_tot", F.sum("_cw").over(w_all))
-            .where(2 * F.col("_run") >= F.col("_tot"))
-            .groupBy(*gcols)
-            .agg(F.min("_v").alias("_m"))
-            .collect()
-        )
-        return {tuple(r[g] for g in gcols): r["_m"] for r in rows}
-    vals = (
-        df.select(
-            *[F.col(g).alias(f"_g{i}") for i, g in enumerate(group_cols)],
-            F.col(col).alias("_v"),
-            _as_double(df, F.col(col)).alias("_vd"),
-            F.col(weight).alias("_w"),
-        )
-        .where(F.col("_v").isNotNull() & F.col("_w").isNotNull())
-        .persist()
+    cap = WEIGHTED_MEDIAN_COLLECT_MAX_GROUPS
+    res = grouped_weighted_median_df(
+        df, group_cols, col, weight, out="_m", num_buckets=num_buckets
     )
-    gcols = [f"_g{i}" for i in range(len(group_cols))]
-    try:
-        qs = [i / num_buckets for i in range(1, num_buckets)]
-        [brow] = vals.select(
-            F.percentile_approx("_vd", F.array(*[F.lit(q) for q in qs])).alias("b")
-        ).collect()
-        boundaries = sorted(set(brow["b"] or []))
-        part = vals.withColumn(_BKT, _bucket_expr(F.col("_vd"), boundaries))
-        wrows = (
-            part.groupBy(*gcols, _BKT).agg(F.sum("_w").alias("_bw")).collect()
+    rows = res.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"grouped_weighted_median collected more than {cap} groups — "
+            "the dict form is for bounded group cardinality; use "
+            "grouped_weighted_median_df and join the medians back instead"
         )
-        if not wrows:
-            return {}
-        by_g: dict[tuple, list[tuple[int, int]]] = {}
-        for r in wrows:
-            by_g.setdefault(tuple(r[g] for g in gcols), []).append(
-                (r[_BKT], r["_bw"])
-            )
-        # driver: locate each group's crossing bucket and its preceding run
-        target: dict[tuple, tuple[int, int, int]] = {}  # g -> (bkt, run, W)
-        for g, pairs in by_g.items():
-            total = sum(bw for _, bw in pairs)
-            run = 0
-            for bkt, bw in sorted(pairs):
-                if 2 * (run + bw) >= total:
-                    target[g] = (bkt, run, total)
-                    break
-                run += bw
-        hit = functools.reduce(
-            lambda a, b: a | b,
-            [
-                functools.reduce(
-                    lambda x, c: x & c,
-                    [F.col(gc) == F.lit(gv) for gc, gv in zip(gcols, g)],
-                )
-                & (F.col(_BKT) == F.lit(bkt))
-                for g, (bkt, _, _) in target.items()
-            ],
-        )
-        run_map = F.create_map(
-            *[
-                x
-                for g, (_, run, total) in target.items()
-                for x in (
-                    F.concat_ws("\x1f", *[F.lit(_spark_str(v)) for v in g]),
-                    F.array(
-                        F.lit(run).cast("long"), F.lit(total).cast("long")
-                    ),
-                )
-            ]
-        )
-        gkey = F.concat_ws("\x1f", *[F.col(gc).cast("string") for gc in gcols])
-        w_run = Window.partitionBy(*gcols).orderBy("_v")  # RANGE: peers share
-        rows = (
-            part.where(hit)
-            .withColumn("_rt", F.element_at(run_map, gkey))
-            .withColumn("_run", F.sum("_w").over(w_run))
-            .where(
-                2 * (F.element_at(F.col("_rt"), 1) + F.col("_run"))
-                >= F.element_at(F.col("_rt"), 2)
-            )
-            .groupBy(*gcols)
-            .agg(F.min("_v").alias("_m"))
-            .collect()
-        )
-        return {tuple(r[g] for g in gcols): r["_m"] for r in rows}
-    finally:
-        vals.unpersist()
+    return {tuple(r[g] for g in group_cols): r["_m"] for r in rows}

@@ -46,7 +46,10 @@ def plan_flags(df: DataFrame) -> dict[str, bool | int]:
         "sortmerge_joins": plan.count("SortMergeJoin"),
         "cartesian": "CartesianProduct" in plan,
         "bnl_join": "BroadcastNestedLoopJoin" in plan,
-        "python_eval": ("BatchEvalPython" in plan) or ("ArrowEvalPython" in plan),
+        # row-at-a-time Python: always a defect in this engine
+        "python_eval": "BatchEvalPython" in plan,
+        # vectorized Arrow scalar hop: allowed only for declared kernels
+        "arrow_eval": "ArrowEvalPython" in plan,
         "pandas_groups": "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan,
         "exchanges": plan.count("Exchange"),
     }

@@ -108,67 +108,71 @@ _MODULES = (
     "tpch",
 )
 
-# Round-6 window rotation (VERDICT r5 plan): delete the 49 names that went
-# HASH-GREEN in CORRECTNESS_r05 — NOT the mechanical first 50, because the one
-# red row (sliding_window_rate, a comparator-parity tz defect fixed this round)
-# must STAY in the window for driver re-verification. What remains is that red
-# row + the 47 never-driver-checked backlog names (oldest first) = 48, plus
-# the two round-6 additions in the free slots = 50: the ENTIRE backlog fits,
-# so a green CORRECTNESS_r06 means every oracle-paired query in the registry
-# is driver-verified. Everything rotated out was driver-green in r1-r5 and
-# stays pinned by tests/test_correctness.py.
+# Round-7 window rotation (VERDICT r6 plan — STALE-GREEN PRIORITY, not just
+# the backlog). Composition, mechanically derived (tools/driver_state.py):
+#   1-10   the 10 round-6 additions that have never had a driver row;
+#   11-20  every query whose (function source + oracle) hash CHANGED between
+#          the round-5 end commit and round-6 end but which was NOT in the
+#          round-6 driver window (the 2x-sweep oracle fixes + tag-hygiene
+#          edits — tag-only edits are included because the hash can't
+#          distinguish them and re-verification is cheap);
+#   21-25  consumers of the round-6 operators/ranks.py interpolation rewrite
+#          whose own source did NOT change (the hash diff can't see operator
+#          edits; DRIVER_STATE.json now mechanizes exactly this gap);
+#   26-44  the oldest still-green rows (r2 vintage) for freshness re-rows;
+#   45-50  round-7 additions appended at the tail as they are built.
+# Everything rotated out was driver-green in r1-r6 on unchanged code and
+# stays pinned by tests/test_correctness.py + tests/test_driver_state.py.
 _WINDOW_FRONT = (
-    "sliding_window_rate",
-    "autocorrelation_acf",
-    "threshold_sweep_components",
-    "multi_touch_attribution",
-    "seasonal_anomaly",
-    "pq_encode",
-    "ivfpq_search",
-    "semantic_dedup",
-    "quality_classifier_score",
-    "k_core_peel",
-    "dp_noisy_counts",
-    "als_half_step",
-    "chunk_overlap_split",
-    "bigram_lm_logprob",
-    "stream_dedup_bands",
-    "spearman_rank_corr",
-    "bootstrap_ci_poisson",
-    "hard_negatives",
-    "temperature_mix_sample",
-    "bpe_merge_step",
-    "svd_power_step",
-    "lr_gradient_step",
-    "nb_confusion",
-    "pr_curve_binned",
-    "tree_split_gain",
-    "woe_iv_source",
-    "stream_cusum_monitor",
-    "kmv_intersect_users",
-    "exact_substring_dedup",
-    "dim_truncation_recall",
-    "bounded_window_funnel",
-    "stream_watermark_late_audit",
-    "session_path_ngrams",
-    "graph_modularity",
-    "plsa_em_step",
-    "stream_heavy_hitters_cms",
-    "audio_window_rms",
-    "two_stage_rerank",
-    "dbscan_core_points",
-    "ann_recall_curve",
-    "lsh_s_curve_audit",
-    "source_minhash_similarity",
-    "sliding_distinct_users",
-    "dedup_impact_report",
-    "sweep_grid_full",
-    "enrichment_news_rollup",
-    "shard_manifest",
-    "curriculum_stage_split",
-    # round-6 additions: fill the window's 2 free slots (48 + 2 = 50)
-    "systematic_resample",
-    "conformal_calibration",
+    # -- never driver-checked (round-6 post-window additions) --
+    "weighted_median_price",
+    "neyman_allocation",
+    "changepoint_binseg",
+    "kaplan_meier_retention",
+    "cross_correlation_lags",
+    "calibration_bins",
+    "psi_drift",
+    "ndcg_eval",
+    "image_dhash_neardup",
+    "token_budget_epochs",
+    # -- stale greens: source/oracle hash changed after their last driver row --
+    "equi_depth_histogram",
+    "rfm_segmentation",
+    "seasonality_index",
+    "unpivot_supplier_metrics",
+    "q5_local_supplier_volume",
+    "chrono_split",
+    "consensus_tally",
+    "flag_groups",
+    "summary_top_lists",
+    "wintracker_pipeline",
+    # -- stale greens: ranks.py interpolation consumers (operator edited) --
+    "group_quantiles",
+    "sweep_rollup",
+    "mad_outliers",
+    "trader_pipeline",
+    "fulfillment_latency",
+    # -- freshness re-rows: oldest (r2-vintage) green rows --
+    "asof_entry_bar",
+    "asof_last_prior",
+    "bracket_exit_scan",
+    "chunk_split",
+    "contamination_check",
+    "cosine_lsh_topk",
+    "cosine_topk",
+    "dedup_keep_best",
+    "doc_fingerprint",
+    "domain_mix_rebalance",
+    "embedding_neardup_lsh",
+    "embedding_neardup_pairs",
+    "embedding_quantize_int8",
+    "enrichment_pipeline",
+    "ewm_ema",
+    "exact_dedup",
+    "hash_split",
+    "incremental_dedup_probe",
+    "ivf_centroid_assign",
+    # -- round-7 additions fill the remaining slots (appended as built) --
 )
 
 

@@ -21,11 +21,17 @@ def exact_quantile_bounds_sql(src: str, col: str, probs: list[float], name: str)
     term exact), which is why the 1/16-bucket and quartile-over-int
     oracles never drifted.
 
+    NULLs are excluded explicitly (ADVICE r6): ``list(col)`` KEEPS nulls
+    while ``COUNT(col)`` doesn't, so without the filter the 1-based list
+    indices would shift on any nullable column and the returned quantiles
+    would be silently wrong.
+
     Splice into a WITH chain:  f"WITH {exact_quantile_bounds_sql(...)}, rest AS ..."
     """
     grid = ", ".join(f"({i + 1}, {q}E0)" for i, q in enumerate(probs))
     return f"""{name}_s AS (
         SELECT list_sort(list({col})) AS l, COUNT({col}) AS n FROM {src}
+        WHERE {col} IS NOT NULL
     ),
     {name}_p AS (
         SELECT i, q * (n - 1) AS p,

@@ -1155,8 +1155,10 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     km AS (
         SELECT day, nr, nd,
-               exp(SUM(CASE WHEN nd > 0 THEN ln((nr - nd) * 1.0E0 / nr)
-                            ELSE 0.0E0 END) OVER (ORDER BY day)) AS surv
+               exp(SUM(CASE WHEN nd > 0
+                            THEN CAST(floor(ln((nr - nd) * 1.0E0 / nr) * 1e9
+                                            + 0.5) AS BIGINT)
+                            ELSE 0 END) OVER (ORDER BY day) / 1.0E9) AS surv
         FROM risk
     )
     SELECT day, nr AS n_risk, nd AS n_churn, ROUND(surv, 6) AS survival
@@ -1172,11 +1174,13 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     handles censoring correctly where naive retention_cohorts ratios do
     not. At-risk counts come from running start/exit totals over the
     CALENDAR-bounded day spine (never a per-user window); the product
-    accumulates as exp(ordered sum of ln factors) — each ln a single
-    IEEE op on exact BIGINT counts, summed left-to-right identically by
-    both engines over the bounded frame (the monte_carlo_paths
-    precedent). One user-level aggregation, three day-level aggregates,
-    one broadcast scalar."""
+    accumulates as exp of a cumulative sum of ln factors SNAPPED to
+    integer nano-units at birth (ADVICE r6 — each ln is a single IEEE op
+    on exact BIGINT counts, identical on both engines; the snap makes the
+    running total exact BIGINT, so no assumption about the engines'
+    windowed-sum association order remains: the psi_drift/ndcg pattern).
+    One user-level aggregation, three day-level aggregates, one
+    broadcast scalar."""
     from ..exprs import r6
 
     ev = t(spark, sf_dir, "events").select(
@@ -1224,15 +1228,18 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("nr"),
     )
+    ln_nano = F.floor(
+        F.log((F.col("nr") - F.col("nd")) * F.lit(1.0) / F.col("nr"))
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
     km = risk.withColumn(
         "surv",
         F.exp(
             F.sum(
-                F.when(
-                    F.col("nd") > 0,
-                    F.log((F.col("nr") - F.col("nd")) * F.lit(1.0) / F.col("nr")),
-                ).otherwise(F.lit(0.0))
+                F.when(F.col("nd") > 0, ln_nano).otherwise(F.lit(0).cast("long"))
             ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            / F.lit(1e9)
         ),
     )
     return km.where(F.col("nd") > 0).select(

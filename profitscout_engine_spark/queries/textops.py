@@ -1408,7 +1408,14 @@ def _dhash_oracle() -> str:
     r = DHASH_RADIUS
     return f"""
     WITH p AS (
-        SELECT doc_id, n_chars, text,
+        SELECT doc_id, n_chars,
+               -- ASCII invariant guard (ADVICE r6): the character-indexed
+               -- substr/ascii replay below is byte-faithful only while the
+               -- payload text is pure ASCII (octet_length == length); a
+               -- future non-ASCII fixture must fail LOUDLY, not drift.
+               CASE WHEN octet_length(encode(text)) <> length(text)
+                    THEN error('image_dhash_neardup oracle requires pure-ASCII payload text')
+                    ELSE text END AS text,
                n_chars % 64 + 1 AS width,
                n_chars % 48 + 1 AS height,
                (n_chars % 64 + 1) * (n_chars % 48 + 1) * 3 AS needed

@@ -38,33 +38,37 @@ def test_entry_contract(spark):
 
 
 def test_driver_window_order_is_pinned():
-    """The driver verifies the FIRST 50 registered queries. Round-6 rotation
-    (VERDICT r5): the 49 names hash-green in CORRECTNESS_r05 were deleted,
-    keeping the one red row (sliding_window_rate — comparator-parity tz
-    defect, fixed this round) IN the window plus the 47 never-checked
-    backlog names = 48, plus the two round-6 additions (systematic_resample,
-    conformal_calibration) in the free slots = 50. A green CORRECTNESS_r06
-    therefore driver-verifies every oracle-paired query in the registry."""
+    """The driver verifies the FIRST 50 registered queries. Round-7 rotation
+    (VERDICT r6 — stale-green priority): the 10 never-driver-checked round-6
+    additions lead, then every query whose (source + oracle) hash changed
+    since its last green driver row (2x-sweep oracle fixes, tag-hygiene
+    edits, ranks.py-interpolation consumers), then the oldest (r2-vintage)
+    greens as freshness re-rows, with the tail slots reserved for round-7
+    additions. A green CORRECTNESS_r07 re-verifies every stale green."""
     from profitscout_engine_spark.queries import _WINDOW_FRONT
 
     names = list(load_registry())
     assert names[: len(_WINDOW_FRONT)] == list(_WINDOW_FRONT)
-    assert len(_WINDOW_FRONT) == 50
-    # the red row stays in, at the head
-    assert names[0] == "sliding_window_rate"
+    assert len(_WINDOW_FRONT) <= 50
+    # the never-driver-checked round-6 additions lead the window
+    assert names[0] == "weighted_median_price"
     window = set(names[:50])
-    # never-driver-checked backlog + round-5 additions are all inside
     assert {
-        "autocorrelation_acf",
-        "pq_encode",
-        "stream_dedup_bands",
-        "exact_substring_dedup",
-        "sweep_grid_full",
-        "curriculum_stage_split",
+        "neyman_allocation",
+        "changepoint_binseg",
+        "image_dhash_neardup",
+        "token_budget_epochs",
+        # stale greens re-entering for re-verification
+        "equi_depth_histogram",
+        "rfm_segmentation",
+        "group_quantiles",
+        "fulfillment_latency",
+        "wintracker_pipeline",
+    } <= window
+    # round-6-verified names must be GONE from the front
+    assert not {
+        "sliding_window_rate",
         "systematic_resample",
         "conformal_calibration",
-    } <= window
-    # r5-verified names must be GONE from the front
-    assert not {"q22_dormant_balance", "fuzzy_dedup_edit", "triangle_count"} & set(
-        _WINDOW_FRONT
-    )
+        "dp_noisy_counts",
+    } & set(_WINDOW_FRONT)

@@ -239,3 +239,54 @@ def test_quoted_identifier_fast_path(spark):
     assert exact_percentiles(df, "odd name", [0.5]) == [49.5]
     got = grouped_exact_percentiles(df, ["g"], "odd name", [0.5])
     assert got == {(0,): [49.0], (1,): [50.0]}
+
+
+def test_weighted_median_null_and_float_group_keys_both_paths(spark, monkeypatch):
+    """ADVICE r6 (medium): the two stats-gated weighted-median paths must
+    treat null and float group keys IDENTICALLY — null group keys are
+    excluded on both paths (SQL aggregate semantics) and float keys work
+    on both (the join-back decomposition has no literal-map string
+    rendering to trip over)."""
+    import pytest as _pytest
+
+    from profitscout_engine_spark.operators import ranks
+
+    df = spark.createDataFrame(
+        [(0.5, 1, 1), (0.5, 2, 1), (0.5, 3, 1),
+         (1.5, 10, 1), (1.5, 20, 9),
+         (None, 99, 1), (None, 98, 1)],
+        "g double, v int, w int",
+    )
+    want = {(0.5,): 2, (1.5,): 20}  # the null-key group is excluded
+    fast = ranks.grouped_weighted_median(df, ["g"], "v", "w")
+    monkeypatch.setattr(ranks, "PERCENTILE_BUFFER_MAX_BYTES", 0)
+    dist = ranks.grouped_weighted_median(df, ["g"], "v", "w")
+    assert fast == want and dist == want
+
+
+def test_weighted_median_collect_cap_and_df_variant(spark, monkeypatch):
+    """VERDICT r6 item 3: the dict form fails loudly past the group cap
+    with guidance toward the DataFrame variant; the _df variant stays
+    lazy (no collect) and agrees with the dict form on both paths."""
+    import pytest as _pytest
+
+    from profitscout_engine_spark.operators import ranks
+
+    df = spark.range(1000).select(
+        F.col("id").alias("g"), (F.col("id") % 7).alias("v"), F.lit(1).alias("w")
+    )
+    monkeypatch.setattr(ranks, "WEIGHTED_MEDIAN_COLLECT_MAX_GROUPS", 100)
+    with _pytest.raises(ValueError, match="grouped_weighted_median_df"):
+        ranks.grouped_weighted_median(df, ["g"], "v", "w")
+
+    small = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 1), ("a", 3, 1), ("b", 10, 1), ("b", 20, 9)],
+        "g string, v int, w int",
+    )
+    out = ranks.grouped_weighted_median_df(small, ["g"], "v", "w", out="m")
+    assert out.columns == ["g", "m"]
+    got = {tuple([r["g"]]): r["m"] for r in out.collect()}
+    assert got == {("a",): 2, ("b",): 20}
+    monkeypatch.setattr(ranks, "PERCENTILE_BUFFER_MAX_BYTES", 0)
+    out2 = ranks.grouped_weighted_median_df(small, ["g"], "v", "w", out="m")
+    assert {tuple([r["g"]]): r["m"] for r in out2.collect()} == got

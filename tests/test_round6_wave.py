@@ -370,3 +370,20 @@ def test_image_dhash_neardup_properties(spark, sf_dir):
     zero = {(min(a, b), max(a, b)) for a, b in zip(dup["a"], dup["b"])}
     h0 = {(r["d1"], r["d2"]) for _, r in out.iterrows() if r["hamming"] == 0}
     assert zero <= h0
+
+
+def test_payload_fixture_is_pure_ascii():
+    """ADVICE r6: every multimodal oracle replays the engine's byte-level
+    payload decode with DuckDB's CHARACTER-indexed substr/ascii, which is
+    byte-faithful only while the documents text is pure ASCII
+    (octet_length == length). Pin the invariant for ALL payload-replaying
+    oracles at every fixture SF, so a future non-ASCII fixture fails here
+    loudly instead of drifting a hash compare."""
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        [(bad,)] = duckdb.sql(
+            f"""SELECT COUNT(*) FROM '/root/testdata/sf{sf}/documents.parquet'
+                WHERE octet_length(encode(text)) <> length(text)"""
+        ).fetchall()
+        assert bad == 0, f"sf{sf}: {bad} non-ASCII payload rows"
