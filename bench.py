@@ -97,6 +97,13 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "sf": sf_val,
+                # Which run produced this file (VERDICT r6 item 7): the
+                # driver's per-round bench overwrites it in place, so
+                # round-over-round comparisons must never mix hosts/runs.
+                "producer": os.environ.get("BENCH_PRODUCER", "unlabeled"),
+                "run_utc": __import__("datetime").datetime.utcnow().strftime(
+                    "%Y-%m-%dT%H:%M:%SZ"
+                ),
                 "n_queries": len(timings),
                 "queries": timings,
             },

@@ -33,7 +33,11 @@ CHUNK = 32
 
 
 def worker(names: list[str], out_path: str) -> None:
-    from profitscout_engine_spark.plans import plan_flags
+    from profitscout_engine_spark.plans import (
+        explain_str,
+        normalized_plan_sha,
+        plan_flags,
+    )
     from profitscout_engine_spark.queries import load_registry
     from profitscout_engine_spark.session import get_spark
 
@@ -44,7 +48,10 @@ def worker(names: list[str], out_path: str) -> None:
     for name in names:
         try:
             spark.catalog.clearCache()
-            flags[name] = plan_flags(reg[name].fn(spark, SF))
+            df = reg[name].fn(spark, SF)
+            f = plan_flags(df)
+            f["plan_sha"] = normalized_plan_sha(explain_str(df))
+            flags[name] = f
         except Exception as exc:  # noqa: BLE001 — record and move on
             skipped[name] = f"{type(exc).__name__}: {exc}"[:200]
     json.dump({"flags": flags, "skipped": skipped}, open(out_path, "w"))

@@ -37,6 +37,61 @@ def read_schema(plan: str) -> str:
     return plan.split("ReadSchema:")[1].split("\n")[0].strip()
 
 
+def normalized_plan_sha(plan: str) -> str:
+    """Content hash of a formatted plan with the session-dependent noise
+    stripped — expression ids (#NN, a global counter), plan/subquery ids,
+    object addresses, and tmp-dir paths (mkdtemp differs per process) —
+    so the SAME logical+physical plan hashes identically across sessions.
+    This is the operator-edit detector behind DRIVER_STATE.json: a change
+    inside an operator (e.g. a percentile interpolation rule) shifts the
+    expression tree and therefore this hash, even when the query's own
+    source and its plan FLAGS are unchanged."""
+    import hashlib
+    import re
+
+    s = re.sub(r"#\d+", "#", plan)
+    s = re.sub(r"\b(?:plan_id|id|exprId|cteId|statsId)=\d+", "id=", s)
+    s = re.sub(r"@[0-9a-f]{6,}", "@", s)
+    s = re.sub(r"/tmp/\S+", "/tmp/_", s)
+    s = re.sub(r"/spark-warehouse/\S+", "/spark-warehouse/_", s)
+    return hashlib.sha256(s.encode()).hexdigest()
+
+
+def count_unpartitioned_windows(plan: str) -> int:
+    """Window nodes whose spec has NO partition columns — every row of the
+    input funnels through one task. Legitimate ONLY over provably bounded
+    frames (a calendar day spine, a ≤num_buckets bucket table, a literal
+    lag spine); on a data-sized frame it is the single-task sort this
+    engine's ranks/scan operators exist to kill. Detection: in the
+    formatted node details, a Window's Arguments render as
+    ``[exprs], [partition], [order]`` when partitioned and
+    ``[exprs], [order]`` when not; a two-group spec whose second group
+    carries sort directions is therefore unpartitioned (a partition-only
+    spec has no ASC/DESC there)."""
+    import re
+
+    n = 0
+    # exactly the Window/WindowInPandas execs — NOT WindowGroupLimit, whose
+    # argument list has a different shape (part, order, fn, k, mode) and
+    # which is a pushed-down LIMIT, not a windowed computation
+    for m in re.finditer(
+        r"^\(\d+\) Window(?:InPandas)?\s*\n(?:(?!\(\d+\) ).*\n?)*", plan, re.M
+    ):
+        block = m.group(0)
+        am = re.search(r"^Arguments: (.*)$", block, re.M)
+        if not am:
+            continue
+        args = am.group(1)
+        groups = args.count("], [") + 1
+        if groups == 2:
+            second = args.rsplit("], [", 1)[-1]
+            if " ASC" in second or " DESC" in second:
+                n += 1
+        elif groups < 2:
+            n += 1
+    return n
+
+
 def plan_flags(df: DataFrame) -> dict[str, bool | int]:
     """Structural quality signals for one query plan."""
     plan = explain_str(df)
@@ -52,4 +107,7 @@ def plan_flags(df: DataFrame) -> dict[str, bool | int]:
         "arrow_eval": "ArrowEvalPython" in plan,
         "pandas_groups": "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan,
         "exchanges": plan.count("Exchange"),
+        # allowed only over provably bounded frames — gated by the
+        # _UNPART_WINDOW_OK allowlist in tests/test_plans.py
+        "unpartitioned_windows": count_unpartitioned_windows(plan),
     }

@@ -173,6 +173,9 @@ _WINDOW_FRONT = (
     "incremental_dedup_probe",
     "ivf_centroid_assign",
     # -- round-7 additions fill the remaining slots (appended as built) --
+    "cross_modal_dedup_audit",
+    "kmeans_train_converged",
+    "pagerank_power_lattice",
 )
 
 

@@ -1526,3 +1526,66 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", hamming.alias("hamming"))
         .where(F.col("hamming") <= DHASH_RADIUS)
     )
+
+
+# --- cross-modal near-dup audit: text MinHash x image dHash ---------------------
+def _cross_modal_oracle() -> str:
+    from . import REGISTRY
+
+    mh = REGISTRY["minhash_lsh_pairs"].oracle
+    dh = REGISTRY["image_dhash_neardup"].oracle
+    return f"""
+    WITH RECURSIVE tp AS (SELECT d1, d2, n_shared_bands FROM ({mh}) m),
+    ip AS (SELECT d1, d2, hamming FROM ({dh}) i)
+    SELECT COALESCE(tp.d1, ip.d1) AS d1,
+           COALESCE(tp.d2, ip.d2) AS d2,
+           CASE WHEN tp.d1 IS NOT NULL AND ip.d1 IS NOT NULL THEN 'both'
+                WHEN tp.d1 IS NOT NULL THEN 'text_only'
+                ELSE 'image_only' END AS modality,
+           CAST(COALESCE(tp.n_shared_bands, -1) AS BIGINT) AS n_shared_bands,
+           CAST(COALESCE(ip.hamming, -1) AS BIGINT) AS hamming
+    FROM tp FULL OUTER JOIN ip ON tp.d1 = ip.d1 AND tp.d2 = ip.d2
+    """
+
+
+@query(
+    "cross_modal_dedup_audit",
+    oracle=_cross_modal_oracle(),
+    tags=("textops", "multimodal", "near-dedup", "audit"),
+)
+def cross_modal_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-MODAL near-duplicate agreement audit (VERDICT r6 next-wave
+    item b): full-outer-join the text near-dup candidates (MinHash/LSH
+    band pairs) against the image near-dup candidates (perceptual dHash
+    banded Hamming pairs) and label each pair ``both`` / ``text_only`` /
+    ``image_only``. In a multimodal corpus the disagreement set is the
+    curation work-list — ``text_only`` pairs are re-captioned images,
+    ``image_only`` pairs are re-encoded/resized assets with rewritten
+    text; ``both`` is safe to collapse. Scale shape: both inputs are
+    already banded candidate sets (edge-linear, never all-pairs), the
+    audit is ONE equi-join on the pair key — no new quadratic surface;
+    the image side rides the declared dHash Arrow decode kernel
+    (``operators/multimodal.py``), the only Python hop in the plan.
+    Both sides reuse the session-shared signature frames, so the audit
+    costs one join over two small pair tables."""
+    from . import REGISTRY
+
+    tp = REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir).alias("tp")
+    ip = REGISTRY["image_dhash_neardup"].fn(spark, sf_dir).alias("ip")
+    joined = tp.join(
+        ip,
+        (F.col("tp.d1") == F.col("ip.d1")) & (F.col("tp.d2") == F.col("ip.d2")),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce(F.col("tp.d1"), F.col("ip.d1")).alias("d1"),
+        F.coalesce(F.col("tp.d2"), F.col("ip.d2")).alias("d2"),
+        F.when(
+            F.col("tp.d1").isNotNull() & F.col("ip.d1").isNotNull(), F.lit("both")
+        )
+        .when(F.col("tp.d1").isNotNull(), F.lit("text_only"))
+        .otherwise(F.lit("image_only"))
+        .alias("modality"),
+        F.coalesce(F.col("tp.n_shared_bands"), F.lit(-1)).cast("long").alias("n_shared_bands"),
+        F.coalesce(F.col("ip.hamming"), F.lit(-1)).cast("long").alias("hamming"),
+    )

@@ -55,6 +55,20 @@ def get_spark(
 def _apply_runtime_confs(spark: SparkSession) -> None:
     """Session-scoped confs that must hold regardless of who built the session."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Silence WindowExec's "No Partition Defined" WARN flood: every
+    # unpartitioned window in this engine sits over a provably BOUNDED
+    # frame (day spines, <=num_buckets bucket tables, literal lag spines)
+    # — enforced structurally by the _UNPART_WINDOW_OK allowlist gate in
+    # tests/test_plans.py, which is the correct detector; the blanket WARN
+    # only buries real signals in the driver log (VERDICT r6).
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments keep the default logging
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # Serve bare MIN/MAX/COUNT aggregations from parquet footer statistics
     # instead of scanning data pages (off by default; pure win for the

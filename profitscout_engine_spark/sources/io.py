@@ -291,6 +291,19 @@ def write_zorder(
     for the file-skipping use, and the range partitioner keeps file
     SIZES balanced regardless.
     """
+    (
+        zorder_layout(df, cols, n_files, bits)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zorder_layout(
+    df: DataFrame, cols: list[str], n_files: int, bits: int = 8
+) -> DataFrame:
+    """The Morton-curve clustering of :func:`write_zorder` as a reusable
+    layout transform (returns the repartitioned+sorted frame, writes
+    nothing) — shared with the txn table's compaction maintenance op."""
     stats = df.agg(
         *[F.min(c).alias(f"_mn_{c}") for c in cols],
         *[F.max(c).alias(f"_mx_{c}") for c in cols],
@@ -318,13 +331,11 @@ def write_zorder(
             zkey = zkey + F.shiftleft(
                 F.shiftright(rank, b).bitwiseAND(F.lit(1)), b * ncols + ci
             ).cast("long")
-    (
+    return (
         df.withColumn("_zkey", zkey)
         .repartitionByRange(n_files, "_zkey")
         .sortWithinPartitions("_zkey")
         .drop("_zkey")
-        .write.mode("overwrite")
-        .parquet(path)
     )
 
 

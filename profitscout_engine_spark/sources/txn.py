@@ -324,6 +324,64 @@ def _commit_partition_delta(
     return new_v
 
 
+def compact_snapshot(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 << 20,
+    zorder_cols: list[str] | None = None,
+    expected_version: int | None = None,
+) -> tuple[int, int, int]:
+    """Small-file compaction for the versioned table — the OPTIMIZE
+    maintenance op (lakehouse bin-packing; reference's staging tables
+    accumulate one file per micro-append, load_to_staging pattern).
+
+    Rewrites the LIVE snapshot's rows into ``ceil(bytes/target)`` files
+    and publishes the result as a new version through the same atomic
+    commit path as any write — readers pinned to prior versions are
+    untouched (time travel intact), and optimistic concurrency applies:
+    a writer that lands between our read and the pointer flip fails the
+    compaction cleanly instead of losing its rows. Row identity is
+    bit-preserved (same rows, new layout) — pinned by the table-checksum
+    test. ``zorder_cols`` routes the rewrite through the Morton-curve
+    layout (:func:`..sources.io.zorder_layout`) so compaction doubles as
+    multi-dimensional data-skipping maintenance; otherwise a round-robin
+    repartition balances file sizes exactly.
+
+    Returns ``(new_version, files_before, files_after)``.
+    """
+    import math
+
+    from .io import zorder_layout
+
+    base = current_version(root)
+    if expected_version is not None and base != expected_version:
+        raise ConcurrentCommitError(
+            f"table {root!r} is at v{base}, compaction planned at v{expected_version}"
+        )
+    live = snapshot_path(root, base)
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(live)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_target = max(1, math.ceil(total / target_file_bytes))
+    df = read_versioned(spark, root, base)
+    if zorder_cols:
+        df = zorder_layout(df, zorder_cols, n_target)
+    else:
+        df = df.repartition(n_target)
+    new_v = commit_snapshot(df, root, expected_version=base)
+    new_files = [
+        f
+        for dp, _, fs in os.walk(snapshot_path(root, new_v))
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    return new_v, len(files), len(new_files)
+
+
 def vacuum(root: str, keep: int = 2) -> list[int]:
     """Drop snapshot dirs older than the newest ``keep`` versions
     (never the live one). Returns the removed version numbers."""

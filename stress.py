@@ -143,6 +143,11 @@ CHECK_QUERIES = [
     "cross_correlation_lags",
     "calibration_bins",
     "psi_drift",
+    # round-7 additions: the iterated integer-lattice trainer (group-size-
+    # dependent centroid means) and the cross-modal pair audit
+    "kmeans_train_converged",
+    "cross_modal_dedup_audit",
+    "pagerank_power_lattice",
 ]
 
 

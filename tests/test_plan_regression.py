@@ -56,7 +56,9 @@ def test_plan_flags_match_snapshot(name, spark, sf_dir):
             "test_snapshot_hygiene_covers_all_plans via the clear-first snapshot"
         )
     got = plan_flags(df)
-    want = SNAP["flags"][name]
+    # plan_sha is DRIVER_STATE's operator-edit detector, not a live gate:
+    # the live session's conf/caches can shift plan text harmlessly
+    want = {k: v for k, v in SNAP["flags"][name].items() if k != "plan_sha"}
     assert got == want, (
         f"{name}: plan drifted from PLANS.json — {dict(set(got.items()) ^ set(want.items()))}. "
         "If intentional, regenerate the snapshot."

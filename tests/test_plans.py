@@ -105,6 +105,8 @@ _NL_JOIN_OK = {
     "semantic_dedup",
     # same k-centroid broadcast routing shape as the IVF build
     "kmeans_lloyd_step",
+    # 1-row doc-count scalar cross joins (teleport mass per iteration)
+    "pagerank_power_lattice",
     "monte_carlo_paths",
     "scenario_explode",
     # non-equi join against a broadcast trading-calendar dim (J9)
@@ -246,3 +248,51 @@ def test_docs_fanout_skips_repartition_on_multisplit_input(spark, sf_dir, tmp_pa
         REGISTRY["chunk_split"].fn(spark, sf_dir).explain("formatted")
     fixture_plan = buf.getvalue()
     assert "Exchange" in fixture_plan and "RoundRobinPartitioning" in fixture_plan
+
+
+# Queries whose plan contains an UNPARTITIONED window, each over a provably
+# BOUNDED frame — never a data-sized one (VERDICT r6 item 5: with the
+# WindowExec WARN silenced in session.py, THIS gate is the real detector).
+# The bound per query:
+_UNPART_WINDOW_OK = {
+    # calendar-bounded day/bin spines
+    "changepoint_binseg",       # one row per calendar day
+    "kaplan_meier_retention",   # day spine (x2: risk + survival passes)
+    "running_distinct_users",   # day spine cumulative
+    "psi_drift",                # 16 fixed bins
+    "pr_curve_binned",          # fixed score bins
+    "value_counts_pct",         # distinct flag values of a low-card column
+    # top-K-bounded ranked tables (orderBy+limit BEFORE the window)
+    "key_skew_report",          # SKEW_TOPK hottest keys
+    "revenue_pareto_curve",     # PARETO_TOPK customers
+    "vocab_coverage",           # VOCAB_TOPK terms
+    # bounded domain tables
+    "pareto_frontier",          # distinct-price group table (documented
+                                # coarse-bucket prune path for huge domains)
+    "plsa_em_step",             # n_topics-bounded
+    "monte_carlo_paths",        # bounded draw pool
+    "woe_iv_source",            # |sources| frame
+    "token_budget_epochs",      # |sources| frame (x2)
+    "trading_day_offsets",      # trading-calendar dim (x3)
+    # range-bucket decompositions: window over <= num_buckets rows
+    "spearman_rank_corr",       # two with_avg_rank offset passes
+    "systematic_resample",      # with_prefix_sum bucket offsets
+}
+
+
+def test_unpartitioned_windows_are_allowlisted():
+    """Every plan's unpartitioned-window count is snapshotted in
+    PLANS.json; any query outside the documented bounded-frame allowlist
+    must have ZERO. A new single-task window fails here by name."""
+    import json
+    import os
+
+    snap = json.load(
+        open(os.path.join(os.path.dirname(__file__), "..", "PLANS.json"))
+    )
+    bad = sorted(
+        name
+        for name, flags in snap["flags"].items()
+        if flags.get("unpartitioned_windows", 0) and name not in _UNPART_WINDOW_OK
+    )
+    assert not bad, f"undocumented unpartitioned windows in: {bad}"

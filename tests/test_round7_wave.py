@@ -1,0 +1,88 @@
+"""Round-7 capability wave: iterated k-means training, cross-modal
+near-dup audit (compaction tests live in test_txn.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from profitscout_engine_spark.queries import load_registry
+from profitscout_engine_spark.queries._util import t
+
+REGISTRY = load_registry()
+
+
+def test_kmeans_train_partitions_all_vectors(spark, sf_dir):
+    """Cluster sizes sum to the corpus size; inertia and centroid sums
+    are exact integers; exactly K clusters come back."""
+    from profitscout_engine_spark.queries.similarity import KM_TRAIN_K
+
+    out = REGISTRY["kmeans_train_converged"].fn(spark, sf_dir).toPandas()
+    n_vecs = t(spark, sf_dir, "embeddings").count()
+    assert len(out) == KM_TRAIN_K
+    assert out["n_members"].sum() == n_vecs
+    assert (out["inertia"] >= 0).all()
+    assert out["n_members"].ge(0).all()
+
+
+def test_kmeans_train_beats_or_matches_one_lloyd_step(spark, sf_dir):
+    """Lloyd descent: total inertia after the trained iterations is <=
+    the inertia of the SAME integer-lattice assignment after one
+    iteration (computed inline) — iterating never hurts the objective
+    on the lattice beyond rounding slack of one unit per dim."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))"
+        ).alias("v"),
+    )
+    from profitscout_engine_spark.queries.similarity import KM_TRAIN_K
+
+    init = e.orderBy("vec_id").limit(KM_TRAIN_K).collect()
+    cent = spark.createDataFrame(
+        [(i, list(r["v"])) for i, r in enumerate(init)], "cid int, c array<bigint>"
+    )
+    dist = F.expr(
+        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0L, (a, z) -> a + z)"
+    )
+    first = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", F.struct(dist.alias("d"), "cid").alias("s"))
+        .groupBy("vec_id")
+        .agg(F.min("s").alias("s"))
+        .agg(F.sum("s.d"))
+        .collect()[0][0]
+    )
+    trained = (
+        REGISTRY["kmeans_train_converged"]
+        .fn(spark, sf_dir)
+        .agg(F.sum("inertia"))
+        .collect()[0][0]
+    )
+    assert trained <= first
+
+
+def test_cross_modal_audit_is_consistent_with_parents(spark, sf_dir):
+    """Every pair labeled text_only/both appears in the MinHash pair set,
+    every image_only/both pair in the dHash set, and the -1 sentinels
+    appear exactly on the missing side."""
+    audit = REGISTRY["cross_modal_dedup_audit"].fn(spark, sf_dir).toPandas()
+    text = {
+        (r["d1"], r["d2"])
+        for r in REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir).collect()
+    }
+    img = {
+        (r["d1"], r["d2"])
+        for r in REGISTRY["image_dhash_neardup"].fn(spark, sf_dir).collect()
+    }
+    assert len(audit) == len(text | img)
+    for _, r in audit.iterrows():
+        pair = (r["d1"], r["d2"])
+        if r["modality"] == "both":
+            assert pair in text and pair in img
+            assert r["n_shared_bands"] > 0 and r["hamming"] >= 0
+        elif r["modality"] == "text_only":
+            assert pair in text and pair not in img
+            assert r["hamming"] == -1
+        else:
+            assert pair in img and pair not in text
+            assert r["n_shared_bands"] == -1

@@ -284,3 +284,57 @@ def test_reader_pinned_snapshot_across_vacuum(spark, root):
         stale.collect()
     with pytest.raises(Exception):
         txn.read_versioned(spark, root, version=1)
+
+
+def _checksum(df):
+    """Order-independent row-identity digest: xor-fold of per-row md5."""
+    from pyspark.sql import functions as F
+
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in df.columns]
+    digest = F.conv(F.substring(F.md5(F.concat_ws("\x1f", *cols)), 1, 15), 16, 10)
+    return df.agg(F.bit_xor(digest.cast("long"))).collect()[0][0]
+
+
+def test_compact_snapshot_preserves_rows_and_reduces_files(spark, root):
+    """OPTIMIZE bin-packing: many micro-append-sized files in, few files
+    out, EXACT same row multiset (checksum oracle), old version still
+    time-travelable, pointer advanced atomically."""
+    base = spark.range(2000).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id % 97 AS STRING) AS val", "CAST(id % 13 AS INT) AS qty"
+    ).repartition(64)  # 64 small files — the micro-append aftermath
+    txn.commit_snapshot(base, root)
+    before = _checksum(txn.read_versioned(spark, root))
+    n_before = sum(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(txn.snapshot_path(root, 1))
+        for f in fs
+    )
+    assert n_before == 64
+    new_v, files_before, files_after = txn.compact_snapshot(
+        spark, root, target_file_bytes=1 << 30
+    )
+    assert (new_v, files_before) == (2, 64)
+    assert files_after < 8  # one fat target bucket (+ AQE coalescing slack)
+    assert txn.current_version(root) == 2
+    assert _checksum(txn.read_versioned(spark, root)) == before
+    # time travel to the pre-compaction layout still works
+    assert txn.read_versioned(spark, root, version=1).count() == 2000
+
+
+def test_compact_snapshot_zorder_and_concurrency(spark, root):
+    """The Z-ordered rewrite preserves row identity too, and a compaction
+    planned against a stale version fails cleanly (no pointer motion)."""
+    base = spark.range(1000).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id * 7 % 101 AS STRING) AS val",
+        "CAST(id % 29 AS INT) AS qty"
+    ).repartition(16)
+    txn.commit_snapshot(base, root)
+    before = _checksum(txn.read_versioned(spark, root))
+    new_v, _, _ = txn.compact_snapshot(
+        spark, root, target_file_bytes=1 << 30, zorder_cols=["k", "qty"]
+    )
+    assert new_v == 2
+    assert _checksum(txn.read_versioned(spark, root)) == before
+    with pytest.raises(txn.ConcurrentCommitError):
+        txn.compact_snapshot(spark, root, expected_version=1)
+    assert txn.current_version(root) == 2
