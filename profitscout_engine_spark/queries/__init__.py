@@ -176,6 +176,8 @@ _WINDOW_FRONT = (
     "cross_modal_dedup_audit",
     "kmeans_train_converged",
     "pagerank_power_lattice",
+    "gram_power_iteration",
+    "expectation_audit",
 )
 
 

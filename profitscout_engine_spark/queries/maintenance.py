@@ -1339,3 +1339,99 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("t_nano") / F.lit(1.0e9)).alias("psi_term"),
         r6(F.sum("t_nano").over(w).cast("long") / F.lit(1.0e9)).alias("psi_total"),
     )
+
+
+# --- declarative data-quality expectation audit ---------------------------------
+@query(
+    "expectation_audit",
+    oracle="""
+    WITH o AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+                   AS null_custkey,
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                   AS dup_orderkey,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))
+                    AS BIGINT) AS bad_status
+        FROM orders
+    ),
+    l AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+                    AS BIGINT) AS qty_range,
+               CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1)
+                    AS BIGINT) AS disc_range,
+               CAST(COUNT(*) FILTER (WHERE l_extendedprice <= 0)
+                    AS BIGINT) AS nonpos_price
+        FROM lineitem
+    ),
+    orphans AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    )
+    SELECT chk AS check_name, violations, violations = 0 AS passed
+    FROM (
+        SELECT 'lineitem_discount_in_0_0.1' AS chk, disc_range AS violations FROM l
+        UNION ALL SELECT 'lineitem_quantity_in_1_50', qty_range FROM l
+        UNION ALL SELECT 'lineitem_extendedprice_positive', nonpos_price FROM l
+        UNION ALL SELECT 'orders_custkey_complete', null_custkey FROM o
+        UNION ALL SELECT 'orders_custkey_refs_customer', n FROM orphans
+        UNION ALL SELECT 'orders_orderkey_unique', dup_orderkey FROM o
+        UNION ALL SELECT 'orders_status_in_domain', bad_status FROM o
+    ) u
+    """,
+    tags=("maintenance", "data-quality", "S16", "audit"),
+)
+def expectation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite — the warehouse
+    pre-publish gate (completeness, uniqueness, value ranges, domain
+    membership, positivity, referential integrity) evaluated in ONE
+    aggregation pass per table plus one anti-join, reported as
+    (check_name, violation count, passed). This is the Deequ/contract
+    check a 100 TB ingest runs before flipping a partition live: every
+    expectation is a conditional count that rides the same scan (no per-
+    check re-scan), the uniqueness check is COUNT - COUNT(DISTINCT)
+    (two-level hash agg, no window), and the foreign-key orphan probe is
+    a LEFT ANTI join that AQE broadcasts when the dim side fits."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    c = t(spark, sf_dir, "customer")
+    oa = o.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).cast("long").alias("null_custkey"),
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("long").alias("dup_orderkey"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).cast("long").alias("bad_status"),
+    )
+    la = li.agg(
+        F.count(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+        ).cast("long").alias("qty_range"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)
+        ).cast("long").alias("disc_range"),
+        F.count(
+            F.when(F.col("l_extendedprice") <= 0, 1)
+        ).cast("long").alias("nonpos_price"),
+    )
+    orphans = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    rows = (
+        la.select(F.lit("lineitem_discount_in_0_0.1").alias("check_name"),
+                  F.col("disc_range").alias("violations"))
+        .unionAll(la.select(F.lit("lineitem_quantity_in_1_50"),
+                            F.col("qty_range")))
+        .unionAll(la.select(F.lit("lineitem_extendedprice_positive"),
+                            F.col("nonpos_price")))
+        .unionAll(oa.select(F.lit("orders_custkey_complete"),
+                            F.col("null_custkey")))
+        .unionAll(orphans.select(F.lit("orders_custkey_refs_customer"),
+                                 F.col("n")))
+        .unionAll(oa.select(F.lit("orders_orderkey_unique"),
+                            F.col("dup_orderkey")))
+        .unionAll(oa.select(F.lit("orders_status_in_domain"),
+                            F.col("bad_status")))
+    )
+    return rows.select(
+        "check_name", "violations", (F.col("violations") == 0).alias("passed")
+    )

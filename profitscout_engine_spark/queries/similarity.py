@@ -4185,3 +4185,118 @@ def pagerank_power_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return r.select("doc_id", F.col("pr").alias("pr_nano"))
+
+
+# ---- Gram-matrix power iteration on the integer lattice -------------------------
+GRAM_ITERS = 6
+
+
+def _gram_power_oracle() -> str:
+    """Unrolled power iterations over the exact-BIGINT Gram matrix.
+    Embeddings snap to MILLI-units (not micro) so every magnitude stays
+    inside int64 by construction: |x| <= 320 => |G| <= 320^2 * n_vecs,
+    and |w| <= |G| * 1000 * 64 — safe to ~1e8 vectors. The renormalize
+    step keeps the vector on the +-1000 lattice via nonnegative floor
+    division with explicit sign handling (Spark div truncates toward
+    zero, DuckDB // floors — they agree only on nonneg operands)."""
+    parts = [
+        """
+    e AS (SELECT vec_id,
+                 list_transform(embedding::DOUBLE[],
+                                x -> CAST(floor(x * 1e3 + 0.5) AS BIGINT)) AS v
+          FROM embeddings),
+    p AS (SELECT vec_id, CAST(i AS INT) AS i, v[i] AS x
+          FROM e, UNNEST(range(1, 65)) AS u(i)),
+    g AS (SELECT a.i AS gi, b.i AS gj, CAST(SUM(a.x * b.x) AS BIGINT) AS gv
+          FROM p a JOIN p b USING (vec_id) GROUP BY 1, 2),
+    v0 AS (SELECT CAST(i AS INT) AS i, CAST(1000 AS BIGINT) AS val
+           FROM UNNEST(range(1, 65)) AS u(i))"""
+    ]
+    for it in range(1, GRAM_ITERS + 1):
+        p_, q = it - 1, it
+        parts.append(f"""
+    w{q} AS (SELECT gi AS i, CAST(SUM(gv * v.val) AS BIGINT) AS w
+             FROM g JOIN v{p_} v ON v.i = gj GROUP BY 1),
+    m{q} AS (SELECT MAX(ABS(w)) AS mx FROM w{q}),
+    v{q} AS (SELECT i,
+                    CAST(CASE WHEN w >= 0 THEN (w * 1000) // mx
+                              ELSE -(((-w) * 1000) // mx) END AS BIGINT) AS val
+             FROM w{q} CROSS JOIN m{q})""")
+    return (
+        "WITH " + ",".join(parts) + f"""
+    SELECT vf.i AS pos, vf.val AS v_val,
+           CAST(SUM(g.gv * vj.val) AS BIGINT) AS w_val
+    FROM g JOIN v{GRAM_ITERS} vj ON vj.i = g.gj
+           JOIN v{GRAM_ITERS} vf ON vf.i = g.gi
+    GROUP BY 1, 2
+    """)
+
+
+@query(
+    "gram_power_iteration",
+    oracle=_gram_power_oracle(),
+    tags=("similarity", "embedding", "svd", "iterative"),
+)
+def gram_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant eigenvector of the embedding GRAM MATRIX by power
+    iteration ({GRAM_ITERS} steps) — the PCA/top-singular-direction
+    builder, third member of the lattice-iterative family
+    (`kmeans_train_converged`, `pagerank_power_lattice`). The one
+    data-proportional pass builds the exact-BIGINT Gram matrix (64x64,
+    bounded) from MILLI-unit snapped embeddings — milli, not micro,
+    keeps |G|*1000*64 inside int64 to ~1e8 vectors by construction; all
+    subsequent iterations touch only the bounded 4096-row Gram table.
+    Renormalization keeps the vector on the +-1000 lattice with
+    sign-split nonnegative floor division (the div-vs-// trap rule).
+    Iterate state (64 ints) collects to the driver per step — bounded,
+    loop-invariant, lineage-cutting — and the FINAL matvec runs
+    distributed so the returned plan computes w = G v_final in Spark.
+    Output: (pos, v_val, w_val) — w/v ratios expose the Rayleigh
+    quotient per component."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(floor(x * 1e3 + 0.5) AS BIGINT))").alias("v"),
+    )
+    p = e.select("vec_id", F.posexplode("v").alias("i0", "x")).select(
+        "vec_id", (F.col("i0") + 1).cast("int").alias("i"), "x"
+    )
+    g = (
+        p.alias("a")
+        .join(p.alias("b"), "vec_id")
+        .groupBy(F.col("a.i").alias("gi"), F.col("b.i").alias("gj"))
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).cast("long").alias("gv"))
+    )
+    g = shared(spark, sf_dir, "gram_milli", lambda: g)
+    v = {i: 1000 for i in range(1, 65)}
+    for _ in range(GRAM_ITERS):
+        vmap = F.create_map(
+            *[x for i, val in v.items() for x in (F.lit(i), F.lit(val))]
+        )
+        rows = (
+            g.groupBy(F.col("gi").alias("i"))
+            .agg(
+                F.sum(F.col("gv") * F.element_at(vmap, F.col("gj")))
+                .cast("long")
+                .alias("w")
+            )
+            .collect()
+        )
+        if not rows:
+            return spark.createDataFrame([], "pos int, v_val bigint, w_val bigint")
+        w = {r["i"]: r["w"] for r in rows}
+        mx = max(abs(x) for x in w.values())
+        # driver-side renormalize: exact integer arithmetic, deterministic
+        v = {
+            i: (x * 1000) // mx if x >= 0 else -(((-x) * 1000) // mx)
+            for i, x in w.items()
+        }
+    vf = F.broadcast(
+        spark.createDataFrame(sorted(v.items()), "i int, val bigint")
+    )
+    return (
+        g.join(vf.withColumnRenamed("i", "gj").withColumnRenamed("val", "vj"), "gj")
+        .groupBy(F.col("gi").alias("pos"))
+        .agg(F.sum(F.col("gv") * F.col("vj")).cast("long").alias("w_val"))
+        .join(vf.withColumnRenamed("i", "pos"), "pos")
+        .select("pos", F.col("val").alias("v_val"), "w_val")
+    )

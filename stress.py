@@ -148,6 +148,8 @@ CHECK_QUERIES = [
     "kmeans_train_converged",
     "cross_modal_dedup_audit",
     "pagerank_power_lattice",
+    "gram_power_iteration",
+    "expectation_audit",
 ]
 
 

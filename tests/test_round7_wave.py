@@ -86,3 +86,51 @@ def test_cross_modal_audit_is_consistent_with_parents(spark, sf_dir):
         else:
             assert pair in img and pair not in text
             assert r["n_shared_bands"] == -1
+
+
+def test_gram_power_iteration_converges_to_eigendirection(spark, sf_dir):
+    """After the iterations, w = G v must be nearly parallel to v (the
+    Rayleigh alignment of a converged power method); exactly 64
+    components on the +-1000 lattice with max |v| == 1000."""
+    import numpy as np
+
+    g = REGISTRY["gram_power_iteration"].fn(spark, sf_dir).toPandas()
+    assert len(g) == 64
+    v = g.sort_values("pos")["v_val"].to_numpy(dtype=float)
+    w = g.sort_values("pos")["w_val"].to_numpy(dtype=float)
+    assert int(np.abs(v).max()) == 1000
+    cos = float(np.dot(v, w) / (np.linalg.norm(v) * np.linalg.norm(w)))
+    assert cos > 0.99
+
+
+def test_expectation_audit_clean_fixture_and_violation_detection(
+    spark, sf_dir, tmp_path
+):
+    """All seven expectations pass on the shipped fixture; planting a
+    duplicate key, an orphan custkey, and an out-of-domain status in a
+    doctored copy flips exactly those checks."""
+    import os
+    import shutil
+
+    out = REGISTRY["expectation_audit"].fn(spark, sf_dir).toPandas()
+    assert len(out) == 7 and bool(out["passed"].all())
+
+    bad_dir = str(tmp_path / "bad")
+    os.makedirs(bad_dir)
+    for tbl in ("orders", "lineitem", "customer"):
+        shutil.copy(f"{sf_dir}/{tbl}.parquet", f"{bad_dir}/{tbl}.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    first = o.limit(1)
+    doctored = o.unionAll(
+        first.withColumn("o_custkey", F.lit(-999).cast(first.schema["o_custkey"].dataType))
+             .withColumn("o_orderstatus", F.lit("X"))
+    )
+    doctored.write.mode("overwrite").parquet(f"{bad_dir}/orders.parquet")
+    bad = (
+        REGISTRY["expectation_audit"].fn(spark, bad_dir)
+        .toPandas().set_index("check_name")
+    )
+    assert bad.loc["orders_orderkey_unique", "violations"] == 1
+    assert bad.loc["orders_custkey_refs_customer", "violations"] == 1
+    assert bad.loc["orders_status_in_domain", "violations"] == 1
+    assert bool(bad.loc["orders_custkey_complete", "passed"])
