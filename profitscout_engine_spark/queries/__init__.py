@@ -178,6 +178,7 @@ _WINDOW_FRONT = (
     "pagerank_power_lattice",
     "gram_power_iteration",
     "expectation_audit",
+    "label_propagation_rounds",
 )
 
 

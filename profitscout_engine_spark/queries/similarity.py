@@ -4300,3 +4300,104 @@ def gram_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(vf.withColumnRenamed("i", "pos"), "pos")
         .select("pos", F.col("val").alias("v_val"), "w_val")
     )
+
+
+# ---- synchronous label propagation over the candidate graph --------------------
+LPA_ROUNDS = 3
+
+
+def _label_prop_oracle() -> str:
+    """Unrolled synchronous LPA rounds. All-integer: labels are doc_ids,
+    neighbor-label counts are exact BIGINTs, the update rule is
+    argmax(count) with min-label tie-break — fully deterministic, so the
+    synchronous trajectory replays exactly (async/randomized LPA would
+    not be oracle-checkable)."""
+    parts = [f"""{_minhash_bands_ctes()},
+    pairs0 AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT d1 AS src, d2 AS dst FROM pairs0
+        UNION ALL
+        SELECT d2 AS src, d1 AS dst FROM pairs0
+    ),
+    l0 AS (SELECT doc_id, doc_id AS lbl FROM documents)"""]
+    for it in range(1, LPA_ROUNDS + 1):
+        p, q = it - 1, it
+        parts.append(f"""
+    c{q} AS (
+        SELECT e.src AS doc_id, n.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM edges e JOIN l{p} n ON n.doc_id = e.dst
+        GROUP BY 1, 2
+    ),
+    b{q} AS (
+        SELECT doc_id, lbl FROM (
+            SELECT doc_id, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, lbl ASC) AS rn
+            FROM c{q}) z
+        WHERE rn = 1
+    ),
+    l{q} AS (
+        SELECT l.doc_id, COALESCE(b.lbl, l.lbl) AS lbl
+        FROM l{p} l LEFT JOIN b{q} b ON b.doc_id = l.doc_id
+    )""")
+    return (
+        "WITH RECURSIVE " + ",".join(parts)
+        + f"\n    SELECT doc_id, lbl AS community FROM l{LPA_ROUNDS}"
+    )
+
+
+@query(
+    "label_propagation_rounds",
+    oracle=_label_prop_oracle(),
+    tags=("graph", "community", "iterative"),
+)
+def label_propagation_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation ({LPA_ROUNDS}
+    rounds) over the near-dup candidate graph — the scalable community
+    twin of `graph_modularity`'s audit and fourth member of the
+    deterministic-iterative family: labels are doc_ids (integers),
+    neighbor-label counts are exact BIGINTs, and each node adopts the
+    argmax-count neighbor label with a MIN-label tie-break — a fully
+    deterministic synchronous update, which is precisely what makes LPA
+    oracle-checkable (the classic async/randomized variant is not).
+    Isolated nodes keep their own label via the left join.
+
+    Scale shape per round: one equi-join of the (cached, shared)
+    symmetric edge list against the current label table, one
+    (node, label) count aggregation, one min-struct argmax per node
+    (map-side partial agg, no window), one left join back to the node
+    spine — edge-linear, nothing quadratic, no driver state at all."""
+    pairs = _mh_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).unionAll(
+        pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+    )
+    labels = _docs(spark, sf_dir).select("doc_id", F.col("doc_id").alias("lbl"))
+    spine = _docs(spark, sf_dir).select("doc_id")
+    for _ in range(LPA_ROUNDS):
+        counts = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("dst"), F.col("lbl").alias("nlbl")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"), F.col("nlbl").alias("lbl"))
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        best = (
+            counts.select(
+                "doc_id", F.struct((-F.col("cnt")).alias("nc"), "lbl").alias("s")
+            )
+            .groupBy("doc_id")
+            .agg(F.min("s").alias("s"))
+            .select("doc_id", F.col("s.lbl").alias("blbl"))
+        )
+        labels = (
+            labels.join(best, "doc_id", "left")
+            .select("doc_id", F.coalesce("blbl", "lbl").alias("lbl"))
+        )
+    return labels.select("doc_id", F.col("lbl").alias("community"))

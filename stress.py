@@ -150,6 +150,7 @@ CHECK_QUERIES = [
     "pagerank_power_lattice",
     "gram_power_iteration",
     "expectation_audit",
+    "label_propagation_rounds",
 ]
 
 

@@ -134,3 +134,18 @@ def test_expectation_audit_clean_fixture_and_violation_detection(
     assert bad.loc["orders_custkey_refs_customer", "violations"] == 1
     assert bad.loc["orders_status_in_domain", "violations"] == 1
     assert bool(bad.loc["orders_custkey_complete", "passed"])
+
+
+def test_label_propagation_communities_are_consistent(spark, sf_dir):
+    """Every doc appears exactly once; isolated docs keep their own id;
+    connected docs' labels are drawn from their component (labels are
+    doc_ids, so each community label must itself be a member doc)."""
+    out = REGISTRY["label_propagation_rounds"].fn(spark, sf_dir).toPandas()
+    n_docs = REGISTRY["label_propagation_rounds"].fn(spark, sf_dir).count()
+    assert len(out) == n_docs == out["doc_id"].nunique()
+    pairs = REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir).toPandas()
+    linked = set(pairs["d1"]) | set(pairs["d2"])
+    iso = out[~out["doc_id"].isin(linked)]
+    assert (iso["community"] == iso["doc_id"]).all()
+    doc_ids = set(out["doc_id"])
+    assert set(out["community"]) <= doc_ids
