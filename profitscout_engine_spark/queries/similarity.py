@@ -4083,6 +4083,19 @@ def kmeans_train_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _materialize_ctes(sql: str, names: tuple[str, ...]) -> str:
+    """Mark hot CTEs MATERIALIZED (DuckDB physical hint, semantically
+    transparent): without it DuckDB INLINES a CTE at every reference, so
+    an oracle that reads the shingle->minhash chain from several unrolled
+    iterations re-derives it each time and spills tens of GB of temp at
+    replica scale (observed: pagerank/LPA at 8x, c-TF-IDF at 2x).
+    Applied ONLY inside the oracles that need it, so other queries'
+    oracle texts (and their driver-state hashes) stay untouched."""
+    for n in names:
+        sql = sql.replace(f"{n} AS (", f"{n} AS MATERIALIZED (", 1)
+    return sql
+
+
 # ---- iterated PageRank on the integer lattice ----------------------------------
 PR_ITERS = 5
 
@@ -4128,9 +4141,13 @@ def _pagerank_power_oracle() -> str:
         FROM documents doc CROSS JOIN nn
         LEFT JOIN s{q} s ON s.doc_id = doc.doc_id
     )""")
-    return (
+    sql = (
         "WITH RECURSIVE " + ",".join(parts)
         + f"\n    SELECT doc_id, pr AS pr_nano FROM r{PR_ITERS}"
+    )
+    return _materialize_ctes(
+        sql, ("sh_all", "sh", "sig", "bands", "pairs0", "edges", "deg")
+        + tuple(f"r{i}" for i in range(PR_ITERS))
     )
 
 
@@ -4346,9 +4363,13 @@ def _label_prop_oracle() -> str:
         SELECT l.doc_id, COALESCE(b.lbl, l.lbl) AS lbl
         FROM l{p} l LEFT JOIN b{q} b ON b.doc_id = l.doc_id
     )""")
-    return (
+    sql = (
         "WITH RECURSIVE " + ",".join(parts)
         + f"\n    SELECT doc_id, lbl AS community FROM l{LPA_ROUNDS}"
+    )
+    return _materialize_ctes(
+        sql, ("sh_all", "sh", "sig", "bands", "pairs0", "edges")
+        + tuple(f"l{i}" for i in range(LPA_ROUNDS))
     )
 
 
@@ -4401,3 +4422,228 @@ def label_propagation_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.coalesce("blbl", "lbl").alias("lbl"))
         )
     return labels.select("doc_id", F.col("lbl").alias("community"))
+
+
+# ---- c-TF-IDF keywords per near-dup community ----------------------------------
+CTFIDF_TOPK = 5
+
+
+def _community_terms_oracle() -> str:
+    from . import REGISTRY
+
+    lpa = REGISTRY["label_propagation_rounds"].oracle
+    sql = f"""
+    WITH comm AS (SELECT doc_id, community FROM ({lpa}) z),
+    sizes AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM comm GROUP BY 1 HAVING COUNT(*) >= 2),
+    tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    ct AS (
+        SELECT c.community, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tk t JOIN comm c USING (doc_id)
+        JOIN sizes s ON s.community = c.community
+        GROUP BY 1, 2
+    ),
+    csize AS (SELECT community, CAST(SUM(tf) AS BIGINT) AS c_tokens
+              FROM ct GROUP BY 1),
+    cf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS corpus_tf FROM tk GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_tokens FROM tk),
+    s AS (
+        SELECT ct.community, ct.term, ct.tf,
+               ROUND((ct.tf * t_tokens) * 1.0E0 / (cf.corpus_tf * c_tokens), 4)
+                   AS score
+        FROM ct JOIN cf USING (term) JOIN csize USING (community) CROSS JOIN tot
+    ),
+    r AS (
+        SELECT community, term, tf, score,
+               ROW_NUMBER() OVER (PARTITION BY community
+                                  ORDER BY score DESC, term) AS rank
+        FROM s
+    )
+    SELECT community, term, tf, score, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {CTFIDF_TOPK}
+    """
+    return _materialize_ctes(sql, ("comm", "sizes", "tk", "ct"))
+
+
+@query(
+    "community_top_terms",
+    oracle=_community_terms_oracle(),
+    tags=("similarity", "community", "tfidf", "topic"),
+)
+def community_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-TF-IDF keywords per near-dup community (the BERTopic
+    keyword step re-expressed relationally): label-propagation
+    communities of size >= 2 get their {CTFIDF_TOPK} most DISTINCTIVE
+    terms — term frequency inside the community, weighted against the
+    term's corpus frequency normalized by community token mass. The
+    score uses the DIVISION form ``(tf_c * T) / (cf * c_tokens)`` —
+    integer multiplies and ONE IEEE division are bit-deterministic
+    across engines where a log idf can drift an ulp and flip a rank
+    (the tfidf_top_terms rule); ranking uses the rounded score with the
+    term as tie-break. Scale shape: the exploded token stream (the
+    session-shared frame) joins the community table once, then three
+    hash aggregations (community-term, community mass, corpus term
+    frequency — the last is vocabulary-sized, AQE-broadcastable back)
+    and one within-community top-k window. Nothing quadratic; the
+    communities come straight from the iterated LPA operator."""
+    from .curation import _term_tokens
+    from . import REGISTRY
+
+    # the community table feeds two branches (membership join + size
+    # filter) and its plan embeds the 3-round LPA subtree — share it once
+    # per session like the other derived corpus frames
+    comm = shared(
+        spark, sf_dir, "lpa_communities",
+        lambda: REGISTRY["label_propagation_rounds"].fn(spark, sf_dir),
+    )
+    sizes = (
+        comm.groupBy("community")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+    tk = _term_tokens(spark, sf_dir)
+    ct = (
+        tk.join(comm, "doc_id")
+        .join(sizes.select("community"), "community")
+        .groupBy("community", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    csize = ct.groupBy("community").agg(F.sum("tf").cast("long").alias("c_tokens"))
+    cf = tk.groupBy("term").agg(F.count("*").cast("long").alias("corpus_tf"))
+    tot = tk.agg(F.count("*").cast("long").alias("t_tokens"))
+    s = (
+        ct.join(cf, "term")
+        .join(csize, "community")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "community",
+            "term",
+            "tf",
+            r4(
+                (F.col("tf") * F.col("t_tokens"))
+                * F.lit(1.0)
+                / (F.col("corpus_tf") * F.col("c_tokens"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("community").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= CTFIDF_TOPK)
+        .select("community", "term", "tf", "score", "rank")
+    )
+
+
+# ---- ColBERT-style late-interaction MaxSim over LSH candidates ------------------
+MAXSIM_SLICES = 4   # 64-dim doc vector read as 4 x 16-dim "token" vectors
+MAXSIM_TOPK = 3
+
+
+def _late_interaction_oracle() -> str:
+    bucket_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT vec_id, {t_} AS table_id, {_lsh_bucket_sql('vd', t_)} AS bucket FROM e"
+        for t_ in range(sim.LSH_TABLES)
+    )
+    ns, k = MAXSIM_SLICES, 64 // MAXSIM_SLICES
+    def dot(s1: int, s2: int) -> str:
+        return (f"list_aggregate(list_transform(range(1, {k + 1}), "
+                f"k -> a.vi[{s1 * k} + k] * b.vi[{s2 * k} + k]), 'sum')")
+    maxsim = " + ".join(
+        "GREATEST(" + ", ".join(dot(s1, s2) for s2 in range(ns)) + ")"
+        for s1 in range(ns)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vd,
+                      list_transform(embedding::DOUBLE[],
+                                     x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS vi
+               FROM embeddings),
+    buckets AS (
+        {bucket_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT la.vec_id AS d1, lb.vec_id AS d2
+        FROM buckets la JOIN buckets lb
+          ON la.table_id = lb.table_id AND la.bucket = lb.bucket
+         AND la.vec_id < lb.vec_id
+    ),
+    scored AS (
+        SELECT c.d1, c.d2, CAST({maxsim} AS BIGINT) AS maxsim
+        FROM cand c JOIN e a ON a.vec_id = c.d1 JOIN e b ON b.vec_id = c.d2
+    ),
+    r AS (
+        SELECT d1, d2, maxsim,
+               ROW_NUMBER() OVER (PARTITION BY d1
+                                  ORDER BY maxsim DESC, d2) AS rank
+        FROM scored
+    )
+    SELECT d1 AS query_id, d2 AS doc_id, maxsim, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {MAXSIM_TOPK}
+    """
+
+
+@query(
+    "late_interaction_maxsim",
+    oracle=_late_interaction_oracle(),
+    tags=("similarity", "ann", "late-interaction", "multi-vector"),
+)
+def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style LATE-INTERACTION retrieval over multi-vector
+    documents: each 64-dim embedding is read as {MAXSIM_SLICES} x 16-dim
+    "token" vectors, and a candidate pair's relevance is MaxSim — for
+    each query-side token vector, the max dot product against any
+    doc-side token vector, summed over query tokens. Dots are exact
+    BIGINT on the micro-unit lattice (|dot| <= 16 * 1e11, |maxsim| <=
+    6.4e12 — safely inside int64), so scoring and ranking replay
+    bit-identically. Candidates come from the SAME hyperplane-LSH bucket
+    join the cosine family uses (edge-linear, raw vectors join only on
+    the bounded candidate set); the per-pair cost is a fixed
+    {MAXSIM_SLICES}x{MAXSIM_SLICES} dot grid — the late-interaction
+    trade: multi-vector fidelity at ~16x a single dot, still
+    independent of corpus size per pair. Top-{MAXSIM_TOPK} per query
+    side with doc-id tie-break."""
+    e = _vecs(spark, sf_dir).select(
+        "vec_id",
+        "v",
+        F.expr("transform(v, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))").alias("vi"),
+    )
+    buckets = sim.lsh_buckets(e)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
+        .dropDuplicates(["d1", "d2"])
+    )
+    ns, k = MAXSIM_SLICES, 64 // MAXSIM_SLICES
+
+    def dot(s1: int, s2: int):
+        return F.expr(
+            f"aggregate(zip_with(slice(x.vi, {s1 * k + 1}, {k}), "
+            f"slice(y.vi, {s2 * k + 1}, {k}), (p, q) -> p * q), "
+            "0L, (acc, z) -> acc + z)"
+        )
+
+    maxsim = sum(
+        F.greatest(*[dot(s1, s2) for s2 in range(ns)]) for s1 in range(ns)
+    ).cast("long")
+    ex = e.select("vec_id", "vi")
+    scored = (
+        cand.join(ex.alias("x"), F.col("d1") == F.col("x.vec_id"))
+        .join(ex.alias("y"), F.col("d2") == F.col("y.vec_id"))
+        .select("d1", "d2", maxsim.alias("maxsim"))
+    )
+    w = Window.partitionBy("d1").orderBy(F.desc("maxsim"), F.asc("d2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= MAXSIM_TOPK)
+        .select(
+            F.col("d1").alias("query_id"),
+            F.col("d2").alias("doc_id"),
+            "maxsim",
+            "rank",
+        )
+    )

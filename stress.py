@@ -151,6 +151,8 @@ CHECK_QUERIES = [
     "gram_power_iteration",
     "expectation_audit",
     "label_propagation_rounds",
+    "community_top_terms",
+    "late_interaction_maxsim",
 ]
 
 

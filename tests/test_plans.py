@@ -107,6 +107,8 @@ _NL_JOIN_OK = {
     "kmeans_lloyd_step",
     # 1-row doc-count scalar cross joins (teleport mass per iteration)
     "pagerank_power_lattice",
+    # 1-row corpus-token-total cross join (c-TF-IDF denominator scalar)
+    "community_top_terms",
     "monte_carlo_paths",
     "scenario_explode",
     # non-equi join against a broadcast trading-calendar dim (J9)

@@ -149,3 +149,58 @@ def test_label_propagation_communities_are_consistent(spark, sf_dir):
     assert (iso["community"] == iso["doc_id"]).all()
     doc_ids = set(out["doc_id"])
     assert set(out["community"]) <= doc_ids
+
+
+def test_community_top_terms_invariants(spark, sf_dir):
+    """Keywords only for multi-member communities, at most CTFIDF_TOPK
+    per community, ranks dense from 1, scores positive and
+    non-increasing within a community."""
+    from profitscout_engine_spark.queries.similarity import CTFIDF_TOPK
+
+    out = REGISTRY["community_top_terms"].fn(spark, sf_dir).toPandas()
+    comm = REGISTRY["label_propagation_rounds"].fn(spark, sf_dir).toPandas()
+    multi = set(
+        comm.groupby("community").size().loc[lambda s: s >= 2].index
+    )
+    assert set(out["community"]) <= multi
+    for cid, g in out.groupby("community"):
+        g = g.sort_values("rank")
+        assert len(g) <= CTFIDF_TOPK
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (g["score"] > 0).all()
+        assert g["score"].is_monotonic_decreasing or len(g) == 1
+
+
+def test_late_interaction_maxsim_bounds_and_brute_parity(spark, sf_dir):
+    """MaxSim >= the single-vector full dot (the 4x4 grid's diagonal sum
+    IS the full dot, and each max is >= its diagonal term); ranks dense
+    from 1 with <= MAXSIM_TOPK per query."""
+    from profitscout_engine_spark.queries.similarity import MAXSIM_TOPK
+
+    out = REGISTRY["late_interaction_maxsim"].fn(spark, sf_dir).toPandas()
+    assert (out.groupby("query_id")["rank"].max() <= MAXSIM_TOPK).all()
+    for _, g in out.groupby("query_id"):
+        assert sorted(g["rank"]) == list(range(1, len(g) + 1))
+    # brute parity on one pair: maxsim >= exact int dot of the full vectors
+    import numpy as np
+
+    e = {
+        r["vec_id"]: np.array(
+            [int(np.floor(x * 1e6 + 0.5)) for x in r["embedding"]], dtype=object
+        )
+        for r in t(spark, sf_dir, "embeddings").limit(200).collect()
+    }
+    checked = 0
+    for _, r in out.iterrows():
+        a, b = e.get(r["query_id"]), e.get(r["doc_id"])
+        if a is None or b is None:
+            continue
+        full = int(np.dot(a, b))
+        sl = [a[s * 16:(s + 1) * 16] for s in range(4)]
+        sr = [b[s * 16:(s + 1) * 16] for s in range(4)]
+        want = sum(max(int(np.dot(x, y)) for y in sr) for x in sl)
+        assert r["maxsim"] == want and want >= full
+        checked += 1
+        if checked >= 10:
+            break
+    assert checked > 0
