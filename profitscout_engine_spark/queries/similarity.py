@@ -290,6 +290,19 @@ _SHINGLES_CTE = """
 """
 
 
+def _materialize_ctes(sql: str, names: tuple[str, ...]) -> str:
+    """Mark hot CTEs MATERIALIZED (DuckDB physical hint, semantically
+    transparent): without it DuckDB INLINES a CTE at every reference, so
+    an oracle that reads the shingle->minhash chain from several unrolled
+    iterations re-derives it each time and spills tens of GB of temp at
+    replica scale (observed: pagerank/LPA at 8x, c-TF-IDF at 2x).
+    Applied ONLY inside the oracles that need it, so other queries'
+    oracle texts (and their driver-state hashes) stay untouched."""
+    for n in names:
+        sql = sql.replace(f"{n} AS (", f"{n} AS MATERIALIZED (", 1)
+    return sql
+
+
 def _minhash_bands_ctes() -> str:
     """Shared CTE text: shingles → MinHash signature → band rows."""
     mins = ",\n               ".join(
@@ -1686,7 +1699,7 @@ def _dedup_consensus_oracle() -> str:
     mh = REGISTRY["minhash_lsh_pairs"].oracle
     sh_ = REGISTRY["simhash_pairs"].oracle
     ed = REGISTRY["fuzzy_dedup_edit"].oracle
-    return f"""
+    sql = f"""
     WITH RECURSIVE tagged AS (
         SELECT d1, d2, 'minhash' AS src_gen FROM ({mh}) m
         UNION ALL
@@ -1719,6 +1732,11 @@ def _dedup_consensus_oracle() -> str:
     FROM comp c LEFT JOIN edge_src e ON e.component = c.component
     GROUP BY c.component
     """
+    # tagged is read twice (edges + provenance) and each embedded
+    # generator subquery re-derives the shingle chain when inlined —
+    # MATERIALIZED keeps the 2x/8x replica oracle out of temp-disk spill
+    # (the CTE-inlining trap, NOTES round 7)
+    return _materialize_ctes(sql, ("tagged", "edges", "sym", "comp"))
 
 
 @query(
@@ -1954,7 +1972,7 @@ def _threshold_sweep_oracle() -> str:
     unions = "\n    UNION ALL\n    ".join(
         f"SELECT * FROM summary{i}" for i in range(len(SWEEP_THRESHOLDS))
     )
-    return f"""
+    sql = f"""
     WITH RECURSIVE {_SHINGLES_CTE},
     counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
     common AS (
@@ -1970,6 +1988,15 @@ def _threshold_sweep_oracle() -> str:
     ),{",".join(pieces)}
     {unions}
     """
+    # "scored" is read by every threshold branch and the shingle
+    # self-join behind it is the expensive subtree — MATERIALIZED keeps
+    # the replica-scale oracle out of temp-disk spill (NOTES trap log)
+    names = ("sh_all", "sh", "counts", "common", "scored") + tuple(
+        f"{pre}{i}"
+        for i in range(len(SWEEP_THRESHOLDS))
+        for pre in ("e", "sym", "comp", "sizes")
+    )
+    return _materialize_ctes(sql, names)
 
 
 @query(
@@ -4081,19 +4108,6 @@ def kmeans_train_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("inertia", F.lit(0).cast("long")).alias("inertia"),
         "centroid_sum",
     )
-
-
-def _materialize_ctes(sql: str, names: tuple[str, ...]) -> str:
-    """Mark hot CTEs MATERIALIZED (DuckDB physical hint, semantically
-    transparent): without it DuckDB INLINES a CTE at every reference, so
-    an oracle that reads the shingle->minhash chain from several unrolled
-    iterations re-derives it each time and spills tens of GB of temp at
-    replica scale (observed: pagerank/LPA at 8x, c-TF-IDF at 2x).
-    Applied ONLY inside the oracles that need it, so other queries'
-    oracle texts (and their driver-state hashes) stay untouched."""
-    for n in names:
-        sql = sql.replace(f"{n} AS (", f"{n} AS MATERIALIZED (", 1)
-    return sql
 
 
 # ---- iterated PageRank on the integer lattice ----------------------------------
