@@ -9,6 +9,7 @@ count for unbounded ones) so the full plan — scan, shuffle, agg — runs.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import sys
@@ -100,8 +101,10 @@ def main() -> None:
                 # Which run produced this file (VERDICT r6 item 7): the
                 # driver's per-round bench overwrites it in place, so
                 # round-over-round comparisons must never mix hosts/runs.
-                "producer": os.environ.get("BENCH_PRODUCER", "unlabeled"),
-                "run_utc": __import__("datetime").datetime.utcnow().strftime(
+                # Unlabeled runs ARE the driver's (it never sets the env),
+                # so default to "driver" — builder runs set BENCH_PRODUCER.
+                "producer": os.environ.get("BENCH_PRODUCER", "driver"),
+                "run_utc": datetime.datetime.now(datetime.timezone.utc).strftime(
                     "%Y-%m-%dT%H:%M:%SZ"
                 ),
                 "n_queries": len(timings),

@@ -108,77 +108,73 @@ _MODULES = (
     "tpch",
 )
 
-# Round-7 window rotation (VERDICT r6 plan — STALE-GREEN PRIORITY, not just
-# the backlog). Composition, mechanically derived (tools/driver_state.py):
-#   1-10   the 10 round-6 additions that have never had a driver row;
-#   11-20  every query whose (function source + oracle) hash CHANGED between
-#          the round-5 end commit and round-6 end but which was NOT in the
-#          round-6 driver window (the 2x-sweep oracle fixes + tag-hygiene
-#          edits — tag-only edits are included because the hash can't
-#          distinguish them and re-verification is cheap);
-#   21-25  consumers of the round-6 operators/ranks.py interpolation rewrite
-#          whose own source did NOT change (the hash diff can't see operator
-#          edits; DRIVER_STATE.json now mechanizes exactly this gap);
-#   26-44  the oldest still-green rows (r2 vintage) for freshness re-rows;
-#   45-50  round-7 additions appended at the tail as they are built.
-# Everything rotated out was driver-green in r1-r6 on unchanged code and
+# Round-8 window rotation (VERDICT r7 plan). Composition, mechanically
+# derived from DRIVER_STATE.json (driver_state.py --check after the r7 stamp
+# reported 0 problems, so staleness comes only from round-8 edits):
+#   1-2    the ONLY two never-driver-checked queries (added after the r7
+#          window froze; judge-r7 exact at sf0.01 + 2x);
+#   3-4    the two queries whose last basis is a SWEEP restamp, not a driver
+#          row (their oracles gained MATERIALIZED hints after their last
+#          driver row — a sweep verified them, but a driver row is stronger);
+#   5-6    queries edited THIS round (k-means exact-integer M-step rounding,
+#          expectation_audit NULL-FK semantics) — their r7 stamps go stale
+#          the moment the edits land, so they re-enter the window;
+#   7-31   the 25 remaining r2-vintage greens (oldest) as freshness re-rows;
+#   32-44  the 13 alphabetically-first r3-vintage greens;
+#   45-50  round-8 additions appended at the tail as they are built.
+# Everything rotated out was driver-green in r1-r7 on unchanged code and
 # stays pinned by tests/test_correctness.py + tests/test_driver_state.py.
 _WINDOW_FRONT = (
-    # -- never driver-checked (round-6 post-window additions) --
-    "weighted_median_price",
-    "neyman_allocation",
-    "changepoint_binseg",
-    "kaplan_meier_retention",
-    "cross_correlation_lags",
-    "calibration_bins",
-    "psi_drift",
-    "ndcg_eval",
-    "image_dhash_neardup",
-    "token_budget_epochs",
-    # -- stale greens: source/oracle hash changed after their last driver row --
-    "equi_depth_histogram",
-    "rfm_segmentation",
-    "seasonality_index",
-    "unpivot_supplier_metrics",
-    "q5_local_supplier_volume",
-    "chrono_split",
-    "consensus_tally",
-    "flag_groups",
-    "summary_top_lists",
-    "wintracker_pipeline",
-    # -- stale greens: ranks.py interpolation consumers (operator edited) --
-    "group_quantiles",
-    "sweep_rollup",
-    "mad_outliers",
-    "trader_pipeline",
-    "fulfillment_latency",
-    # -- freshness re-rows: oldest (r2-vintage) green rows --
-    "asof_entry_bar",
-    "asof_last_prior",
-    "bracket_exit_scan",
-    "chunk_split",
-    "contamination_check",
-    "cosine_lsh_topk",
-    "cosine_topk",
-    "dedup_keep_best",
-    "doc_fingerprint",
-    "domain_mix_rebalance",
-    "embedding_neardup_lsh",
-    "embedding_neardup_pairs",
-    "embedding_quantize_int8",
-    "enrichment_pipeline",
-    "ewm_ema",
-    "exact_dedup",
-    "hash_split",
-    "incremental_dedup_probe",
-    "ivf_centroid_assign",
-    # -- round-7 additions fill the remaining slots (appended as built) --
-    "cross_modal_dedup_audit",
+    # -- never driver-checked (round-7 post-window additions) --
+    "community_top_terms",
+    "late_interaction_maxsim",
+    # -- sweep-basis only since their MATERIALIZED-CTE oracle fix --
+    "dedup_consensus",
+    "threshold_sweep_components",
+    # -- edited this round (stamps stale by construction) --
     "kmeans_train_converged",
-    "pagerank_power_lattice",
-    "gram_power_iteration",
     "expectation_audit",
-    "label_propagation_rounds",
+    # -- freshness re-rows: the remaining r2-vintage green rows --
+    "ivf_search_nprobe",
+    "ivf_search_topk",
+    "lang_id_heuristic",
+    "length_winsorize",
+    "minhash_lsh_pairs",
+    "multimodal_features",
+    "neardup_components",
+    "ngram_jaccard_pairs",
+    "per_lang_sample",
+    "pii_scrub",
+    "random_projection",
+    "repetition_metrics",
+    "scanner_rank",
+    "scenario_explode",
+    "session_windows",
+    "simhash_pairs",
+    "sma_window",
+    "stateful_user_totals",
+    "text_quality",
+    "tfidf_top_terms",
+    "token_stats",
+    "trading_day_offsets",
+    "tumbling_window_agg",
+    "vocab_coverage",
+    "zscore_normalize",
+    # -- freshness re-rows: oldest r3-vintage green rows --
+    "approx_distinct_sketch",
+    "approx_quantile_sketch",
+    "argmin_nearest",
+    "atr_true_range",
+    "best_contract",
+    "bollinger_bands",
+    "bpe_pair_counts",
+    "coalesce_fallback",
+    "compound_gate",
+    "conditional_aggregates",
+    "contract_symbols",
+    "date_arithmetic",
+    "date_span_rates",
+    # -- round-8 additions fill the remaining slots (appended as built) --
 )
 
 

@@ -4615,39 +4615,58 @@ def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade: multi-vector fidelity at ~16x a single dot, still
     independent of corpus size per pair. Top-{MAXSIM_TOPK} per query
     side with doc-id tie-break."""
-    e = _vecs(spark, sf_dir).select(
-        "vec_id",
-        "v",
-        F.expr("transform(v, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))").alias("vi"),
-    )
-    buckets = sim.lsh_buckets(e)
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
-        .dropDuplicates(["d1", "d2"])
-    )
+    # Candidate pairs come from the session-shared LSH scored frame — the
+    # SAME bucket self-join + dedup every cosine-family query reads (and
+    # the same pair set the oracle's bucket CTE derives). The first
+    # version re-derived buckets + self-join + dropDuplicates privately on
+    # every run, re-paying the posexplode hyperplane-dot aggregation the
+    # shared frame exists to amortize (VERDICT r7 item 2).
+    cand = _lsh_scored(spark, sf_dir).select("d1", "d2")
+    # CPU-parallelism fix on the NARROW candidate set (the _score_candidates
+    # pattern): AQE coalesces the tiny-by-bytes pair table down to a few
+    # tasks and serializes the 4x4 dot-grid scoring onto a few cores; a
+    # user repartition on d1 is exempt from coalescing, happens BEFORE the
+    # rows widen with two token-array sides, and pre-partitions the frame
+    # for the top-k window so no extra shuffle is added.
+    par = spark.sparkContext.defaultParallelism
+    cand = cand.repartition(par, "d1")
     ns, k = MAXSIM_SLICES, 64 // MAXSIM_SLICES
+    # Pre-sliced integer token lattice, shared per session: each vector is
+    # snapped to micro-units and cut into its ns token sub-arrays ONCE per
+    # corpus (4 slices per ROW), and the persist doubles as an optimizer
+    # barrier. The first version sliced inside the dot grid — 16 slice
+    # materializations per PAIR — and a getItem-expanded rewrite moved the
+    # cost into a ~1000-node expression tree Catalyst spent ~2.6 s/call
+    # canonicalizing; measured side-by-side at sf0.1, compact zip_with
+    # dots over pre-sliced arrays beat both by ~3-6x (VERDICT r7 item 2).
+    toks = shared(
+        spark, sf_dir, "maxsim_toks",
+        lambda: _vecs(spark, sf_dir).select(
+            "vec_id",
+            *[
+                F.expr(
+                    "slice(transform(v, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)), "
+                    f"{s * k + 1}, {k})"
+                ).alias(f"t{s}")
+                for s in range(ns)
+            ],
+        ),
+    )
 
     def dot(s1: int, s2: int):
+        # BIGINT multiply-add over two pre-sliced 16-element token arrays;
+        # integer adds are associative, so the fold order is parity-free.
         return F.expr(
-            f"aggregate(zip_with(slice(x.vi, {s1 * k + 1}, {k}), "
-            f"slice(y.vi, {s2 * k + 1}, {k}), (p, q) -> p * q), "
+            f"aggregate(zip_with(x.t{s1}, y.t{s2}, (p, q) -> p * q), "
             "0L, (acc, z) -> acc + z)"
         )
 
     maxsim = sum(
         F.greatest(*[dot(s1, s2) for s2 in range(ns)]) for s1 in range(ns)
     ).cast("long")
-    ex = e.select("vec_id", "vi")
     scored = (
-        cand.join(ex.alias("x"), F.col("d1") == F.col("x.vec_id"))
-        .join(ex.alias("y"), F.col("d2") == F.col("y.vec_id"))
+        cand.join(toks.alias("x"), F.col("d1") == F.col("x.vec_id"))
+        .join(toks.alias("y"), F.col("d2") == F.col("y.vec_id"))
         .select("d1", "d2", maxsim.alias("maxsim"))
     )
     w = Window.partitionBy("d1").orderBy(F.desc("maxsim"), F.asc("d2"))

@@ -38,37 +38,38 @@ def test_entry_contract(spark):
 
 
 def test_driver_window_order_is_pinned():
-    """The driver verifies the FIRST 50 registered queries. Round-7 rotation
-    (VERDICT r6 — stale-green priority): the 10 never-driver-checked round-6
-    additions lead, then every query whose (source + oracle) hash changed
-    since its last green driver row (2x-sweep oracle fixes, tag-hygiene
-    edits, ranks.py-interpolation consumers), then the oldest (r2-vintage)
-    greens as freshness re-rows, with the tail slots reserved for round-7
-    additions. A green CORRECTNESS_r07 re-verifies every stale green."""
+    """The driver verifies the FIRST 50 registered queries. Round-8 rotation
+    (VERDICT r7 item 1): the only 2 never-driver-checked queries lead, then
+    the 2 sweep-basis restamps (MATERIALIZED-CTE oracle fixes after their
+    last driver row), then queries edited this round, then the oldest
+    (r2/r3-vintage) greens as freshness re-rows, with the tail slots
+    reserved for round-8 additions."""
     from profitscout_engine_spark.queries import _WINDOW_FRONT
 
     names = list(load_registry())
     assert names[: len(_WINDOW_FRONT)] == list(_WINDOW_FRONT)
     assert len(_WINDOW_FRONT) <= 50
-    # the never-driver-checked round-6 additions lead the window
-    assert names[0] == "weighted_median_price"
+    # the never-driver-checked round-7 additions lead the window
+    assert names[0] == "community_top_terms"
+    assert names[1] == "late_interaction_maxsim"
     window = set(names[:50])
     assert {
-        "neyman_allocation",
-        "changepoint_binseg",
-        "image_dhash_neardup",
-        "token_budget_epochs",
-        # stale greens re-entering for re-verification
-        "equi_depth_histogram",
-        "rfm_segmentation",
-        "group_quantiles",
-        "fulfillment_latency",
-        "wintracker_pipeline",
+        "dedup_consensus",
+        "threshold_sweep_components",
+        # edited this round — stamps stale by construction
+        "kmeans_train_converged",
+        "expectation_audit",
+        # freshness re-rows (r2/r3 vintage)
+        "minhash_lsh_pairs",
+        "scanner_rank",
+        "approx_distinct_sketch",
+        "date_span_rates",
     } <= window
-    # round-6-verified names must be GONE from the front
+    # round-7-verified names must be GONE from the front
     assert not {
-        "sliding_window_rate",
-        "systematic_resample",
-        "conformal_calibration",
-        "dp_noisy_counts",
+        "weighted_median_price",
+        "neyman_allocation",
+        "image_dhash_neardup",
+        "cross_modal_dedup_audit",
+        "pagerank_power_lattice",
     } & set(_WINDOW_FRONT)
