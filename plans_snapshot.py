@@ -25,6 +25,7 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -63,14 +64,24 @@ def main() -> None:
     names = list(load_registry())
     flags: dict[str, dict] = {}
     skipped: dict[str, str] = {}
+    # per-run chunk dir: fixed /tmp paths could be clobbered by (or load a
+    # stale file from) a concurrent snapshot run.
+    chunk_dir = tempfile.mkdtemp(prefix="plans_snapshot_")
     for i in range(0, len(names), CHUNK):
         chunk = names[i : i + CHUNK]
-        out = f"/tmp/plans_chunk_{i}.json"
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker",
-             "--names", ",".join(chunk), "--out", out],
-            capture_output=True, text=True, timeout=900,
-        )
+        out = os.path.join(chunk_dir, f"plans_chunk_{i}.json")
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker",
+                 "--names", ",".join(chunk), "--out", out],
+                capture_output=True, text=True, timeout=900,
+            )
+        except subprocess.TimeoutExpired:
+            # a hung chunk is recorded like any other worker failure
+            # instead of aborting the whole snapshot run
+            for n in chunk:
+                skipped.setdefault(n, "worker timeout (900s)")
+            continue
         if r.returncode != 0 or not os.path.exists(out):
             for n in chunk:
                 skipped.setdefault(n, f"worker failed: {r.stderr[-160:]}")

@@ -1364,8 +1364,15 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
     ),
     orphans AS (
+        -- standard FK semantics: NULL keys are never orphans (the adjacent
+        -- completeness check owns them). The IS NOT NULL guard aligns the
+        -- NOT IN with the engine's anti-join by construction — without it,
+        -- NULL NOT IN (...) evaluates to NULL (row silently excluded) and
+        -- a NULL c_custkey would collapse the whole count to 0.
         SELECT CAST(COUNT(*) AS BIGINT) AS n
-        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        FROM orders WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_custkey IS NOT NULL)
     )
     SELECT chk AS check_name, violations, violations = 0 AS passed
     FROM (
@@ -1413,7 +1420,12 @@ def expectation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("nonpos_price"),
     )
     orphans = (
-        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        # standard FK semantics: NULL keys are never orphans — they belong
+        # to the completeness check. An unguarded anti-join KEEPS NULL-key
+        # rows (NULL equi-join never matches), diverging from the oracle's
+        # NOT IN on any fixture with NULL custkeys.
+        o.where(F.col("o_custkey").isNotNull())
+        .join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
         .agg(F.count("*").cast("long").alias("n"))
     )
     rows = (

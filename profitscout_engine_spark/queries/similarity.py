@@ -297,9 +297,19 @@ def _materialize_ctes(sql: str, names: tuple[str, ...]) -> str:
     iterations re-derives it each time and spills tens of GB of temp at
     replica scale (observed: pagerank/LPA at 8x, c-TF-IDF at 2x).
     Applied ONLY inside the oracles that need it, so other queries'
-    oracle texts (and their driver-state hashes) stay untouched."""
+    oracle texts (and their driver-state hashes) stay untouched.
+
+    Raises if a listed CTE is not found verbatim: a silent no-op (renamed
+    CTE, formatting drift) would quietly regress the oracle to the
+    replica-scale temp-disk spill this hint exists to prevent."""
     for n in names:
-        sql = sql.replace(f"{n} AS (", f"{n} AS MATERIALIZED (", 1)
+        marker = f"{n} AS ("
+        if marker not in sql:
+            raise ValueError(
+                f"_materialize_ctes: CTE {n!r} not found — oracle text "
+                "drifted; the MATERIALIZED hint would be silently dropped"
+            )
+        sql = sql.replace(marker, f"{n} AS MATERIALIZED (", 1)
     return sql
 
 
@@ -3976,8 +3986,19 @@ def _kmeans_train_oracle() -> str:
             FROM e CROSS JOIN c{p})
         WHERE rn = 1),
     m{q} AS (
+        -- round-half-up on EXACT integers: floor((2*sx + n) / (2*n)).
+        -- BOTH integer divisions truncate toward zero (Spark div AND
+        -- DuckDB // — verified: -7 // 6 = -1), so BOTH sides emulate
+        -- floor with the same sign-split -((-num + den - 1) // den) for
+        -- negative numerators. The old IEEE form floor(sx*1.0/n + 0.5)
+        -- silently lost exactness once a cluster's component sum passed
+        -- 2^53 (~1e9 members x 1e6-unit components — reachable at 100 TB).
         SELECT a.cid, u.i AS pos,
-               CAST(floor(SUM(e.v[u.i]) * 1.0E0 / COUNT(*) + 0.5) AS BIGINT) AS m
+               CAST(CASE WHEN 2 * SUM(e.v[u.i]) + COUNT(*) >= 0
+                    THEN (2 * SUM(e.v[u.i]) + COUNT(*)) // (2 * COUNT(*))
+                    ELSE -((-(2 * SUM(e.v[u.i]) + COUNT(*)) + 2 * COUNT(*) - 1)
+                           // (2 * COUNT(*)))
+                    END AS BIGINT) AS m
         FROM a{q} a JOIN e USING (vec_id), UNNEST(range(1, 65)) AS u(i)
         GROUP BY 1, 2),
     c{q} AS (
@@ -3998,8 +4019,16 @@ def _kmeans_train_oracle() -> str:
             FROM e CROSS JOIN c{iters} cf)
         WHERE rn = 1),
     stats AS (
+        -- inertia on the COARSER milli-unit^2 lattice: each per-vector
+        -- distance (micro-unit^2, <= 64 * (2e6)^2 = 2.56e14) is floored
+        -- to 1e6-unit terms BEFORE the sum, so each term is <= 2.56e8
+        -- and the int64 sum holds to ~3.6e10 members per cluster — the
+        -- gram_power_iteration headroom discipline. Summing raw
+        -- micro-unit^2 distances overflowed int64 past a few hundred
+        -- thousand far-from-centroid vectors (DuckDB HUGEINT->BIGINT
+        -- cast error vs Spark silent wrap — engines failing differently).
         SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
-               CAST(SUM(dist) AS BIGINT) AS inertia
+               CAST(SUM(dist // 1000000) AS BIGINT) AS inertia
         FROM afin GROUP BY 1)""")
     return (
         "WITH " + ",".join(parts) + f"""
@@ -4022,10 +4051,14 @@ def kmeans_train_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-step `kmeans_lloyd_step`. Everything runs on the INTEGER LATTICE
     (embedding components snapped to micro-units at birth), so distances
     are exact BIGINT sums — order-independent, hence bit-identical across
-    engines and across any execution plan — and centroid updates are
-    floor(sum/count + 1/2) on exact BIGINT sums: the whole trajectory is
-    deterministic, which is what makes an iterative algorithm
-    oracle-checkable at all. Init = the K lowest vec_ids.
+    engines and across any execution plan — and centroid updates round
+    half-up as pure integer arithmetic, floor((2*sum + count)/(2*count))
+    on exact BIGINT sums (no IEEE round-trip anywhere in the loop): the
+    whole trajectory is deterministic, which is what makes an iterative
+    algorithm oracle-checkable at all. Init = the K lowest vec_ids.
+    Reported inertia rides the coarser milli-unit^2 lattice (per-vector
+    floor before the sum) so the int64 headroom holds to ~3.6e10 members
+    per cluster.
 
     Scale shape per iteration: the E-step is a PURE PROJECTION — with K
     bounded, nearest-centroid is K exact-BIGINT fold distances against
@@ -4074,8 +4107,19 @@ def kmeans_train_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
             .select(
                 "cid", "pos",
-                F.floor(F.col("sx") * F.lit(1.0) / F.col("n") + F.lit(0.5))
-                .cast("long").alias("m"),
+                # round-half-up as EXACT integer floor((2*sx + n) / (2*n)):
+                # Spark's div truncates toward zero, so the negative-
+                # numerator branch emulates floor with the standard
+                # -((-num + den - 1) div den) identity; the oracle's
+                # DuckDB // floors natively. The old floor(sx*1.0/n + 0.5)
+                # round-tripped through an IEEE double and lost exactness
+                # once |sx| passed 2^53 (~1e9 members x 1e6-unit
+                # components) — identically on both engines, which kept
+                # parity but broke the lattice family's exact-BIGINT claim.
+                F.expr(
+                    "CASE WHEN 2 * sx + n >= 0 THEN (2 * sx + n) div (2 * n) "
+                    "ELSE -((-(2 * sx + n) + 2 * n - 1) div (2 * n)) END"
+                ).cast("long").alias("m"),
             )
             .collect()
         )
@@ -4095,7 +4139,11 @@ def kmeans_train_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cid")
         .agg(
             F.count("*").cast("long").alias("n_members"),
-            F.sum("dist").cast("long").alias("inertia"),
+            # milli-unit^2 inertia: floor each nonneg micro-unit^2 distance
+            # to 1e6-unit terms BEFORE the sum (term <= 2.56e8, int64-safe
+            # to ~3.6e10 members/cluster — the gram milli-unit discipline);
+            # raw sums overflowed int64 past ~e5 far-from-centroid vectors.
+            F.sum(F.expr("dist div 1000000")).cast("long").alias("inertia"),
         )
     )
     spine = spark.createDataFrame(
