@@ -174,7 +174,11 @@ _WINDOW_FRONT = (
     "contract_symbols",
     "date_arithmetic",
     "date_span_rates",
-    # -- round-8 additions fill the remaining slots (appended as built) --
+    # -- round-8 additions + the _gram_frame/_gram_matvec refactor consumer --
+    "gram_power_iteration",
+    "gram_topk_deflation",
+    "ivf_rebuild_audit",
+    "incremental_lpa_delta",
 )
 
 

@@ -3959,33 +3959,36 @@ KM_TRAIN_K = 8
 KM_TRAIN_ITERS = 5
 
 
-def _kmeans_train_oracle() -> str:
-    """Unrolled fixed-iteration Lloyd replay. The engine early-stops when
-    an iteration moves no centroid, which is SAFE against this fixed
-    unroll: a converged iteration is idempotent (same assignments ->
-    same means), so iterations past convergence are no-ops."""
+def _km_unroll_ctes(p: str = "") -> str:
+    """CTE chain ``{p}e, {p}c0 .. {p}c{ITERS}`` — micro-unit lattice
+    embeddings, K-lowest-vec_id init, KM_TRAIN_ITERS unrolled Lloyd steps
+    (assignment {p}a*, exact-integer round-half-up means {p}m*, centroid
+    update {p}c*). The prefix lets the rebuild-audit oracle compose this
+    chain next to other CTE families without name collisions; the plain
+    k-means oracle uses prefix ''. One generator = one source of truth
+    for the Lloyd formulas across both oracles."""
     k, iters = KM_TRAIN_K, KM_TRAIN_ITERS
     parts = [f"""
-    e AS (SELECT vec_id,
+    {p}e AS (SELECT vec_id,
                  list_transform(embedding::DOUBLE[],
                                 x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS v
           FROM embeddings),
-    c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
-           FROM e ORDER BY vec_id LIMIT {k})"""]
+    {p}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
+           FROM {p}e ORDER BY vec_id LIMIT {k})"""]
     for it in range(1, iters + 1):
-        p, q = it - 1, it
+        pp, q = it - 1, it
         parts.append(f"""
-    a{q} AS (
+    {p}a{q} AS (
         SELECT vec_id, cid FROM (
-            SELECT e.vec_id, c{p}.cid,
+            SELECT {p}e.vec_id, {p}c{pp}.cid,
                    ROW_NUMBER() OVER (
-                       PARTITION BY e.vec_id
+                       PARTITION BY {p}e.vec_id
                        ORDER BY list_aggregate(list_transform(range(1, 65),
-                                i -> (e.v[i] - c{p}.c[i]) * (e.v[i] - c{p}.c[i])),
-                                'sum'), c{p}.cid) AS rn
-            FROM e CROSS JOIN c{p})
+                                i -> ({p}e.v[i] - {p}c{pp}.c[i]) * ({p}e.v[i] - {p}c{pp}.c[i])),
+                                'sum'), {p}c{pp}.cid) AS rn
+            FROM {p}e CROSS JOIN {p}c{pp})
         WHERE rn = 1),
-    m{q} AS (
+    {p}m{q} AS (
         -- round-half-up on EXACT integers: floor((2*sx + n) / (2*n)).
         -- BOTH integer divisions truncate toward zero (Spark div AND
         -- DuckDB // — verified: -7 // 6 = -1), so BOTH sides emulate
@@ -3994,30 +3997,50 @@ def _kmeans_train_oracle() -> str:
         -- silently lost exactness once a cluster's component sum passed
         -- 2^53 (~1e9 members x 1e6-unit components — reachable at 100 TB).
         SELECT a.cid, u.i AS pos,
-               CAST(CASE WHEN 2 * SUM(e.v[u.i]) + COUNT(*) >= 0
-                    THEN (2 * SUM(e.v[u.i]) + COUNT(*)) // (2 * COUNT(*))
-                    ELSE -((-(2 * SUM(e.v[u.i]) + COUNT(*)) + 2 * COUNT(*) - 1)
+               CAST(CASE WHEN 2 * SUM({p}e.v[u.i]) + COUNT(*) >= 0
+                    THEN (2 * SUM({p}e.v[u.i]) + COUNT(*)) // (2 * COUNT(*))
+                    ELSE -((-(2 * SUM({p}e.v[u.i]) + COUNT(*)) + 2 * COUNT(*) - 1)
                            // (2 * COUNT(*)))
                     END AS BIGINT) AS m
-        FROM a{q} a JOIN e USING (vec_id), UNNEST(range(1, 65)) AS u(i)
+        FROM {p}a{q} a JOIN {p}e USING (vec_id), UNNEST(range(1, 65)) AS u(i)
         GROUP BY 1, 2),
-    c{q} AS (
-        SELECT c{p}.cid, COALESCE(n.c, c{p}.c) AS c
-        FROM c{p} LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS c
-                             FROM m{q} GROUP BY 1) n USING (cid))""")
-    parts.append(f"""
-    afin AS (
-        SELECT vec_id, cid, dist FROM (
-            SELECT e.vec_id, cf.cid,
+    {p}c{q} AS (
+        SELECT {p}c{pp}.cid, COALESCE(n.c, {p}c{pp}.c) AS c
+        FROM {p}c{pp} LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS c
+                             FROM {p}m{q} GROUP BY 1) n USING (cid))""")
+    return ",".join(parts)
+
+
+def _km_afin_cte(p: str, name: str, with_dist: bool) -> str:
+    """Final nearest-centroid assignment CTE over the unrolled chain's
+    converged centroids ``{p}c{ITERS}`` (with the exact-BIGINT lattice
+    distance exposed when the consumer needs it)."""
+    iters = KM_TRAIN_ITERS
+    dist_col = ", dist" if with_dist else ""
+    return f"""
+    {name} AS (
+        SELECT vec_id, cid{dist_col} FROM (
+            SELECT {p}e.vec_id, cf.cid,
                    list_aggregate(list_transform(range(1, 65),
-                        i -> (e.v[i] - cf.c[i]) * (e.v[i] - cf.c[i])), 'sum') AS dist,
+                        i -> ({p}e.v[i] - cf.c[i]) * ({p}e.v[i] - cf.c[i])), 'sum') AS dist,
                    ROW_NUMBER() OVER (
-                       PARTITION BY e.vec_id
+                       PARTITION BY {p}e.vec_id
                        ORDER BY list_aggregate(list_transform(range(1, 65),
-                                i -> (e.v[i] - cf.c[i]) * (e.v[i] - cf.c[i])),
+                                i -> ({p}e.v[i] - cf.c[i]) * ({p}e.v[i] - cf.c[i])),
                                 'sum'), cf.cid) AS rn
-            FROM e CROSS JOIN c{iters} cf)
-        WHERE rn = 1),
+            FROM {p}e CROSS JOIN {p}c{iters} cf)
+        WHERE rn = 1)"""
+
+
+def _kmeans_train_oracle() -> str:
+    """Unrolled fixed-iteration Lloyd replay. The engine early-stops when
+    an iteration moves no centroid, which is SAFE against this fixed
+    unroll: a converged iteration is idempotent (same assignments ->
+    same means), so iterations past convergence are no-ops."""
+    iters = KM_TRAIN_ITERS
+    return (
+        "WITH " + _km_unroll_ctes("") + ","
+        + _km_afin_cte("", "afin", with_dist=True) + f""",
     stats AS (
         -- inertia on the COARSER milli-unit^2 lattice: each per-vector
         -- distance (micro-unit^2, <= 64 * (2e6)^2 = 2.56e14) is floored
@@ -4029,15 +4052,83 @@ def _kmeans_train_oracle() -> str:
         -- cast error vs Spark silent wrap — engines failing differently).
         SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
                CAST(SUM(dist // 1000000) AS BIGINT) AS inertia
-        FROM afin GROUP BY 1)""")
-    return (
-        "WITH " + ",".join(parts) + f"""
+        FROM afin GROUP BY 1)
     SELECT cf.cid AS cluster_id,
            COALESCE(s.n_members, 0) AS n_members,
            COALESCE(s.inertia, 0) AS inertia,
            CAST(list_aggregate(cf.c, 'sum') AS BIGINT) AS centroid_sum
     FROM c{iters} cf LEFT JOIN stats s USING (cid)
     """)
+
+
+def _km_lattice_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings on the micro-unit integer lattice — the birth snap every
+    member of the Lloyd family reads."""
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))").alias("v"),
+    )
+
+
+def _km_argmin(c: dict[int, list[int]]):
+    """Map-side E-step: with K bounded, the nearest centroid is a pure
+    projection — K exact-BIGINT fold distances against centroid ARRAY
+    LITERALS, argmin via array_min over (dist, cid) structs. No
+    crossJoin, no shuffle, nothing but the corpus scan."""
+    entries = []
+    for cid, vec in sorted(c.items()):
+        lits = ",".join(f"{x}L" for x in vec)
+        d = F.expr(
+            f"aggregate(zip_with(v, array({lits}), "
+            "(x, y) -> (x - y) * (x - y)), 0L, (a, z) -> a + z)"
+        )
+        entries.append(F.struct(d.alias("dist"), F.lit(cid).alias("cid")))
+    return F.array_min(F.array(*entries))
+
+
+def _km_train(spark: SparkSession, sf_dir: str) -> dict[int, list[int]] | None:
+    """Run the Lloyd loop to convergence (or KM_TRAIN_ITERS) and return the
+    trained centroids, None on an empty corpus. Per-iteration driver state
+    is K x 64 integers (the bounded collect that also cuts lineage); the
+    M-step rounds half-up as EXACT integer floor((2*sx + n)/(2*n)) —
+    Spark's div truncates toward zero, so the negative-numerator branch
+    emulates floor with the standard -((-num + den - 1) div den) identity
+    (the oracle's DuckDB // also truncates and carries the same
+    sign-split). The old floor(sx*1.0/n + 0.5) round-tripped through an
+    IEEE double and lost exactness once |sx| passed 2^53 (~1e9 members x
+    1e6-unit components) — identically on both engines, which kept parity
+    but broke the lattice family's exact-BIGINT claim."""
+    e = _km_lattice_vecs(spark, sf_dir)
+    k, iters = KM_TRAIN_K, KM_TRAIN_ITERS
+    init = e.orderBy("vec_id").limit(k).collect()
+    cent = {i: list(r["v"]) for i, r in enumerate(init)}
+    if not cent:
+        return None
+    for _ in range(iters):
+        assign = e.select("v", _km_argmin(cent)["cid"].alias("cid"))
+        sums = (
+            assign.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+            .select(
+                "cid", "pos",
+                F.expr(
+                    "CASE WHEN 2 * sx + n >= 0 THEN (2 * sx + n) div (2 * n) "
+                    "ELSE -((-(2 * sx + n) + 2 * n - 1) div (2 * n)) END"
+                ).cast("long").alias("m"),
+            )
+            .collect()
+        )
+        new_cent = dict(cent)  # empty clusters keep their centroid
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in sums:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        for cid, pm in by_cid.items():
+            new_cent[cid] = [pm[p] for p in range(len(cent[cid]))]
+        if new_cent == cent:
+            break  # converged — further iterations are idempotent no-ops
+        cent = new_cent
+    return cent
 
 
 @query(
@@ -4072,68 +4163,14 @@ def kmeans_train_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     The early-stop (no centroid moved) is replay-safe — a converged
     iteration is idempotent, so the oracle's fixed {KM_TRAIN_ITERS}-step
     unroll lands on the same fixed point."""
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr("transform(embedding, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))").alias("v"),
-    )
-    k, iters = KM_TRAIN_K, KM_TRAIN_ITERS
-    init = e.orderBy("vec_id").limit(k).collect()
-    cent = {i: list(r["v"]) for i, r in enumerate(init)}
-    if not cent:  # empty corpus: no centroids, no clusters
+    e = _km_lattice_vecs(spark, sf_dir)
+    cent = _km_train(spark, sf_dir)
+    if cent is None:  # empty corpus: no centroids, no clusters
         return spark.createDataFrame(
             [], "cluster_id int, n_members bigint, inertia bigint, centroid_sum bigint"
         )
 
-    def argmin_s(c: dict[int, list[int]]):
-        """Map-side E-step: with K bounded, the nearest centroid is a pure
-        projection — K exact-BIGINT fold distances against centroid ARRAY
-        LITERALS, argmin via array_min over (dist, cid) structs. No
-        crossJoin, no shuffle, nothing but the corpus scan."""
-        entries = []
-        for cid, vec in sorted(c.items()):
-            lits = ",".join(f"{x}L" for x in vec)
-            d = F.expr(
-                f"aggregate(zip_with(v, array({lits}), "
-                "(x, y) -> (x - y) * (x - y)), 0L, (a, z) -> a + z)"
-            )
-            entries.append(F.struct(d.alias("dist"), F.lit(cid).alias("cid")))
-        return F.array_min(F.array(*entries))
-
-    for _ in range(iters):
-        assign = e.select("v", argmin_s(cent)["cid"].alias("cid"))
-        sums = (
-            assign.select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
-            .select(
-                "cid", "pos",
-                # round-half-up as EXACT integer floor((2*sx + n) / (2*n)):
-                # Spark's div truncates toward zero, so the negative-
-                # numerator branch emulates floor with the standard
-                # -((-num + den - 1) div den) identity; the oracle's
-                # DuckDB // floors natively. The old floor(sx*1.0/n + 0.5)
-                # round-tripped through an IEEE double and lost exactness
-                # once |sx| passed 2^53 (~1e9 members x 1e6-unit
-                # components) — identically on both engines, which kept
-                # parity but broke the lattice family's exact-BIGINT claim.
-                F.expr(
-                    "CASE WHEN 2 * sx + n >= 0 THEN (2 * sx + n) div (2 * n) "
-                    "ELSE -((-(2 * sx + n) + 2 * n - 1) div (2 * n)) END"
-                ).cast("long").alias("m"),
-            )
-            .collect()
-        )
-        new_cent = dict(cent)  # empty clusters keep their centroid
-        by_cid: dict[int, dict[int, int]] = {}
-        for r in sums:
-            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
-        for cid, pm in by_cid.items():
-            new_cent[cid] = [pm[p] for p in range(len(cent[cid]))]
-        if new_cent == cent:
-            break  # converged — further iterations are idempotent no-ops
-        cent = new_cent
-
-    s = argmin_s(cent)
+    s = _km_argmin(cent)
     stats = (
         e.select(s["cid"].alias("cid"), s["dist"].alias("dist"))
         .groupBy("cid")
@@ -4155,6 +4192,120 @@ def kmeans_train_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_members", F.lit(0).cast("long")).alias("n_members"),
         F.coalesce("inertia", F.lit(0).cast("long")).alias("inertia"),
         "centroid_sum",
+    )
+
+
+# ---- end-to-end IVF index REBUILD + parity audit --------------------------------
+def _ivf_rebuild_oracle() -> str:
+    sql = f"""
+    WITH {_IVF_ASSIGN_CTES},
+    oldcand AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM assign a JOIN assign b
+          ON a.c_label = b.c_label AND a.vec_id <> b.vec_id
+    ),
+    oldsims AS (
+        SELECT c.a_id, c.b_id,
+               ROUND({_cosine_sql('ea.v', 'eb.v')}, 6) AS sim
+        FROM oldcand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id
+    ),
+    oldranked AS (
+        SELECT a_id, b_id,
+               ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rank
+        FROM oldsims
+    ),
+    oldtop AS (SELECT a_id, b_id FROM oldranked WHERE rank <= {LSH_TOPK}),
+    {_km_unroll_ctes('km')},
+    {_km_afin_cte('km', 'kmafin', with_dist=False)},
+    newcand AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM kmafin a JOIN kmafin b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+    ),
+    newsims AS (
+        SELECT c.a_id, c.b_id,
+               ROUND({_cosine_sql('ea.v', 'eb.v')}, 6) AS sim
+        FROM newcand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id
+    ),
+    newranked AS (
+        SELECT a_id, b_id,
+               ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rank
+        FROM newsims
+    ),
+    newtop AS (SELECT a_id, b_id FROM newranked WHERE rank <= {LSH_TOPK}),
+    n_o AS (SELECT a_id, CAST(COUNT(*) AS BIGINT) AS n_old FROM oldtop GROUP BY 1),
+    n_n AS (SELECT a_id, CAST(COUNT(*) AS BIGINT) AS n_new FROM newtop GROUP BY 1),
+    n_c AS (SELECT o.a_id, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM oldtop o JOIN newtop n ON n.a_id = o.a_id AND n.b_id = o.b_id
+            GROUP BY 1)
+    SELECT a_id,
+           COALESCE(n_old, 0) AS n_old,
+           COALESCE(n_new, 0) AS n_new,
+           COALESCE(n_common, 0) AS n_common
+    FROM n_o FULL OUTER JOIN n_n USING (a_id) LEFT JOIN n_c USING (a_id)
+    """
+    return _materialize_ctes(
+        sql,
+        ("e", "assign", "oldtop", "kme", "kmafin", "newtop")
+        + tuple(f"kmc{i}" for i in range(KM_TRAIN_ITERS + 1)),
+    )
+
+
+@query(
+    "ivf_rebuild_audit",
+    oracle=_ivf_rebuild_oracle(),
+    tags=("similarity", "ivf", "pipeline", "rebuild", "eval"),
+)
+def ivf_rebuild_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF index REBUILD pipeline with a parity audit against
+    the serving index (VERDICT r7 next-wave item b) — the §3-style
+    composition query for the ANN family: TRAIN new coarse centroids with
+    the exact-lattice Lloyd loop (`_km_train`, the kmeans_train_converged
+    machinery), ASSIGN every vector to its trained list with the
+    zero-shuffle argmin projection, SEARCH the rebuilt index (same
+    skew-safe candidate generation + packed Arrow-dot cosine scorer the
+    old index uses), and AUDIT per query: result count under the old
+    label-centroid index, under the rebuilt k-means index, and their
+    top-{LSH_TOPK} overlap — the report a production rebuild publishes
+    before switching the pointer. Scale shape: training state is K x 64
+    integers on the driver; both searches are list-bucketed equi-joins
+    (never all-pairs) with hot lists salted; the audit itself is two
+    bounded groupBys and one full-outer key join."""
+    from . import REGISTRY
+    from ..operators.skew import skewsafe_directed_pairs
+
+    cent = _km_train(spark, sf_dir)
+    if cent is None:  # empty corpus: no index, no audit rows
+        return spark.createDataFrame(
+            [], "a_id bigint, n_old bigint, n_new bigint, n_common bigint"
+        )
+    new_assign = _km_lattice_vecs(spark, sf_dir).select(
+        "vec_id", _km_argmin(cent)["cid"].alias("cid")
+    )
+    a = new_assign.select(F.col("vec_id").alias("a_id"), F.col("cid").alias("lst"))
+    b = new_assign.select(F.col("vec_id").alias("b_id"), F.col("cid").alias("lst"))
+    cand = skewsafe_directed_pairs(
+        a, b, key="lst", probe_id="a_id", build_id="b_id", hot_size=IVF_HOT_LIST,
+    )
+    ea, eb = _packed_sides(spark, sf_dir)
+    new_top = _score_candidates(cand, ea, eb, r6, LSH_TOPK).select("a_id", "b_id")
+    old_top = REGISTRY["ivf_search_topk"].fn(spark, sf_dir).select("a_id", "b_id")
+    n_old = old_top.groupBy("a_id").agg(F.count("*").cast("long").alias("n_old"))
+    n_new = new_top.groupBy("a_id").agg(F.count("*").cast("long").alias("n_new"))
+    common = (
+        old_top.join(new_top, ["a_id", "b_id"])
+        .groupBy("a_id")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    z = F.lit(0).cast("long")
+    return (
+        n_old.join(n_new, "a_id", "full_outer")
+        .join(common, "a_id", "left")
+        .select(
+            "a_id",
+            F.coalesce("n_old", z).alias("n_old"),
+            F.coalesce("n_new", z).alias("n_new"),
+            F.coalesce("n_common", z).alias("n_common"),
+        )
     )
 
 
@@ -4311,6 +4462,45 @@ def _gram_power_oracle() -> str:
     """)
 
 
+def _gram_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared exact-BIGINT 64x64 Gram table of the MILLI-unit
+    snapped embeddings — one data-proportional pass builds it; every
+    power/deflation iteration touches only these 4096 rows."""
+
+    def build() -> DataFrame:
+        e = t(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(floor(x * 1e3 + 0.5) AS BIGINT))").alias("v"),
+        )
+        p = e.select("vec_id", F.posexplode("v").alias("i0", "x")).select(
+            "vec_id", (F.col("i0") + 1).cast("int").alias("i"), "x"
+        )
+        return (
+            p.alias("a")
+            .join(p.alias("b"), "vec_id")
+            .groupBy(F.col("a.i").alias("gi"), F.col("b.i").alias("gj"))
+            .agg(F.sum(F.col("a.x") * F.col("b.x")).cast("long").alias("gv"))
+        )
+
+    return shared(spark, sf_dir, "gram_milli", build)
+
+
+def _gram_matvec(g: DataFrame, v: dict[int, int]) -> dict[int, int] | None:
+    """w = G v as one bounded aggregation over the 4096-row Gram frame
+    (the iterate re-embedded as a literal map); collects the 64-int
+    result — the loop-invariant driver state that also cuts lineage.
+    None on an empty corpus."""
+    vmap = F.create_map(*[x for i, val in v.items() for x in (F.lit(i), F.lit(val))])
+    rows = (
+        g.groupBy(F.col("gi").alias("i"))
+        .agg(F.sum(F.col("gv") * F.element_at(vmap, F.col("gj"))).cast("long").alias("w"))
+        .collect()
+    )
+    if not rows:
+        return None
+    return {r["i"]: r["w"] for r in rows}
+
+
 @query(
     "gram_power_iteration",
     oracle=_gram_power_oracle(),
@@ -4332,37 +4522,12 @@ def gram_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed so the returned plan computes w = G v_final in Spark.
     Output: (pos, v_val, w_val) — w/v ratios expose the Rayleigh
     quotient per component."""
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr("transform(embedding, x -> CAST(floor(x * 1e3 + 0.5) AS BIGINT))").alias("v"),
-    )
-    p = e.select("vec_id", F.posexplode("v").alias("i0", "x")).select(
-        "vec_id", (F.col("i0") + 1).cast("int").alias("i"), "x"
-    )
-    g = (
-        p.alias("a")
-        .join(p.alias("b"), "vec_id")
-        .groupBy(F.col("a.i").alias("gi"), F.col("b.i").alias("gj"))
-        .agg(F.sum(F.col("a.x") * F.col("b.x")).cast("long").alias("gv"))
-    )
-    g = shared(spark, sf_dir, "gram_milli", lambda: g)
+    g = _gram_frame(spark, sf_dir)
     v = {i: 1000 for i in range(1, 65)}
     for _ in range(GRAM_ITERS):
-        vmap = F.create_map(
-            *[x for i, val in v.items() for x in (F.lit(i), F.lit(val))]
-        )
-        rows = (
-            g.groupBy(F.col("gi").alias("i"))
-            .agg(
-                F.sum(F.col("gv") * F.element_at(vmap, F.col("gj")))
-                .cast("long")
-                .alias("w")
-            )
-            .collect()
-        )
-        if not rows:
+        w = _gram_matvec(g, v)
+        if w is None:
             return spark.createDataFrame([], "pos int, v_val bigint, w_val bigint")
-        w = {r["i"]: r["w"] for r in rows}
         mx = max(abs(x) for x in w.values())
         # driver-side renormalize: exact integer arithmetic, deterministic
         v = {
@@ -4379,6 +4544,153 @@ def gram_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(vf.withColumnRenamed("i", "pos"), "pos")
         .select("pos", F.col("val").alias("v_val"), "w_val")
     )
+
+
+# ---- top-k eigenvectors of the Gram matrix by deflation --------------------------
+EIG_ITERS = 4
+
+
+def _gram_deflation_oracle() -> str:
+    """Unrolled two-component power iteration with per-step Gram-Schmidt
+    deflation, all on the milli-unit lattice. Renormalizations guard the
+    divisor with GREATEST(mx, 1); the component-2 orthogonalization is
+    DIVISION-FREE — o_i = r_i*(v1.v1) - (r.v1)*v1_i scales uniformly by
+    v1.v1, which the following renormalize absorbs — so every step is
+    exact BIGINT (|r| <= 1000, dots <= 64e6 => |o| <= 1.28e11)."""
+    n = EIG_ITERS
+    renorm = (
+        "CAST(CASE WHEN w >= 0 THEN (w * 1000) // mx "
+        "ELSE -(((-w) * 1000) // mx) END AS BIGINT) AS val"
+    )
+    parts = ["""
+    e AS (SELECT vec_id,
+                 list_transform(embedding::DOUBLE[],
+                                x -> CAST(floor(x * 1e3 + 0.5) AS BIGINT)) AS v
+          FROM embeddings),
+    p AS (SELECT vec_id, CAST(i AS INT) AS i, v[i] AS x
+          FROM e, UNNEST(range(1, 65)) AS u(i)),
+    g AS (SELECT a.i AS gi, b.i AS gj, CAST(SUM(a.x * b.x) AS BIGINT) AS gv
+          FROM p a JOIN p b USING (vec_id) GROUP BY 1, 2),
+    v1_0 AS (SELECT CAST(i AS INT) AS i, CAST(1000 AS BIGINT) AS val
+             FROM UNNEST(range(1, 65)) AS u(i))"""]
+    for it in range(1, n + 1):
+        pp = it - 1
+        parts.append(f"""
+    w1_{it} AS (SELECT gi AS i, CAST(SUM(gv * v.val) AS BIGINT) AS w
+             FROM g JOIN v1_{pp} v ON v.i = gj GROUP BY 1),
+    m1_{it} AS (SELECT GREATEST(MAX(ABS(w)), 1) AS mx FROM w1_{it}),
+    v1_{it} AS (SELECT i, {renorm}
+             FROM w1_{it} CROSS JOIN m1_{it})""")
+    parts.append("""
+    u0 AS (SELECT CAST(i AS INT) AS i,
+                  CAST(CASE WHEN i % 2 = 1 THEN 1000 ELSE -1000 END AS BIGINT) AS val
+           FROM UNNEST(range(1, 65)) AS u(i))""")
+    for it in range(1, n + 1):
+        pp = it - 1
+        parts.append(f"""
+    uw{it} AS (SELECT gi AS i, CAST(SUM(gv * v.val) AS BIGINT) AS w
+             FROM g JOIN u{pp} v ON v.i = gj GROUP BY 1),
+    um{it} AS (SELECT GREATEST(MAX(ABS(w)), 1) AS mx FROM uw{it}),
+    ur{it} AS (SELECT i, {renorm} FROM uw{it} CROSS JOIN um{it}),
+    ud{it} AS (SELECT CAST(SUM(r.val * v1.val) AS BIGINT) AS duv,
+                      CAST(SUM(v1.val * v1.val) AS BIGINT) AS dvv
+               FROM ur{it} r JOIN v1_{n} v1 ON v1.i = r.i),
+    uo{it} AS (SELECT r.i, CAST(r.val * d.dvv - d.duv * v1.val AS BIGINT) AS w
+               FROM ur{it} r JOIN v1_{n} v1 ON v1.i = r.i CROSS JOIN ud{it} d),
+    uom{it} AS (SELECT GREATEST(MAX(ABS(w)), 1) AS mx FROM uo{it}),
+    u{it} AS (SELECT i, {renorm} FROM uo{it} CROSS JOIN uom{it})""")
+    sql = (
+        "WITH " + ",".join(parts) + f"""
+    SELECT CAST(1 AS INT) AS component, vf.i AS pos, vf.val AS v_val,
+           CAST(SUM(g.gv * vj.val) AS BIGINT) AS w_val
+    FROM g JOIN v1_{n} vj ON vj.i = g.gj JOIN v1_{n} vf ON vf.i = g.gi
+    GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT CAST(2 AS INT), vf.i, vf.val, CAST(SUM(g.gv * vj.val) AS BIGINT)
+    FROM g JOIN u{n} vj ON vj.i = g.gj JOIN u{n} vf ON vf.i = g.gi
+    GROUP BY 1, 2, 3
+    """)
+    return _materialize_ctes(
+        sql,
+        ("g",)
+        + tuple(f"v1_{i}" for i in range(n + 1))
+        + tuple(f"u{i}" for i in range(n + 1))
+        + tuple(f"ur{i}" for i in range(1, n + 1)),
+    )
+
+
+@query(
+    "gram_topk_deflation",
+    oracle=_gram_deflation_oracle(),
+    tags=("similarity", "embedding", "svd", "pca", "iterative"),
+)
+def gram_topk_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-2 eigenvectors of the embedding Gram matrix by power iteration
+    with Gram-Schmidt DEFLATION (VERDICT r7 next-wave item a) — the
+    PCA-whitening step an embedding pipeline actually runs, extending
+    `gram_power_iteration` past the dominant direction. Component 1 is
+    {EIG_ITERS} power steps on the milli-unit lattice; component 2 starts
+    from an alternating-sign probe and, each step, matvecs, renormalizes
+    to the +-1000 lattice, then projects OUT the converged component 1 —
+    division-free: o_i = r_i*(v1.v1) - (r.v1)*v1_i scales every
+    component uniformly by v1.v1, which the next renormalize absorbs, so
+    the whole trajectory stays exact BIGINT (|r| <= 1000 and dots <=
+    64e6 keep |o| <= 1.28e11, far inside int64) and replays
+    bit-identically on both engines. Renormalize divisors are guarded
+    with max(mx, 1) on both sides.
+
+    Scale shape: identical to the parent operator — ONE data-
+    proportional pass builds the shared 64x64 Gram table; all {EIG_ITERS}
+    x 2 iterations touch only those 4096 rows, collecting 64 ints per
+    step (bounded driver state, lineage cut per iteration); the two
+    FINAL matvecs run distributed so the returned plan computes w = G v
+    in Spark. Output: (component, pos, v_val, w_val) — 128 rows; w/v
+    ratios expose the per-component Rayleigh quotients, and the
+    off-component dot audits orthogonality."""
+    g = _gram_frame(spark, sf_dir)
+
+    def renorm(w: dict[int, int]) -> dict[int, int]:
+        mx = max(1, max(abs(x) for x in w.values()))
+        return {
+            i: (x * 1000) // mx if x >= 0 else -(((-x) * 1000) // mx)
+            for i, x in w.items()
+        }
+
+    empty = "component int, pos int, v_val bigint, w_val bigint"
+    v1 = {i: 1000 for i in range(1, 65)}
+    for _ in range(EIG_ITERS):
+        w = _gram_matvec(g, v1)
+        if w is None:
+            return spark.createDataFrame([], empty)
+        v1 = renorm(w)
+    u = {i: 1000 if i % 2 == 1 else -1000 for i in range(1, 65)}
+    for _ in range(EIG_ITERS):
+        w = _gram_matvec(g, u)
+        if w is None:
+            return spark.createDataFrame([], empty)
+        r = renorm(w)
+        duv = sum(r[i] * v1[i] for i in r)
+        dvv = sum(x * x for x in v1.values())
+        u = renorm({i: r[i] * dvv - duv * v1[i] for i in r})
+
+    def final(vec: dict[int, int], comp: int) -> DataFrame:
+        vf = F.broadcast(
+            g.sparkSession.createDataFrame(sorted(vec.items()), "i int, val bigint")
+        )
+        return (
+            g.join(vf.withColumnRenamed("i", "gj").withColumnRenamed("val", "vj"), "gj")
+            .groupBy(F.col("gi").alias("pos"))
+            .agg(F.sum(F.col("gv") * F.col("vj")).cast("long").alias("w_val"))
+            .join(vf.withColumnRenamed("i", "pos"), "pos")
+            .select(
+                F.lit(comp).cast("int").alias("component"),
+                "pos",
+                F.col("val").alias("v_val"),
+                "w_val",
+            )
+        )
+
+    return final(v1, 1).unionAll(final(u, 2))
 
 
 # ---- synchronous label propagation over the candidate graph --------------------
@@ -4484,6 +4796,214 @@ def label_propagation_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.coalesce("blbl", "lbl").alias("lbl"))
         )
     return labels.select("doc_id", F.col("lbl").alias("community"))
+
+
+# ---- incremental LPA over a graph delta ------------------------------------------
+INC_LPA_ROUNDS = 2  # delta-propagation rounds: changes travel 1 hop per round
+
+
+def _incremental_lpa_oracle() -> str:
+    base, inc = LPA_ROUNDS, INC_LPA_ROUNDS
+    parts = [f"""{_minhash_bands_ctes()},
+    pairs0 AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    tagged AS (
+        SELECT d1, d2,
+               substr(md5(CAST(d1 AS VARCHAR) || '|' || CAST(d2 AS VARCHAR)), 1, 1)
+                   IN ('0', '1', '2', '3') AS is_new
+        FROM pairs0
+    ),
+    old_edges AS (
+        SELECT d1 AS src, d2 AS dst FROM tagged WHERE NOT is_new
+        UNION ALL
+        SELECT d2 AS src, d1 AS dst FROM tagged WHERE NOT is_new
+    ),
+    all_edges AS (
+        SELECT d1 AS src, d2 AS dst FROM tagged
+        UNION ALL
+        SELECT d2 AS src, d1 AS dst FROM tagged
+    ),
+    l0 AS (SELECT doc_id, doc_id AS lbl FROM documents)"""]
+    for it in range(1, base + 1):
+        p, q = it - 1, it
+        parts.append(f"""
+    c{q} AS (
+        SELECT e.src AS doc_id, n.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM old_edges e JOIN l{p} n ON n.doc_id = e.dst
+        GROUP BY 1, 2
+    ),
+    b{q} AS (
+        SELECT doc_id, lbl FROM (
+            SELECT doc_id, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, lbl ASC) AS rn
+            FROM c{q}) z
+        WHERE rn = 1
+    ),
+    l{q} AS (
+        SELECT l.doc_id, COALESCE(b.lbl, l.lbl) AS lbl
+        FROM l{p} l LEFT JOIN b{q} b ON b.doc_id = l.doc_id
+    )""")
+    # frontier 0 = delta-edge endpoints; each later frontier adds one hop
+    parts.append("""
+    f0 AS (
+        SELECT d1 AS doc_id FROM tagged WHERE is_new
+        UNION
+        SELECT d2 AS doc_id FROM tagged WHERE is_new
+    )""")
+    for h in range(1, inc):
+        parts.append(f"""
+    f{h} AS (
+        SELECT doc_id FROM f{h - 1}
+        UNION
+        SELECT e.src AS doc_id FROM all_edges e JOIN f{h - 1} f ON f.doc_id = e.dst
+    )""")
+    for it in range(1, inc + 1):
+        p, q = base + it - 1, base + it
+        parts.append(f"""
+    c{q} AS (
+        SELECT e.src AS doc_id, n.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM all_edges e
+        JOIN l{p} n ON n.doc_id = e.dst
+        JOIN f{it - 1} f ON f.doc_id = e.src
+        GROUP BY 1, 2
+    ),
+    b{q} AS (
+        SELECT doc_id, lbl FROM (
+            SELECT doc_id, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, lbl ASC) AS rn
+            FROM c{q}) z
+        WHERE rn = 1
+    ),
+    l{q} AS (
+        SELECT l.doc_id, COALESCE(b.lbl, l.lbl) AS lbl
+        FROM l{p} l LEFT JOIN b{q} b ON b.doc_id = l.doc_id
+    )""")
+    sql = (
+        "WITH " + ",".join(parts) + f"""
+    SELECT lb.doc_id, lf.lbl AS community, lf.lbl <> lb.lbl AS changed
+    FROM l{base} lb JOIN l{base + inc} lf ON lf.doc_id = lb.doc_id
+    """)
+    return _materialize_ctes(
+        sql,
+        ("sh_all", "sh", "sig", "bands", "pairs0", "tagged", "old_edges",
+         "all_edges", "f0")
+        + tuple(f"f{h}" for h in range(1, inc))
+        + tuple(f"l{i}" for i in range(base + inc)),
+    )
+
+
+@query(
+    "incremental_lpa_delta",
+    oracle=_incremental_lpa_oracle(),
+    tags=("graph", "community", "iterative", "incremental", "streaming-twin"),
+)
+def incremental_lpa_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL community maintenance over a graph delta (VERDICT r7
+    next-wave item c) — the batch twin of a streaming LPA refresh and the
+    graph analogue of `incremental_dedup_probe`: the near-dup candidate
+    edges split deterministically into an OLD graph (md5 pair-hash first
+    nibble >= 4, ~75%) and a DELTA of newly arrived edges. Labels
+    converge on the old graph ({LPA_ROUNDS} synchronous LPA rounds), then
+    the delta is folded in WITHOUT recomputing the world: only nodes
+    within round-distance of a delta edge re-evaluate their argmax-count
+    label (frontier 0 = delta endpoints, each round widens one hop), over
+    the FULL edge set, for {INC_LPA_ROUNDS} rounds — changes propagate
+    outward exactly one hop per round, which is both the textbook
+    incremental-LPA shape and what keeps the trajectory deterministic and
+    oracle-checkable. Output flags which nodes actually moved.
+
+    Scale shape: per round one equi-join of the shared symmetric edge
+    list against the label table, one (node, label) count aggregation,
+    one min-struct argmax (map-side partials, no window), one left join
+    back; the frontier restriction makes incremental rounds proportional
+    to the DELTA's neighborhood, not the graph — the whole point of an
+    incremental refresh at 100 TB."""
+    tagged = shared(
+        spark, sf_dir, "inc_lpa_tagged",
+        lambda: _mh_pairs(spark, sf_dir).select(
+            "d1",
+            "d2",
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("d1").cast("string"), F.col("d2").cast("string")
+                    )
+                ),
+                1,
+                1,
+            ).isin("0", "1", "2", "3").alias("is_new"),
+        ),
+    )
+
+    def sym(pairs: DataFrame) -> DataFrame:
+        return pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).unionAll(
+            pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+        )
+
+    old_edges = sym(tagged.where(~F.col("is_new")))
+    all_edges = sym(tagged)
+
+    def lpa_round(edges: DataFrame, labels: DataFrame, frontier: DataFrame | None) -> DataFrame:
+        counted = edges.join(
+            labels.select(F.col("doc_id").alias("dst"), F.col("lbl").alias("nlbl")),
+            "dst",
+        )
+        if frontier is not None:
+            counted = counted.join(
+                frontier.select(F.col("doc_id").alias("src")), "src"
+            )
+        counts = counted.groupBy(F.col("src").alias("doc_id"), F.col("nlbl").alias("lbl")).agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+        best = (
+            counts.select(
+                "doc_id", F.struct((-F.col("cnt")).alias("nc"), "lbl").alias("s")
+            )
+            .groupBy("doc_id")
+            .agg(F.min("s").alias("s"))
+            .select("doc_id", F.col("s.lbl").alias("blbl"))
+        )
+        return labels.join(best, "doc_id", "left").select(
+            "doc_id", F.coalesce("blbl", "lbl").alias("lbl")
+        )
+
+    labels = _docs(spark, sf_dir).select("doc_id", F.col("doc_id").alias("lbl"))
+    for _ in range(LPA_ROUNDS):
+        labels = lpa_round(old_edges, labels, None)
+    # the converged OLD-graph labels feed every incremental round AND the
+    # final changed-flag join — share the subtree once per session
+    base = shared(spark, sf_dir, "inc_lpa_base", lambda: labels)
+    frontier = (
+        tagged.where(F.col("is_new"))
+        .select(F.col("d1").alias("doc_id"))
+        .union(tagged.where(F.col("is_new")).select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    labels = base
+    for h in range(INC_LPA_ROUNDS):
+        if h > 0:  # widen the frontier one hop along the full edge set
+            frontier = frontier.union(
+                all_edges.join(
+                    frontier.select(F.col("doc_id").alias("dst")), "dst"
+                ).select(F.col("src").alias("doc_id"))
+            ).distinct()
+        labels = lpa_round(all_edges, labels, frontier)
+    return (
+        base.select("doc_id", F.col("lbl").alias("base_lbl"))
+        .join(labels, "doc_id")
+        .select(
+            "doc_id",
+            F.col("lbl").alias("community"),
+            (F.col("lbl") != F.col("base_lbl")).alias("changed"),
+        )
+    )
 
 
 # ---- c-TF-IDF keywords per near-dup community ----------------------------------
