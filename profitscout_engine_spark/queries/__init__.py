@@ -179,6 +179,8 @@ _WINDOW_FRONT = (
     "gram_topk_deflation",
     "ivf_rebuild_audit",
     "incremental_lpa_delta",
+    "semantic_contamination_audit",
+    "leakage_safe_split",
 )
 
 

@@ -542,6 +542,110 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- leakage-safe train/val/test split (dedup-aware sharding) -----------------
+def _leakage_safe_split_oracle() -> str:
+    sql = f"""
+    WITH RECURSIVE {_minhash_bands_ctes()},
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    ),
+    sym AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach AS (
+        SELECT node AS d, node AS m FROM nodes
+        UNION
+        SELECT r.d, s.b FROM reach r JOIN sym s ON s.a = r.m
+    ),
+    comp AS (SELECT d AS doc_id, MIN(m) AS component FROM reach GROUP BY d),
+    assigned AS (
+        SELECT doc.doc_id, doc.n_chars,
+               COALESCE(c.component, doc.doc_id) AS rep
+        FROM documents doc LEFT JOIN comp c ON c.doc_id = doc.doc_id
+    ),
+    split_rows AS (
+        SELECT doc_id, n_chars, rep,
+               CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 1) IN ('c', 'd')
+                        THEN 'val'
+                    WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 1) IN ('e', 'f')
+                        THEN 'test'
+                    ELSE 'train' END AS split
+        FROM assigned
+    ),
+    leaks AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS cross_split_components FROM (
+            SELECT rep FROM split_rows
+            GROUP BY rep HAVING COUNT(DISTINCT split) > 1) z
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_components,
+           cross_split_components
+    FROM split_rows CROSS JOIN leaks
+    GROUP BY split, cross_split_components
+    """
+    return _materialize_ctes(
+        sql, ("sh_all", "sh", "sig", "bands", "pairs", "sym", "comp", "split_rows")
+    )
+
+
+@query(
+    "leakage_safe_split",
+    oracle=_leakage_safe_split_oracle(),
+    tags=("dedup", "curation", "hash-split", "eval-integrity"),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-AWARE train/val/test split — `hash_split` upgraded with the
+    near-dup components: every document is assigned by the md5 hex digit
+    of its COMPONENT REPRESENTATIVE (min doc_id of its MinHash near-dup
+    cluster; singletons represent themselves), so a near-duplicate of a
+    training document can never land in val/test. This is the split an
+    LLM-data pipeline must make AFTER clustering — splitting before
+    dedup leaks paraphrases across the eval boundary. Output: per-split
+    doc/char/component totals plus a structural leakage audit
+    (components spanning >1 split — zero by construction, and the
+    column proves it on every run). Scale shape: the shared component
+    frame (hash-min label propagation, built once per session) left-
+    joins the corpus once; everything after is two bounded aggregations."""
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    cc = _neardup_cc(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+    assigned = docs.join(cc, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("component", "doc_id").alias("rep"),
+    )
+    digit = F.substring(F.md5(F.col("rep").cast("string")), 1, 1)
+    rows = assigned.select(
+        "doc_id",
+        "n_chars",
+        "rep",
+        F.when(digit.isin("c", "d"), "val")
+        .when(digit.isin("e", "f"), "test")
+        .otherwise("train")
+        .alias("split"),
+    )
+    leaks = (
+        rows.groupBy("rep")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .agg(F.count("*").cast("long").alias("cross_split_components"))
+    )
+    return (
+        rows.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.countDistinct("rep").cast("long").alias("n_components"),
+        )
+        .crossJoin(F.broadcast(leaks))
+    )
+
+
 # ---- dedup END-TO-END: cluster, score, keep the best doc per cluster ---------
 _QUALITY_CTES = """
     tkq AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tk FROM documents),
@@ -888,6 +992,104 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _lsh_scored(spark, sf_dir)
         .select("d1", "d2", r4(F.col("sim_raw")).alias("sim"))
         .where(F.col("sim") >= COSINE_NEARDUP_MIN)
+    )
+
+
+# ---- semantic train/test contamination audit -----------------------------------
+def _semantic_contamination_oracle() -> str:
+    bucket_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT vec_id, {t_} AS table_id, {_lsh_bucket_sql('v', t_)} AS bucket FROM e"
+        for t_ in range(sim.LSH_TABLES)
+    )
+    sql = f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    buckets AS (
+        {bucket_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+        FROM buckets a JOIN buckets b
+          ON a.table_id = b.table_id AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
+    ),
+    sims AS (
+        SELECT c.d1, c.d2, ROUND({_cosine_sql('ea.v', 'eb.v')}, 4) AS sim
+        FROM cand c JOIN e ea ON ea.vec_id = c.d1 JOIN e eb ON eb.vec_id = c.d2
+    ),
+    directed AS (
+        SELECT d1 AS a_id, d2 AS b_id, sim FROM sims
+        UNION ALL
+        SELECT d2 AS a_id, d1 AS b_id, sim FROM sims
+    ),
+    tagged AS (SELECT vec_id, label,
+                      substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) AS h
+               FROM e),
+    links AS (
+        SELECT d.a_id, MAX(d.sim) AS best
+        FROM directed d
+        JOIN tagged ta ON ta.vec_id = d.a_id AND ta.h IN ('e', 'f')
+        JOIN tagged tb ON tb.vec_id = d.b_id
+                      AND tb.h NOT IN ('c', 'd', 'e', 'f')
+        WHERE d.sim >= {COSINE_NEARDUP_MIN}
+        GROUP BY 1
+    )
+    SELECT t.label,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(COUNT(l.best) AS BIGINT) AS n_contaminated,
+           MAX(l.best) AS max_sim
+    FROM tagged t LEFT JOIN links l ON l.a_id = t.vec_id
+    WHERE t.h IN ('e', 'f')
+    GROUP BY 1
+    """
+    return _materialize_ctes(sql, ("e", "sims", "tagged"))
+
+
+@query(
+    "semantic_contamination_audit",
+    oracle=_semantic_contamination_oracle(),
+    tags=("similarity", "contamination", "curation", "eval-integrity"),
+)
+def semantic_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC train/test contamination audit — the embedding-space
+    companion of `contamination_check`: a test-split vector is
+    contaminated when some TRAIN-split vector sits within cosine >=
+    {COSINE_NEARDUP_MIN} (the near-dup threshold), the leakage an exact
+    n-gram check misses after paraphrase. Splits are the deterministic
+    md5 hex-digit rule (`hash_split` contract) on vec_id; candidate
+    pairs come from the session-shared hyperplane-LSH scored frame —
+    the same one bucket join + one Arrow-dot scoring pass the whole
+    cosine family amortizes, so the audit adds only a split-filtered
+    directed join and two bounded aggregations. Per label: test-vector
+    count, contaminated count, and the worst (max) offending similarity."""
+    s = _lsh_scored(spark, sf_dir)
+    directed = s.select(
+        F.col("d1").alias("a_id"), F.col("d2").alias("b_id"), "sim_raw"
+    ).unionAll(
+        s.select(F.col("d2").alias("a_id"), F.col("d1").alias("b_id"), "sim_raw")
+    )
+    vecs = _vecs(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).alias("h"),
+    )
+    test = vecs.where(F.col("h").isin("e", "f"))
+    train = vecs.where(~F.col("h").isin("c", "d", "e", "f"))
+    links = (
+        directed.select("a_id", "b_id", r4(F.col("sim_raw")).alias("sim"))
+        .where(F.col("sim") >= COSINE_NEARDUP_MIN)
+        .join(test.select(F.col("vec_id").alias("a_id")), "a_id")
+        .join(train.select(F.col("vec_id").alias("b_id")), "b_id")
+        .groupBy("a_id")
+        .agg(F.max("sim").alias("best"))
+    )
+    return (
+        test.join(links, test["vec_id"] == links["a_id"], "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.count("best").cast("long").alias("n_contaminated"),
+            F.max("best").alias("max_sim"),
+        )
     )
 
 

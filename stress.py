@@ -153,6 +153,14 @@ CHECK_QUERIES = [
     "label_propagation_rounds",
     "community_top_terms",
     "late_interaction_maxsim",
+    # round-8 additions: deflated eigenvectors (group-size-dependent Gram
+    # sums), the rebuild pipeline (rounded-cosine searches + trained
+    # centroids), and the frontier-restricted incremental LPA
+    "gram_topk_deflation",
+    "ivf_rebuild_audit",
+    "incremental_lpa_delta",
+    "semantic_contamination_audit",
+    "leakage_safe_split",
 ]
 
 

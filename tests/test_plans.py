@@ -87,6 +87,11 @@ _NL_JOIN_OK = {
     "ivf_centroid_assign",
     "ivf_search_topk",
     "ivf_search_nprobe",
+    # inherits the same k-centroid routing broadcast via its old-index
+    # search branch (ivf_search_topk machinery)
+    "ivf_rebuild_audit",
+    # 1-row leakage-audit scalar (cross-split component count) cross join
+    "leakage_safe_split",
     # bounded PQ codebook broadcast (PQ_M × PQ_K = 32 rows) routed to every
     # vector — the PQ analogue of the k-centroid routing broadcast
     "pq_encode",

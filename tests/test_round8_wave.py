@@ -60,6 +60,58 @@ def test_ivf_rebuild_audit_matches_parent_searches(spark, sf_dir):
     assert set(old_counts) <= set(audit["a_id"])
 
 
+def test_leakage_safe_split_conserves_docs_and_never_leaks(spark, sf_dir):
+    """Doc and component totals reconcile with the corpus; the structural
+    leakage audit is zero; singleton docs land exactly where hash_split
+    would put them (the component rule degenerates to hash_split when a
+    doc has no near-dup)."""
+    out = REGISTRY["leakage_safe_split"].fn(spark, sf_dir).toPandas()
+    n_docs = t(spark, sf_dir, "documents").count()
+    assert out["n_docs"].sum() == n_docs
+    assert (out["cross_split_components"] == 0).all()
+    comp = REGISTRY["neardup_components"].fn(spark, sf_dir).toPandas()
+    n_comps = comp["component"].nunique() + (n_docs - len(comp))
+    assert out["n_components"].sum() == n_comps
+    # singletons follow the plain hash_split assignment
+    hs = REGISTRY["hash_split"].fn(spark, sf_dir).toPandas()
+    clustered = set(comp["doc_id"])
+    singles = hs[~hs["doc_id"].isin(clustered)]
+    by_split = singles.groupby("split").size()
+    # every split's doc count is at least its singleton count
+    for split, n in by_split.items():
+        assert out.set_index("split")["n_docs"].get(split, 0) >= n
+
+
+def test_semantic_contamination_bounds_and_consistency(spark, sf_dir):
+    """Per-label counts are bounded by the test-split population; any
+    contaminated count is witnessed by a cross-split near-dup pair in
+    the LSH scored frame at the same threshold."""
+    from profitscout_engine_spark.queries.similarity import COSINE_NEARDUP_MIN
+
+    out = REGISTRY["semantic_contamination_audit"].fn(spark, sf_dir).toPandas()
+    assert (out["n_contaminated"] <= out["n_test"]).all()
+    assert (out["n_test"] > 0).all()
+    hit = out[out["n_contaminated"] > 0]
+    if not hit.empty:
+        assert (hit["max_sim"] >= COSINE_NEARDUP_MIN).all()
+    # reconcile the global contaminated count against the near-dup pairs
+    import hashlib
+
+    pairs = REGISTRY["embedding_neardup_lsh"].fn(spark, sf_dir).toPandas()
+
+    def h(v):
+        # pandas may upcast ids to float — hash the integer text the
+        # engines hash
+        return hashlib.md5(str(int(v)).encode()).hexdigest()[0]
+
+    contaminated = set()
+    for _, r in pairs.iterrows():
+        for a, b in ((r["d1"], r["d2"]), (r["d2"], r["d1"])):
+            if h(a) in "ef" and h(b) not in "cdef":
+                contaminated.add(int(a))
+    assert out["n_contaminated"].sum() == len(contaminated)
+
+
 def test_incremental_lpa_changes_stay_inside_the_delta_frontier(spark, sf_dir):
     """Every doc appears exactly once; isolated docs keep their own label
     unchanged; any node flagged changed lies within INC_LPA_ROUNDS hops
