@@ -54,6 +54,11 @@ def normalized_plan_sha(plan: str) -> str:
     s = re.sub(r"@[0-9a-f]{6,}", "@", s)
     s = re.sub(r"/tmp/\S+", "/tmp/_", s)
     s = re.sub(r"/spark-warehouse/\S+", "/spark-warehouse/_", s)
+    # RDD ids are a session-global counter: a createDataFrame scan renders
+    # as "MapPartitionsRDD[6]" in a fresh session and "[99]" after other
+    # queries planned first — pure session-order noise (bit round 8: 11
+    # phantom stale-green flags after a re-chunked snapshot run)
+    s = re.sub(r"RDD\[\d+\]", "RDD[_]", s)
     return hashlib.sha256(s.encode()).hexdigest()
 
 
