@@ -3652,6 +3652,84 @@ def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- kNN graph sparsification (degree-capped candidate graph) ------------------
+KNN_GRAPH_K = 3
+
+
+def _knn_sparsify_oracle() -> str:
+    k = KNN_GRAPH_K
+    return f"""
+    WITH {_SHINGLES_CTE},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT d1, d2,
+               FLOOR((c * 1.0 / (ca.n + cb.n - c)) * 1e4 + 0.5) / 1e4 AS j
+        FROM common
+        JOIN counts ca ON ca.doc_id = d1
+        JOIN counts cb ON cb.doc_id = d2
+    ),
+    directed AS (
+        SELECT d1 AS v, d2 AS u, j FROM scored
+        UNION ALL
+        SELECT d2 AS v, d1 AS u, j FROM scored
+    ),
+    kept AS (
+        SELECT v, u, j FROM (
+            SELECT v, u, j,
+                   ROW_NUMBER() OVER (PARTITION BY v ORDER BY j DESC, u) AS rn
+            FROM directed) z
+        WHERE rn <= {k}
+    ),
+    und AS (SELECT LEAST(v, u) AS d1, GREATEST(v, u) AS d2, j FROM kept)
+    SELECT d1, d2, j, COUNT(*) = 2 AS mutual
+    FROM und GROUP BY 1, 2, 3
+    """
+
+
+@query(
+    "knn_graph_sparsify",
+    oracle=_knn_sparsify_oracle(),
+    tags=("graph", "dedup", "knn", "sparsification"),
+)
+def knn_graph_sparsify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-capped kNN SPARSIFICATION of the similarity candidate graph
+    — keep each node's top-{KNN_GRAPH_K} Jaccard neighbors (tie-break on
+    neighbor id) and union the directions, flagging MUTUAL edges (kept
+    from both endpoints). This is the standard preprocessing before
+    iterative graph algorithms at scale: the raw candidate graph can be
+    quadratic in hot shingles, while the sparsified edge set is bounded
+    by {KNN_GRAPH_K} x nodes (each node CONTRIBUTES at most
+    {KNN_GRAPH_K} edges), so every LPA/PageRank/components round
+    becomes node-linear. A hub can still be CHOSEN by many neighbors
+    (in-degree is the hubness signal, deliberately kept); the MUTUAL
+    core — both documents rank each other top-{KNN_GRAPH_K} — has max
+    degree {KNN_GRAPH_K} and is the high-precision subgraph clustering
+    should trust first. Rides the session-shared scored frame — zero
+    new pair generation; one per-node top-k window over candidate-sized
+    data + one grouped count."""
+    s = _jaccard_scored(spark, sf_dir)
+    directed = s.select(
+        F.col("d1").alias("v"), F.col("d2").alias("u"), "j"
+    ).unionByName(s.select(F.col("d2").alias("v"), F.col("d1").alias("u"), "j"))
+    w = Window.partitionBy("v").orderBy(F.desc("j"), F.asc("u"))
+    kept = (
+        directed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KNN_GRAPH_K)
+        .select("v", "u", "j")
+    )
+    und = kept.select(
+        F.least("v", "u").alias("d1"), F.greatest("v", "u").alias("d2"), "j"
+    )
+    return und.groupBy("d1", "d2", "j").agg(
+        (F.count("*") == 2).alias("mutual")
+    )
+
+
 # ---- index-family self-evaluation: recall@k vs the brute-force truth ---------
 RECALL_K = 3
 
@@ -4288,6 +4366,12 @@ def _km_argmin(c: dict[int, list[int]]):
     return F.array_min(F.array(*entries))
 
 
+# trained-centroid cache, the driver-dict analogue of shared(): training
+# is deterministic, and both the trainer query and the index-rebuild
+# pipeline run the IDENTICAL loop — one training per session+dataset.
+_KM_CENT_CACHE: dict[tuple[str, str], dict[int, list[int]] | None] = {}
+
+
 def _km_train(spark: SparkSession, sf_dir: str) -> dict[int, list[int]] | None:
     """Run the Lloyd loop to convergence (or KM_TRAIN_ITERS) and return the
     trained centroids, None on an empty corpus. Per-iteration driver state
@@ -4299,12 +4383,22 @@ def _km_train(spark: SparkSession, sf_dir: str) -> dict[int, list[int]] | None:
     sign-split). The old floor(sx*1.0/n + 0.5) round-tripped through an
     IEEE double and lost exactness once |sx| passed 2^53 (~1e9 members x
     1e6-unit components) — identically on both engines, which kept parity
-    but broke the lattice family's exact-BIGINT claim."""
+    but broke the lattice family's exact-BIGINT claim. Trained centroids
+    are cached per (session, dataset): training is deterministic, so the
+    trainer query and the rebuild pipeline share one loop."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _KM_CENT_CACHE:
+        cached = _KM_CENT_CACHE[key]
+        return None if cached is None else {c: list(v) for c, v in cached.items()}
+    # evict entries from dead sessions (the shared()-frame discipline)
+    for k in [k for k in _KM_CENT_CACHE if k[0] != key[0]]:
+        del _KM_CENT_CACHE[k]
     e = _km_lattice_vecs(spark, sf_dir)
     k, iters = KM_TRAIN_K, KM_TRAIN_ITERS
     init = e.orderBy("vec_id").limit(k).collect()
     cent = {i: list(r["v"]) for i, r in enumerate(init)}
     if not cent:
+        _KM_CENT_CACHE[key] = None
         return None
     for _ in range(iters):
         assign = e.select("v", _km_argmin(cent)["cid"].alias("cid"))
@@ -4330,6 +4424,7 @@ def _km_train(spark: SparkSession, sf_dir: str) -> dict[int, list[int]] | None:
         if new_cent == cent:
             break  # converged — further iterations are idempotent no-ops
         cent = new_cent
+    _KM_CENT_CACHE[key] = {c: list(v) for c, v in cent.items()}
     return cent
 
 

@@ -74,6 +74,55 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- tokenizer fertility per language ------------------------------------------
+@query(
+    "tokenizer_fertility",
+    oracle="""
+    WITH tk AS (SELECT lang, n_chars,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+                       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                            AS BIGINT) AS bpe
+                FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           ROUND(SUM(bpe) * 1.0E0 / SUM(ws), 4) AS fertility,
+           ROUND(SUM(n_chars) * 1.0E0 / SUM(bpe), 4) AS chars_per_bpe
+    FROM tk GROUP BY 1
+    """,
+    tags=("textops", "token-count", "multilingual", "budget"),
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language TOKENIZER FERTILITY — subword-tokens-per-word and
+    chars-per-subword-token, the ratio multilingual budget planning runs
+    before fixing per-language token quotas (a language with 2x
+    fertility burns 2x context per word; UniMax-style samplers consume
+    exactly this table next to `token_budget_epochs`). Token counts are
+    the whitespace and BPE-ish regex schemes `token_stats` established
+    (identical regex both engines); the sums are exact BIGINTs, so each
+    reported ratio is ONE IEEE division of exact integers —
+    bit-deterministic across engines and plans. Map-only scan + one
+    bounded per-language aggregation; zero shuffle beyond it."""
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        "n_chars",
+        F.size(tokens(F.col("text"))).cast("long").alias("ws"),
+        F.expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+        .cast("long")
+        .alias("bpe"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.sum("bpe").cast("long").alias("bpe_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        r4(F.sum("bpe") * F.lit(1.0) / F.sum("ws")).alias("fertility"),
+        r4(F.sum("n_chars") * F.lit(1.0) / F.sum("bpe")).alias("chars_per_bpe"),
+    )
+
+
 # --- quality scoring ----------------------------------------------------------
 @query(
     "text_quality",

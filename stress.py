@@ -161,6 +161,8 @@ CHECK_QUERIES = [
     "incremental_lpa_delta",
     "semantic_contamination_audit",
     "leakage_safe_split",
+    "knn_graph_sparsify",
+    "tokenizer_fertility",
 ]
 
 

@@ -112,6 +112,46 @@ def test_semantic_contamination_bounds_and_consistency(spark, sf_dir):
     assert out["n_contaminated"].sum() == len(contaminated)
 
 
+def test_knn_sparsify_bounds_edges_and_mutual_core_degree(spark, sf_dir):
+    """Edge count is bounded by K x participating nodes (each node
+    contributes at most K edges); the MUTUAL core has max degree K
+    (an edge is mutual only if BOTH endpoints rank it top-K)."""
+    from profitscout_engine_spark.queries.similarity import KNN_GRAPH_K
+
+    out = REGISTRY["knn_graph_sparsify"].fn(spark, sf_dir).toPandas()
+    assert not out.empty
+    assert (out["d1"] < out["d2"]).all()
+    import collections
+
+    nodes = set(out["d1"]) | set(out["d2"])
+    assert len(out) <= KNN_GRAPH_K * len(nodes)
+    deg_mutual = collections.Counter()
+    for _, r in out[out["mutual"]].iterrows():
+        deg_mutual[r["d1"]] += 1
+        deg_mutual[r["d2"]] += 1
+    assert deg_mutual and max(deg_mutual.values()) <= KNN_GRAPH_K
+    # mutual edges exist on the fixture and are a subset of all edges
+    assert out["mutual"].any()
+
+
+def test_tokenizer_fertility_reconciles_with_token_stats(spark, sf_dir):
+    """Per-language sums equal the sum of token_stats' per-doc counts;
+    fertility is the exact ratio of those sums."""
+    import pandas as pd
+
+    fert = REGISTRY["tokenizer_fertility"].fn(spark, sf_dir).toPandas()
+    ts = REGISTRY["token_stats"].fn(spark, sf_dir).toPandas()
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang").toPandas()
+    joined = ts.merge(docs, on="doc_id")
+    per_lang = joined.groupby("lang").agg(
+        ws=("n_tokens", "sum"), bpe=("n_bpe_tokens", "sum")
+    )
+    for _, r in fert.iterrows():
+        assert r["ws_tokens"] == per_lang.loc[r["lang"], "ws"]
+        assert r["bpe_tokens"] == per_lang.loc[r["lang"], "bpe"]
+        assert abs(r["fertility"] - round(r["bpe_tokens"] / r["ws_tokens"], 4)) < 1e-9
+
+
 def test_incremental_lpa_changes_stay_inside_the_delta_frontier(spark, sf_dir):
     """Every doc appears exactly once; isolated docs keep their own label
     unchanged; any node flagged changed lies within INC_LPA_ROUNDS hops
