@@ -995,6 +995,105 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- embedding health / collapse diagnostics -----------------------------------
+@query(
+    "embedding_health_stats",
+    oracle="""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding::DOUBLE[],
+                                     x -> CAST(floor(x * 1e3 + 0.5) AS BIGINT)) AS v
+               FROM embeddings),
+    pernorm AS (
+        SELECT label,
+               CAST(list_aggregate(list_transform(v, x -> x * x), 'sum') AS BIGINT)
+                   AS nsq
+        FROM e
+    ),
+    agg AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   CAST(SUM(nsq) AS BIGINT) AS sum_norm_sq
+            FROM pernorm GROUP BY 1),
+    comps AS (
+        SELECT e.label, u.i AS pos, CAST(SUM(e.v[u.i]) AS BIGINT) AS s
+        FROM e, UNNEST(range(1, 65)) AS u(i)
+        GROUP BY 1, 2
+    ),
+    means AS (
+        -- floored integer mean per component: sign-split floor division
+        -- (both engines' integer division truncates toward zero)
+        SELECT c.label,
+               CASE WHEN c.s >= 0 THEN c.s // a.n_vecs
+                    ELSE -((-c.s + a.n_vecs - 1) // a.n_vecs) END AS m
+        FROM comps c JOIN agg a USING (label)
+    ),
+    msq AS (SELECT label, CAST(SUM(m * m) AS BIGINT) AS mean_norm_sq
+            FROM means GROUP BY 1)
+    SELECT a.label, a.n_vecs, a.sum_norm_sq, q.mean_norm_sq,
+           ROUND((q.mean_norm_sq * a.n_vecs) * 1.0E0 / a.sum_norm_sq, 6)
+               AS collapse_score
+    FROM agg a JOIN msq q USING (label)
+    """,
+    tags=("similarity", "embedding", "monitoring", "drift"),
+)
+def embedding_health_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space HEALTH diagnostics per label — the collapse/
+    anisotropy monitor an embedding pipeline runs on every snapshot
+    before trusting similarity search on it: per label, the total
+    squared norm (milli-unit^2 lattice — per-vector <= 64*320^2 =
+    6.5e6, int64-safe to ~1.4e12 vectors), the squared norm of the
+    FLOORED integer mean vector, and the collapse score
+    |mean|^2 * n / sum|x|^2 — ~0 for isotropic (healthy) embeddings,
+    ->1 when vectors collapse onto one direction (the classic
+    representation-collapse failure). All sums are exact BIGINTs on the
+    milli lattice; the mean uses the sign-split floor division both
+    engines share; the score is ONE IEEE division of exact integers.
+    Scale shape: one per-vector fold + one (label, pos) aggregation —
+    map-side partials, 64*|labels| grouped rows, nothing quadratic."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(floor(x * 1e3 + 0.5) AS BIGINT))").alias("v"),
+    )
+    agg = (
+        e.select(
+            "label",
+            F.expr(
+                "aggregate(transform(v, x -> x * x), 0L, (a, z) -> a + z)"
+            ).alias("nsq"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum("nsq").cast("long").alias("sum_norm_sq"),
+        )
+    )
+    comps = (
+        e.select("label", F.posexplode("v").alias("i0", "x"))
+        .groupBy("label", "i0")
+        .agg(F.sum("x").cast("long").alias("s"))
+    )
+    means = comps.join(F.broadcast(agg.select("label", "n_vecs")), "label").select(
+        "label",
+        F.expr(
+            "CASE WHEN s >= 0 THEN s div n_vecs "
+            "ELSE -((-s + n_vecs - 1) div n_vecs) END"
+        ).alias("m"),
+    )
+    msq = means.groupBy("label").agg(
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("mean_norm_sq")
+    )
+    return agg.join(msq, "label").select(
+        "label",
+        "n_vecs",
+        "sum_norm_sq",
+        "mean_norm_sq",
+        r6(
+            (F.col("mean_norm_sq") * F.col("n_vecs"))
+            * F.lit(1.0)
+            / F.col("sum_norm_sq")
+        ).alias("collapse_score"),
+    )
+
+
 # ---- semantic train/test contamination audit -----------------------------------
 def _semantic_contamination_oracle() -> str:
     bucket_rows = "\n        UNION ALL\n        ".join(
@@ -3712,22 +3811,117 @@ def knn_graph_sparsify(spark: SparkSession, sf_dir: str) -> DataFrame:
     should trust first. Rides the session-shared scored frame — zero
     new pair generation; one per-node top-k window over candidate-sized
     data + one grouped count."""
-    s = _jaccard_scored(spark, sf_dir)
-    directed = s.select(
-        F.col("d1").alias("v"), F.col("d2").alias("u"), "j"
-    ).unionByName(s.select(F.col("d2").alias("v"), F.col("d1").alias("u"), "j"))
-    w = Window.partitionBy("v").orderBy(F.desc("j"), F.asc("u"))
-    kept = (
-        directed.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= KNN_GRAPH_K)
-        .select("v", "u", "j")
+    return _knn_edges(spark, sf_dir)
+
+
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sparsified (d1 < d2, j, mutual) kNN edge set — session-shared:
+    the sparsify query returns it and the 2-hop expansion reads it."""
+
+    def build() -> DataFrame:
+        s = _jaccard_scored(spark, sf_dir)
+        directed = s.select(
+            F.col("d1").alias("v"), F.col("d2").alias("u"), "j"
+        ).unionByName(s.select(F.col("d2").alias("v"), F.col("d1").alias("u"), "j"))
+        w = Window.partitionBy("v").orderBy(F.desc("j"), F.asc("u"))
+        kept = (
+            directed.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= KNN_GRAPH_K)
+            .select("v", "u", "j")
+        )
+        und = kept.select(
+            F.least("v", "u").alias("d1"), F.greatest("v", "u").alias("d2"), "j"
+        )
+        return und.groupBy("d1", "d2", "j").agg(
+            (F.count("*") == 2).alias("mutual")
+        )
+
+    return shared(spark, sf_dir, "knn_edges", build)
+
+
+# ---- 2-hop candidate expansion over the mutual kNN core ------------------------
+def _two_hop_oracle() -> str:
+    k = KNN_GRAPH_K
+    return f"""
+    WITH {_SHINGLES_CTE},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT d1, d2,
+               FLOOR((c * 1.0 / (ca.n + cb.n - c)) * 1e4 + 0.5) / 1e4 AS j
+        FROM common
+        JOIN counts ca ON ca.doc_id = d1
+        JOIN counts cb ON cb.doc_id = d2
+    ),
+    directed AS (
+        SELECT d1 AS v, d2 AS u, j FROM scored
+        UNION ALL
+        SELECT d2 AS v, d1 AS u, j FROM scored
+    ),
+    kept AS (
+        SELECT v, u, j FROM (
+            SELECT v, u, j,
+                   ROW_NUMBER() OVER (PARTITION BY v ORDER BY j DESC, u) AS rn
+            FROM directed) z
+        WHERE rn <= {k}
+    ),
+    und AS (SELECT LEAST(v, u) AS d1, GREATEST(v, u) AS d2, j FROM kept),
+    edges AS (SELECT d1, d2, COUNT(*) = 2 AS mutual FROM und GROUP BY 1, 2),
+    mutual_sym AS (
+        SELECT d1 AS a, d2 AS b FROM edges WHERE mutual
+        UNION ALL
+        SELECT d2 AS a, d1 AS b FROM edges WHERE mutual
+    ),
+    hops AS (
+        SELECT LEAST(x.a, y.b) AS d1, GREATEST(x.a, y.b) AS d2,
+               CAST(COUNT(DISTINCT x.b) AS BIGINT) AS n_via
+        FROM mutual_sym x JOIN mutual_sym y ON y.a = x.b AND x.a <> y.b
+        GROUP BY 1, 2
     )
-    und = kept.select(
-        F.least("v", "u").alias("d1"), F.greatest("v", "u").alias("d2"), "j"
+    SELECT h.d1, h.d2, h.n_via
+    FROM hops h LEFT JOIN edges e ON e.d1 = h.d1 AND e.d2 = h.d2
+    WHERE e.d1 IS NULL
+    """
+
+
+@query(
+    "two_hop_candidates",
+    oracle=_two_hop_oracle(),
+    tags=("graph", "dedup", "knn", "recall-expansion"),
+)
+def two_hop_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive RECALL EXPANSION over the mutual kNN core: pairs at
+    distance exactly 2 through mutual edges (with the shared-neighbor
+    count as evidence) that are NOT already direct sparsified edges —
+    the candidates a banding/threshold pass missed but transitivity
+    suggests (A~B, B~C => check A,C). Running the expansion on the
+    DEGREE-CAPPED mutual graph is what makes it scale-safe: mutual
+    degree <= {KNN_GRAPH_K} bounds 2-hop fan-out by {KNN_GRAPH_K}^2 per
+    node, where the same join on the raw candidate graph would be
+    quadratic in hot documents. One self-join of the bounded edge list
+    + one anti join against direct edges; rides the session-shared kNN
+    edge frame."""
+    edges = _knn_edges(spark, sf_dir)
+    mutual = edges.where("mutual")
+    ms = mutual.select(F.col("d1").alias("a"), F.col("d2").alias("b")).unionByName(
+        mutual.select(F.col("d2").alias("a"), F.col("d1").alias("b"))
     )
-    return und.groupBy("d1", "d2", "j").agg(
-        (F.count("*") == 2).alias("mutual")
+    hops = (
+        ms.alias("x")
+        .join(ms.alias("y"), (F.col("y.a") == F.col("x.b")) & (F.col("x.a") != F.col("y.b")))
+        .select(
+            F.least("x.a", "y.b").alias("d1"),
+            F.greatest("x.a", "y.b").alias("d2"),
+            F.col("x.b").alias("via"),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.countDistinct("via").cast("long").alias("n_via"))
     )
+    return hops.join(edges.select("d1", "d2"), ["d1", "d2"], "left_anti")
 
 
 # ---- index-family self-evaluation: recall@k vs the brute-force truth ---------

@@ -163,6 +163,8 @@ CHECK_QUERIES = [
     "leakage_safe_split",
     "knn_graph_sparsify",
     "tokenizer_fertility",
+    "two_hop_candidates",
+    "embedding_health_stats",
 ]
 
 

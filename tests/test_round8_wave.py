@@ -152,6 +152,43 @@ def test_tokenizer_fertility_reconciles_with_token_stats(spark, sf_dir):
         assert abs(r["fertility"] - round(r["bpe_tokens"] / r["ws_tokens"], 4)) < 1e-9
 
 
+def test_two_hop_candidates_are_distance_two_and_not_adjacent(spark, sf_dir):
+    """Every emitted pair is connected through >=1 shared mutual
+    neighbor, is NOT a direct sparsified edge, and n_via is bounded by
+    the mutual degree cap K."""
+    from profitscout_engine_spark.queries.similarity import KNN_GRAPH_K
+
+    hops = REGISTRY["two_hop_candidates"].fn(spark, sf_dir).toPandas()
+    edges = REGISTRY["knn_graph_sparsify"].fn(spark, sf_dir).toPandas()
+    direct = {(r["d1"], r["d2"]) for _, r in edges.iterrows()}
+    adj: dict[int, set[int]] = {}
+    for _, r in edges[edges["mutual"]].iterrows():
+        adj.setdefault(r["d1"], set()).add(r["d2"])
+        adj.setdefault(r["d2"], set()).add(r["d1"])
+    assert not hops.empty
+    assert (hops["n_via"] <= KNN_GRAPH_K).all()
+    for _, r in hops.iterrows():
+        assert (r["d1"], r["d2"]) not in direct
+        via = adj.get(r["d1"], set()) & adj.get(r["d2"], set())
+        assert len(via) == r["n_via"]
+
+
+def test_embedding_health_scores_are_sane(spark, sf_dir):
+    """Collapse score is in [0, 1] up to flooring slack, every label's
+    vector count reconciles with the corpus, and the random-ish fixture
+    embeddings read as healthy (score well below the collapse regime)."""
+    out = REGISTRY["embedding_health_stats"].fn(spark, sf_dir).toPandas()
+    from profitscout_engine_spark.queries._util import t as _t
+
+    n_vecs = _t(spark, sf_dir, "embeddings").count()
+    assert out["n_vecs"].sum() == n_vecs
+    assert (out["sum_norm_sq"] > 0).all()
+    assert (out["mean_norm_sq"] >= 0).all()
+    assert (out["collapse_score"] >= 0).all()
+    assert (out["collapse_score"] <= 1.0).all()  # Cauchy-Schwarz bound
+    assert (out["collapse_score"] < 0.5).all(), "fixture should read healthy"
+
+
 def test_incremental_lpa_changes_stay_inside_the_delta_frontier(spark, sf_dir):
     """Every doc appears exactly once; isolated docs keep their own label
     unchanged; any node flagged changed lies within INC_LPA_ROUNDS hops
