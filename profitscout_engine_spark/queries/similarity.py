@@ -3842,7 +3842,7 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- 2-hop candidate expansion over the mutual kNN core ------------------------
 def _two_hop_oracle() -> str:
     k = KNN_GRAPH_K
-    return f"""
+    sql = f"""
     WITH {_SHINGLES_CTE},
     counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
     common AS (
@@ -3886,6 +3886,15 @@ def _two_hop_oracle() -> str:
     FROM hops h LEFT JOIN edges e ON e.d1 = h.d1 AND e.d2 = h.d2
     WHERE e.d1 IS NULL
     """
+    # MATERIALIZED is load-bearing here: the mutual_sym self-join +
+    # edges anti-join reference the kept/und chain repeatedly, and
+    # DuckDB's inlining re-derives the whole shingle chain per reference
+    # — out-of-temp-disk at the 8x replica (the k_core_peel trap class)
+    return _materialize_ctes(
+        sql,
+        ("sh_all", "sh", "counts", "common", "scored", "directed",
+         "kept", "und", "edges", "mutual_sym"),
+    )
 
 
 @query(
