@@ -101,9 +101,11 @@ def main() -> None:
                 # Which run produced this file (VERDICT r6 item 7): the
                 # driver's per-round bench overwrites it in place, so
                 # round-over-round comparisons must never mix hosts/runs.
-                # Unlabeled runs ARE the driver's (it never sets the env),
-                # so default to "driver" — builder runs set BENCH_PRODUCER.
-                "producer": os.environ.get("BENCH_PRODUCER", "driver"),
+                # Default is "unlabeled" (ADVICE r8): an ad-hoc run without
+                # the env var must not silently claim driver provenance —
+                # only deliberate BENCH_PRODUCER=driver/builder runs carry
+                # a label trusted in round-over-round comparisons.
+                "producer": os.environ.get("BENCH_PRODUCER", "unlabeled"),
                 "run_utc": datetime.datetime.now(datetime.timezone.utc).strftime(
                     "%Y-%m-%dT%H:%M:%SZ"
                 ),

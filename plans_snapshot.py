@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -67,30 +68,33 @@ def main() -> None:
     # per-run chunk dir: fixed /tmp paths could be clobbered by (or load a
     # stale file from) a concurrent snapshot run.
     chunk_dir = tempfile.mkdtemp(prefix="plans_snapshot_")
-    for i in range(0, len(names), CHUNK):
-        chunk = names[i : i + CHUNK]
-        out = os.path.join(chunk_dir, f"plans_chunk_{i}.json")
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker",
-                 "--names", ",".join(chunk), "--out", out],
-                capture_output=True, text=True, timeout=900,
-            )
-        except subprocess.TimeoutExpired:
-            # a hung chunk is recorded like any other worker failure
-            # instead of aborting the whole snapshot run
-            for n in chunk:
-                skipped.setdefault(n, "worker timeout (900s)")
-            continue
-        if r.returncode != 0 or not os.path.exists(out):
-            for n in chunk:
-                skipped.setdefault(n, f"worker failed: {r.stderr[-160:]}")
-            continue
-        part = json.load(open(out))
-        flags.update(part["flags"])
-        skipped.update(part["skipped"])
-        print(f"chunk {i // CHUNK + 1}: +{len(part['flags'])} "
-              f"(skipped {len(part['skipped'])})", flush=True)
+    try:
+        for i in range(0, len(names), CHUNK):
+            chunk = names[i : i + CHUNK]
+            out = os.path.join(chunk_dir, f"plans_chunk_{i}.json")
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--worker",
+                     "--names", ",".join(chunk), "--out", out],
+                    capture_output=True, text=True, timeout=900,
+                )
+            except subprocess.TimeoutExpired:
+                # a hung chunk is recorded like any other worker failure
+                # instead of aborting the whole snapshot run
+                for n in chunk:
+                    skipped.setdefault(n, "worker timeout (900s)")
+                continue
+            if r.returncode != 0 or not os.path.exists(out):
+                for n in chunk:
+                    skipped.setdefault(n, f"worker failed: {r.stderr[-160:]}")
+                continue
+            part = json.load(open(out))
+            flags.update(part["flags"])
+            skipped.update(part["skipped"])
+            print(f"chunk {i // CHUNK + 1}: +{len(part['flags'])} "
+                  f"(skipped {len(part['skipped'])})", flush=True)
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
     out = {
         "sf_dir": SF,
         "clear_first": True,
