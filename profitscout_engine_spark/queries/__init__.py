@@ -108,79 +108,84 @@ _MODULES = (
     "tpch",
 )
 
-# Round-8 window rotation (VERDICT r7 plan). Composition, mechanically
-# derived from DRIVER_STATE.json (driver_state.py --check after the r7 stamp
-# reported 0 problems, so staleness comes only from round-8 edits):
-#   1-2    the ONLY two never-driver-checked queries (added after the r7
-#          window froze; judge-r7 exact at sf0.01 + 2x);
-#   3-4    the two queries whose last basis is a SWEEP restamp, not a driver
-#          row (their oracles gained MATERIALIZED hints after their last
-#          driver row — a sweep verified them, but a driver row is stronger);
-#   5-6    queries edited THIS round (k-means exact-integer M-step rounding,
-#          expectation_audit NULL-FK semantics) — their r7 stamps go stale
-#          the moment the edits land, so they re-enter the window;
-#   7-31   the 25 remaining r2-vintage greens (oldest) as freshness re-rows;
-#   32-44  the 13 alphabetically-first r3-vintage greens;
-#   45-50  round-8 additions appended at the tail as they are built.
-# Everything rotated out was driver-green in r1-r7 on unchanged code and
-# stays pinned by tests/test_correctness.py + tests/test_driver_state.py.
+# Round-9 window rotation (VERDICT r8 item 1 + ADVICE). Composition,
+# mechanically derived from DRIVER_STATE.json after `--stamp 8` (50 greens
+# stamped, `--check` 0 problems):
+#   1-4    the 4 NEVER-driver-checked queries (added after the r8 window
+#          froze; judge-r8 swept exact at sf0.01, so risk is low);
+#   5-19   the 15 rows whose basis is the r8 builder sweep restamp (their
+#          plan shas flipped under the RDD-id normalizer fix; a sweep
+#          verified them, but a driver row is stronger);
+#   20-21  queries edited THIS round (corpus_filter_pipeline source
+#          refactor for the capstone; incremental_lpa_delta perf work) —
+#          their r8 stamps go stale the moment the edits land;
+#   22-25  round-9 additions (url canonicalization dedup, shard-aware
+#          training shuffle, centroid drift monitor, curation capstone);
+#   26-50  the 25 alphabetically-first r3-vintage driver greens as
+#          freshness re-rows. Per ADVICE r8, the 2 oracle-less sketch
+#          queries are EXCLUDED from freshness selection (their driver
+#          rows are rows-only `no_oracle` — a wasted hash-compare slot);
+#          they were restamped r8 anyway. The 5 remaining r3-vintage rows
+#          (two_key_sort_limit, unigram_freq_quality, union_all_patterns,
+#          value_counts_pct, window_extrema) rotate in next round.
+# Everything rotated out was driver-green r1-r8 on unchanged code and stays
+# pinned by tests/test_correctness.py + tests/test_driver_state.py.
 _WINDOW_FRONT = (
-    # -- never driver-checked (round-7 post-window additions) --
-    "community_top_terms",
-    "late_interaction_maxsim",
-    # -- sweep-basis only since their MATERIALIZED-CTE oracle fix --
-    "dedup_consensus",
-    "threshold_sweep_components",
+    # -- never driver-checked (round-8 post-window additions) --
+    "embedding_health_stats",
+    "knn_graph_sparsify",
+    "tokenizer_fertility",
+    "two_hop_candidates",
+    # -- sweep-basis only since the RDD-id plan-sha normalizer restamp --
+    "benford_audit",
+    "containment_pairs",
+    "cosine_lsh_topk",
+    "dedup_impact_report",
+    "dedup_keep_best",
+    "embedding_neardup_lsh",
+    "enrichment_pipeline",
+    "graph_modularity",
+    "hard_negatives",
+    "hybrid_rank_fusion",
+    "k_core_peel",
+    "pct_change_guarded",
+    "prefix_filter_jaccard",
+    "table_profile",
+    "two_stage_rerank",
     # -- edited this round (stamps stale by construction) --
-    "kmeans_train_converged",
-    "expectation_audit",
-    # -- freshness re-rows: the remaining r2-vintage green rows --
-    "ivf_search_nprobe",
-    "ivf_search_topk",
-    "lang_id_heuristic",
-    "length_winsorize",
-    "minhash_lsh_pairs",
-    "multimodal_features",
-    "neardup_components",
-    "ngram_jaccard_pairs",
-    "per_lang_sample",
-    "pii_scrub",
-    "random_projection",
-    "repetition_metrics",
-    "scanner_rank",
-    "scenario_explode",
-    "session_windows",
-    "simhash_pairs",
-    "sma_window",
-    "stateful_user_totals",
-    "text_quality",
-    "tfidf_top_terms",
-    "token_stats",
-    "trading_day_offsets",
-    "tumbling_window_agg",
-    "vocab_coverage",
-    "zscore_normalize",
-    # -- freshness re-rows: oldest r3-vintage green rows --
-    "approx_distinct_sketch",
-    "approx_quantile_sketch",
-    "argmin_nearest",
-    "atr_true_range",
-    "best_contract",
-    "bollinger_bands",
-    "bpe_pair_counts",
-    "coalesce_fallback",
-    "compound_gate",
-    "conditional_aggregates",
-    "contract_symbols",
-    "date_arithmetic",
-    "date_span_rates",
-    # -- round-8 additions + the _gram_frame/_gram_matvec refactor consumer --
-    "gram_power_iteration",
-    "gram_topk_deflation",
-    "ivf_rebuild_audit",
+    "corpus_filter_pipeline",
     "incremental_lpa_delta",
-    "semantic_contamination_audit",
-    "leakage_safe_split",
+    # -- round-9 additions --
+    "url_canonical_dedup",
+    "training_order_shuffle",
+    "centroid_drift_monitor",
+    "corpus_curation_pipeline",
+    # -- freshness re-rows: the 25 alphabetically-first r3-vintage greens --
+    "dedup_rank",
+    "dim_enrichment_revenue",
+    "distinct_pairs",
+    "funnel_stages",
+    "future_rows_top3",
+    "histogram_buckets",
+    "json_extraction",
+    "latest_day_filter",
+    "lead_returns",
+    "max_losing_streak",
+    "membership_semi",
+    "multiway_join",
+    "negated_conjunction",
+    "null_guard_cast",
+    "obv_cumulative",
+    "pattern_combo_having",
+    "pruned_scan",
+    "regime_weighted_score",
+    "rollup_totals",
+    "seq_packing",
+    "set_ops_intersect_except",
+    "string_extract",
+    "tier_tally",
+    "token_stats_bpe",
+    "top_n_per_group",
 )
 
 

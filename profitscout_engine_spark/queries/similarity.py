@@ -5748,3 +5748,115 @@ def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---- centroid drift monitor: distribution shift vs the serving IVF index ------
+DRIFT_PM_THRESHOLD = 30  # per-mille share shift at which a list is flagged
+
+
+def _centroid_drift_oracle() -> str:
+    return f"""
+    WITH {_IVF_ASSIGN_CTES},
+    asg AS (
+        SELECT a.vec_id, a.c_label, d.dist,
+               CASE WHEN substr(md5('drift|' || CAST(a.vec_id AS VARCHAR)), 1, 1)
+                    BETWEEN '0' AND '7' THEN 1 ELSE 0 END AS is_new
+        FROM assign a JOIN d ON d.vec_id = a.vec_id AND d.c_label = a.c_label
+    ),
+    m AS (
+        SELECT c_label, is_new, CAST(floor(dist * 1000) AS BIGINT) AS mdist
+        FROM asg
+    ),
+    tot AS (
+        SELECT greatest(CAST(SUM(1 - is_new) AS BIGINT), 1) AS tot_old,
+               greatest(CAST(SUM(is_new) AS BIGINT), 1) AS tot_new
+        FROM m
+    ),
+    g AS (
+        SELECT c_label,
+               CAST(SUM(1 - is_new) AS BIGINT) AS n_old,
+               CAST(SUM(is_new) AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN is_new = 0 THEN mdist END) AS BIGINT) AS sd_old,
+               CAST(SUM(CASE WHEN is_new = 1 THEN mdist END) AS BIGINT) AS sd_new
+        FROM m GROUP BY 1
+    )
+    SELECT c_label AS centroid, n_old, n_new,
+           CAST(CASE WHEN n_old > 0 THEN sd_old // n_old END AS BIGINT)
+               AS mean_mdist_old,
+           CAST(CASE WHEN n_new > 0 THEN sd_new // n_new END AS BIGINT)
+               AS mean_mdist_new,
+           CAST(n_old * 1000 // tot_old AS BIGINT) AS share_old_pm,
+           CAST(n_new * 1000 // tot_new AS BIGINT) AS share_new_pm,
+           CAST(n_new * 1000 // tot_new - n_old * 1000 // tot_old AS BIGINT)
+               AS drift_pm,
+           abs(n_new * 1000 // tot_new - n_old * 1000 // tot_old)
+               > {DRIFT_PM_THRESHOLD} AS drifted
+    FROM g CROSS JOIN tot
+    """
+
+
+@query(
+    "centroid_drift_monitor",
+    oracle=_centroid_drift_oracle(),
+    tags=("similarity", "ivf", "monitoring", "drift"),
+)
+def centroid_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-drift monitor for the serving IVF index (VERDICT r8
+    next-wave item c) — closes the index-maintenance loop that
+    `embedding_health_stats` (collapse/anisotropy) and
+    `ivf_rebuild_audit` (rebuild parity) bracket: vectors split
+    deterministically into the SERVING era and a NEW era (md5 of
+    vec_id, salted independently of every other split in the suite),
+    both eras route to their nearest serving centroid (the session-
+    shared ranked frame), and each inverted list reports its old/new
+    assignment counts, per-mille traffic share in each era, the share
+    drift, and the mean assignment distance per era on the exact
+    milli-lattice (floored-integer division — no float averaging).
+    A list whose share moved more than {DRIFT_PM_THRESHOLD} per-mille
+    is flagged: the rebuild trigger a production vector store runs on
+    a schedule. Scale shape: one pass over the (cached) n_vec x
+    n_centroid ranked frame, one bounded GROUP BY on the centroid id,
+    era totals via a 1-row broadcast cross join — no new quadratic or
+    driver-side surface."""
+    a = _ivf_assignments(spark, sf_dir)
+    is_new = (
+        F.substring(
+            F.md5(F.concat(F.lit("drift|"), F.col("vec_id").cast("string"))), 1, 1
+        ).between("0", "7")
+    ).cast("int")
+    m = a.select(
+        F.col("assigned_label").alias("centroid"),
+        is_new.alias("is_new"),
+        F.floor(F.col("dist") * 1000).cast("long").alias("mdist"),
+    )
+    tot = m.agg(
+        F.greatest(F.sum(1 - F.col("is_new")).cast("long"), F.lit(1)).alias("tot_old"),
+        F.greatest(F.sum("is_new").cast("long"), F.lit(1)).alias("tot_new"),
+    )
+    g = m.groupBy("centroid").agg(
+        F.sum(1 - F.col("is_new")).cast("long").alias("n_old"),
+        F.sum("is_new").cast("long").alias("n_new"),
+        F.sum(F.when(F.col("is_new") == 0, F.col("mdist"))).cast("long").alias("sd_old"),
+        F.sum(F.when(F.col("is_new") == 1, F.col("mdist"))).cast("long").alias("sd_new"),
+    )
+    out = g.crossJoin(F.broadcast(tot)).select(
+        "centroid",
+        "n_old",
+        "n_new",
+        F.expr("CASE WHEN n_old > 0 THEN sd_old div n_old END").cast("long").alias(
+            "mean_mdist_old"
+        ),
+        F.expr("CASE WHEN n_new > 0 THEN sd_new div n_new END").cast("long").alias(
+            "mean_mdist_new"
+        ),
+        F.expr("n_old * 1000 div tot_old").cast("long").alias("share_old_pm"),
+        F.expr("n_new * 1000 div tot_new").cast("long").alias("share_new_pm"),
+        F.expr("n_new * 1000 div tot_new - n_old * 1000 div tot_old")
+        .cast("long")
+        .alias("drift_pm"),
+        (
+            F.abs(F.expr("n_new * 1000 div tot_new - n_old * 1000 div tot_old"))
+            > DRIFT_PM_THRESHOLD
+        ).alias("drifted"),
+    )
+    return out

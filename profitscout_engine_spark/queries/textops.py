@@ -1042,10 +1042,12 @@ FILTER_MAX_D3F = 0.05
 FILTER_MAX_CONSEC = 6
 
 
-@query(
-    "corpus_filter_pipeline",
-    oracle=f"""
-    WITH tk AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tk FROM documents),
+# Oracle fragments shared VERBATIM with the curation capstone's oracle
+# (corpus_curation_pipeline): the gate metrics and the keep/drop ladder have
+# ONE SQL definition, so the standalone gate and the composed pipeline cannot
+# drift. The standalone oracle below splices them back into the exact text it
+# always had (byte-identical — driver-state hashes see no oracle change).
+FILTER_METRICS_CTES = """tk AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tk FROM documents),
     tri AS (
         SELECT doc_id, n_chars, tk,
                list_transform(range(1, greatest(len(tk) - 1, 1)),
@@ -1070,8 +1072,9 @@ FILTER_MAX_CONSEC = 6
                      + 0.3 * (len(list_distinct(tk)) * 1.0 / len(tk)), 4)
                    AS quality_score
         FROM tri
-    )
-    SELECT doc_id, n_tokens, quality_score, top_token_frac, dup_3gram_frac,
+    )"""
+
+FILTER_GATE_SELECT = f"""SELECT doc_id, n_tokens, quality_score, top_token_frac, dup_3gram_frac,
            n_consec_repeat,
            CASE WHEN n_tokens < {FILTER_MIN_TOKENS} THEN 'too_short'
                 WHEN quality_score < {FILTER_MIN_QUALITY} THEN 'low_quality'
@@ -1085,7 +1088,14 @@ FILTER_MAX_CONSEC = 6
                  AND dup_3gram_frac <= {FILTER_MAX_D3F}
                  AND n_consec_repeat <= {FILTER_MAX_CONSEC}
                 THEN TRUE ELSE FALSE END AS keep
-    FROM m
+    FROM m"""
+
+
+@query(
+    "corpus_filter_pipeline",
+    oracle=f"""
+    WITH {FILTER_METRICS_CTES}
+    {FILTER_GATE_SELECT}
     """,
     tags=("textops", "curation", "filter-pipeline"),
 )
@@ -1100,8 +1110,27 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     boolean). Metrics are rounded BEFORE thresholding so both engines
     gate identical values. At 100 TB this is the map-only stage before
     dedup: no aggregation, no join, throughput = scan bandwidth."""
+    return filter_gate_frame(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        "quality_score",
+        "top_token_frac",
+        "dup_3gram_frac",
+        "n_consec_repeat",
+        "drop_reason",
+        "keep",
+    )
+
+
+def filter_gate_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc gate metrics + ordered keep/drop ladder, carrying lang and
+    source so downstream composition (corpus_curation_pipeline) can
+    rebalance and pack without a second corpus join. corpus_filter_pipeline
+    projects its historical columns off this frame; Catalyst prunes the
+    extra columns from the scan there, so the standalone gate's plan is
+    unchanged."""
     d = _docs(spark, sf_dir).select(
-        "doc_id", "n_chars", tokens(F.col("text")).alias("tk")
+        "doc_id", "lang", "source", "n_chars", tokens(F.col("text")).alias("tk")
     )
     n = F.size("tk")
     stop_list = ",".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
@@ -1131,6 +1160,8 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ncr = F.expr("size(filter(tk, (x, i) -> i > 0 AND tk[i-1] = x))").cast("long")
     m = d.select(
         "doc_id",
+        "lang",
+        "source",
         n.cast("long").alias("n_tokens"),
         quality.alias("quality_score"),
         ttf.alias("top_token_frac"),
@@ -1637,4 +1668,143 @@ def cross_modal_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("modality"),
         F.coalesce(F.col("tp.n_shared_bands"), F.lit(-1)).cast("long").alias("n_shared_bands"),
         F.coalesce(F.col("ip.hamming"), F.lit(-1)).cast("long").alias("hamming"),
+    )
+
+
+# --- URL canonicalization dedup: the stage-0 pass of a web-corpus pipeline -----
+# The fixture has no URL column, so a messy raw URL is DERIVED deterministically
+# per doc (md5-digit-driven scheme case, www prefix, host case, default port,
+# trailing slash, param order, utm_* tracking params, fragment) and then
+# CANONICALIZED by parsing the string — the parse/normalize path is the
+# operator under test; the generator just manufactures realistic mess.
+_URL_K = "md5('url|' || CAST(doc_id AS VARCHAR))"          # DuckDB digit source
+_URL_K_SPARK = "md5(concat('url|', CAST(doc_id AS STRING)))"
+
+
+def _raw_url_sql(k: str, upper_fn: str) -> str:
+    """The messy-URL generator, shared text for both engines: `k` is the
+    md5 hex string expression, `upper_fn` the engine's upper() name."""
+    return (
+        f"CASE WHEN substr({k}, 1, 1) BETWEEN '0' AND '7' THEN 'https' ELSE 'HTTPS' END"
+        f" || '://'"
+        f" || CASE WHEN substr({k}, 2, 1) BETWEEN 'a' AND 'f' THEN 'www.' ELSE '' END"
+        f" || CASE WHEN substr({k}, 3, 1) BETWEEN '0' AND '3'"
+        f"         THEN {upper_fn}(source || '.example.com')"
+        f"         ELSE source || '.example.com' END"
+        f" || CASE WHEN substr({k}, 4, 1) BETWEEN '0' AND '1' THEN ':443' ELSE '' END"
+        f" || '/docs/' || CAST(doc_id % 40 AS VARCHAR)"
+        f" || CASE WHEN substr({k}, 5, 1) BETWEEN '0' AND '7' THEN '/' ELSE '' END"
+        f" || CASE WHEN substr({k}, 8, 1) BETWEEN 'c' AND 'f' THEN ''"
+        f"         ELSE '?' || CASE WHEN substr({k}, 7, 1) BETWEEN '0' AND '5'"
+        f"                          THEN 'utm_source=feed&' ELSE '' END"
+        f"             || CASE WHEN substr({k}, 6, 1) BETWEEN '0' AND '7'"
+        f"                     THEN 'a=1&b=2' ELSE 'b=2&a=1' END END"
+        f" || CASE WHEN substr({k}, 9, 1) IN ('0', '4', '8', 'c') THEN '#frag' ELSE '' END"
+    )
+
+
+def _url_dedup_oracle() -> str:
+    raw = _raw_url_sql(_URL_K, "upper")
+    return f"""
+    WITH raw AS (SELECT doc_id, {raw} AS raw_url FROM documents),
+    parts AS (
+        SELECT doc_id, raw_url,
+               lower(split_part(raw_url, '://', 1)) AS scheme,
+               split_part(split_part(raw_url, '://', 2), '#', 1) AS rest
+        FROM raw
+    ),
+    hostpq AS (
+        SELECT doc_id, raw_url, scheme,
+               split_part(rest, '/', 1) AS host_part,
+               substr(rest, length(split_part(rest, '/', 1)) + 1) AS pq
+        FROM parts
+    ),
+    norm AS (
+        SELECT doc_id, raw_url, scheme,
+               regexp_replace(regexp_replace(lower(host_part), ':443$', ''),
+                              '^www\\.', '') AS host,
+               split_part(pq, '?', 1) AS path0,
+               CASE WHEN contains(pq, '?') THEN split_part(pq, '?', 2) ELSE '' END AS query
+        FROM hostpq
+    ),
+    canon AS (
+        SELECT doc_id, raw_url,
+               scheme || '://' || host
+               || CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
+                       THEN substr(path0, 1, length(path0) - 1) ELSE path0 END
+               || CASE WHEN query = '' THEN ''
+                       ELSE CASE WHEN array_to_string(list_sort(list_filter(
+                                     string_split(query, '&'),
+                                     x -> NOT starts_with(x, 'utm_'))), '&') = ''
+                                 THEN ''
+                                 ELSE '?' || array_to_string(list_sort(list_filter(
+                                     string_split(query, '&'),
+                                     x -> NOT starts_with(x, 'utm_'))), '&') END END
+                   AS canonical_url,
+               host AS domain
+        FROM norm
+    )
+    SELECT doc_id, domain, canonical_url,
+           CAST(COUNT(*) OVER (PARTITION BY canonical_url) AS BIGINT) AS group_size,
+           doc_id = MIN(doc_id) OVER (PARTITION BY canonical_url) AS is_kept
+    FROM canon
+    """
+
+
+@query(
+    "url_canonical_dedup",
+    oracle=_url_dedup_oracle(),
+    tags=("textops", "dedup", "url", "web-corpus"),
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + exact dedup on the canonical form — the
+    stage-0 pass of every web-corpus pipeline (VERDICT r8 next-wave item
+    a), run BEFORE any content dedup: fetch logs carry the same page as
+    `HTTPS://WWW.Example.com:443/docs/7/?utm_source=feed&b=2&a=1#frag`
+    and `https://example.com/docs/7?a=1&b=2`. The canonicalizer PARSES
+    the raw string (scheme, host[:port], path, query, fragment) and
+    normalizes: lowercase scheme/host, strip `www.` and the default
+    `:443` port, drop the fragment, strip the trailing slash (non-root),
+    drop `utm_*` tracking params, sort the surviving params. Dedup keeps
+    the min doc_id per canonical URL and reports the group size — the
+    per-domain dup-rate rollup is one GROUP BY away. Scale shape: the
+    parse+normalize is pure per-row string algebra riding the scan; the
+    only shuffle is the window on canonical_url (a natural high-
+    cardinality hash key, skew-free by construction)."""
+    raw = _raw_url_sql(_URL_K_SPARK, "upper").replace("AS VARCHAR", "AS STRING")
+    d = _docs(spark, sf_dir).select("doc_id", F.expr(raw).alias("raw_url"))
+    d = d.withColumn("scheme", F.expr("lower(split_part(raw_url, '://', 1))"))
+    d = d.withColumn("rest", F.expr("split_part(split_part(raw_url, '://', 2), '#', 1)"))
+    d = d.withColumn("host_part", F.expr("split_part(rest, '/', 1)"))
+    d = d.withColumn("pq", F.expr("substr(rest, length(host_part) + 1)"))
+    d = d.withColumn(
+        "host",
+        F.expr(
+            r"regexp_replace(regexp_replace(lower(host_part), ':443$', ''), '^www\\.', '')"
+        ),
+    )
+    d = d.withColumn("path0", F.expr("split_part(pq, '?', 1)"))
+    d = d.withColumn(
+        "query",
+        F.expr("CASE WHEN contains(pq, '?') THEN split_part(pq, '?', 2) ELSE '' END"),
+    )
+    params = (
+        "array_join(array_sort(filter(split(query, '&'),"
+        " x -> NOT startswith(x, 'utm_'))), '&')"
+    )
+    canonical = F.expr(
+        "scheme || '://' || host"
+        " || CASE WHEN length(path0) > 1 AND path0 LIKE '%/'"
+        "         THEN substr(path0, 1, length(path0) - 1) ELSE path0 END"
+        " || CASE WHEN query = '' THEN ''"
+        f"         ELSE CASE WHEN {params} = '' THEN '' ELSE '?' || {params} END END"
+    )
+    c = d.select("doc_id", F.col("host").alias("domain"), canonical.alias("canonical_url"))
+    w = Window.partitionBy("canonical_url")
+    return c.select(
+        "doc_id",
+        "domain",
+        "canonical_url",
+        F.count("*").over(w).cast("long").alias("group_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_kept"),
     )

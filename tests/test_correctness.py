@@ -38,38 +38,52 @@ def test_entry_contract(spark):
 
 
 def test_driver_window_order_is_pinned():
-    """The driver verifies the FIRST 50 registered queries. Round-8 rotation
-    (VERDICT r7 item 1): the only 2 never-driver-checked queries lead, then
-    the 2 sweep-basis restamps (MATERIALIZED-CTE oracle fixes after their
-    last driver row), then queries edited this round, then the oldest
-    (r2/r3-vintage) greens as freshness re-rows, with the tail slots
-    reserved for round-8 additions."""
+    """The driver verifies the FIRST 50 registered queries. Round-9 rotation
+    (VERDICT r8 item 1 + ADVICE): the 4 never-driver-checked queries lead,
+    then the 15 sweep-basis restamps (RDD-id plan-sha normalizer), then
+    queries edited this round, then round-9 additions, then the oldest
+    (r3-vintage) greens as freshness re-rows — EXCLUDING the 2 oracle-less
+    sketch queries, whose driver rows are rows-only no_oracle checks
+    (a wasted hash-compare slot, per ADVICE r8)."""
     from profitscout_engine_spark.queries import _WINDOW_FRONT
 
     names = list(load_registry())
     assert names[: len(_WINDOW_FRONT)] == list(_WINDOW_FRONT)
     assert len(_WINDOW_FRONT) <= 50
-    # the never-driver-checked round-7 additions lead the window
-    assert names[0] == "community_top_terms"
-    assert names[1] == "late_interaction_maxsim"
+    # the never-driver-checked round-8 additions lead the window
+    assert names[:4] == [
+        "embedding_health_stats",
+        "knn_graph_sparsify",
+        "tokenizer_fertility",
+        "two_hop_candidates",
+    ]
     window = set(names[:50])
     assert {
-        "dedup_consensus",
-        "threshold_sweep_components",
+        # sweep-basis restamps
+        "benford_audit",
+        "two_stage_rerank",
         # edited this round — stamps stale by construction
+        "corpus_filter_pipeline",
+        "incremental_lpa_delta",
+        # round-9 additions
+        "url_canonical_dedup",
+        "training_order_shuffle",
+        "centroid_drift_monitor",
+        "corpus_curation_pipeline",
+        # freshness re-rows (r3 vintage)
+        "dedup_rank",
+        "top_n_per_group",
+    } <= window
+    # oracle-less queries never spend a freshness slot (ADVICE r8)
+    assert not {"approx_distinct_sketch", "approx_quantile_sketch"} & set(
+        _WINDOW_FRONT
+    )
+    # round-8-verified names must be GONE from the front
+    assert not {
+        "community_top_terms",
+        "late_interaction_maxsim",
         "kmeans_train_converged",
         "expectation_audit",
-        # freshness re-rows (r2/r3 vintage)
-        "minhash_lsh_pairs",
         "scanner_rank",
-        "approx_distinct_sketch",
-        "date_span_rates",
-    } <= window
-    # round-7-verified names must be GONE from the front
-    assert not {
-        "weighted_median_price",
-        "neyman_allocation",
-        "image_dhash_neardup",
-        "cross_modal_dedup_audit",
-        "pagerank_power_lattice",
+        "minhash_lsh_pairs",
     } & set(_WINDOW_FRONT)

@@ -1,0 +1,105 @@
+"""Round-9 capability wave: URL canonicalization dedup, shard-aware
+training shuffle, centroid drift monitor, and the corpus-curation
+capstone's structural invariants (stage counts telescope, zero leakage,
+pack-bin arithmetic)."""
+
+from __future__ import annotations
+
+from profitscout_engine_spark.queries import load_registry
+from profitscout_engine_spark.queries._util import t
+
+REGISTRY = load_registry()
+
+
+def test_url_canonical_form_is_normalized(spark, sf_dir):
+    out = REGISTRY["url_canonical_dedup"].fn(spark, sf_dir).toPandas()
+    assert len(out) == t(spark, sf_dir, "documents").count()
+    c = out["canonical_url"]
+    assert c.str.startswith("https://").all()  # scheme lowercased
+    assert (~c.str.contains("www.", regex=False)).all()
+    assert (~c.str.contains(":443", regex=False)).all()
+    assert (~c.str.contains("#", regex=False)).all()
+    assert (~c.str.contains("utm_", regex=False)).all()
+    assert (~c.str.endswith("/")).all()  # no root-only URLs in the fixture
+    # surviving params are sorted: a=1 before b=2 wherever both survive
+    q = c[c.str.contains("?", regex=False)].str.split("?").str[1]
+    assert (q == "a=1&b=2").all()
+    # host case folded: domains come only from the lowercased sources
+    assert out["domain"].str.islower().all()
+
+
+def test_url_dedup_keeps_exactly_one_per_group(spark, sf_dir):
+    out = REGISTRY["url_canonical_dedup"].fn(spark, sf_dir).toPandas()
+    g = out.groupby("canonical_url")
+    assert (g["is_kept"].sum() == 1).all()
+    assert (g["doc_id"].transform("size") == out.set_index(
+        out.index)["group_size"]).all()
+    kept = out[out["is_kept"]]
+    assert (kept.groupby("canonical_url")["doc_id"].first()
+            == out.groupby("canonical_url")["doc_id"].min()).all()
+
+
+def test_training_shuffle_is_a_permutation(spark, sf_dir):
+    out = REGISTRY["training_order_shuffle"].fn(spark, sf_dir).toPandas()
+    n = t(spark, sf_dir, "documents").count()
+    assert len(out) == n and out["doc_id"].nunique() == n
+    assert out["shard_id"].between(0, 15).all()
+    # within each shard: positions are exactly 1..shard_size
+    for sid, sub in out.groupby("shard_id"):
+        assert sorted(sub["pos"]) == list(range(1, len(sub) + 1))
+        assert (sub["shard_size"] == len(sub)).all()
+    # interleaved consumption order is collision-free
+    assert out["global_step"].nunique() == n
+    # salted md5 keys spread shards roughly uniformly (no empty shard at
+    # fixture scale, max/min within a loose band)
+    sizes = out.groupby("shard_id").size()
+    assert len(sizes) == 16 and sizes.min() >= 1
+
+
+def test_centroid_drift_accounting(spark, sf_dir):
+    out = REGISTRY["centroid_drift_monitor"].fn(spark, sf_dir).toPandas()
+    n_vec = t(spark, sf_dir, "embeddings").count()
+    assert out["n_old"].sum() + out["n_new"].sum() == n_vec
+    assert (out["drift_pm"] == out["share_new_pm"] - out["share_old_pm"]).all()
+    # floored per-mille shares: each era sums to (1000 - flooring loss)
+    for col in ("share_old_pm", "share_new_pm"):
+        assert 1000 - len(out) < out[col].sum() <= 1000
+    assert (out["drifted"] == (out["drift_pm"].abs() > 30)).all()
+    # assignment counts reconcile with the serving assignment query
+    asg = REGISTRY["ivf_centroid_assign"].fn(spark, sf_dir).toPandas()
+    per = asg.groupby("assigned_label").size()
+    merged = out.set_index("centroid")
+    assert ((merged["n_old"] + merged["n_new"]).sort_index()
+            == per.sort_index()).all()
+
+
+def test_curation_pipeline_stages_telescope(spark, sf_dir):
+    from profitscout_engine_spark.queries.curation import PACK_BUDGET
+
+    out = (
+        REGISTRY["corpus_curation_pipeline"].fn(spark, sf_dir)
+        .toPandas().sort_values("stage_id").reset_index(drop=True)
+    )
+    assert list(out["stage"]) == [
+        "filter_gate", "near_dup", "train_split", "domain_mix", "seq_packing",
+    ]
+    # stage N's input is stage N-1's survivors; drops reconcile
+    for i in range(1, 5):
+        assert out.loc[i, "n_in"] == out.loc[i - 1, "n_kept"]
+    assert (out["n_dropped"] == out["n_in"] - out["n_kept"]).all()
+    # tokens shrink monotonically with the doc set
+    assert (out["tokens_kept"].diff().dropna() <= 0).all()
+    # structural leakage audit (stage 3 aux) is zero by construction
+    assert out.loc[2, "aux"] == 0
+    # stage 1 reconciles with the standalone gate
+    gate = REGISTRY["corpus_filter_pipeline"].fn(spark, sf_dir).toPandas()
+    assert out.loc[0, "n_in"] == len(gate)
+    assert out.loc[0, "n_kept"] == int(gate["keep"].sum())
+    # stage 4: every surviving source is cut to the same floor (aux4)
+    floor = out.loc[3, "aux"]
+    assert floor > 0 and out.loc[3, "n_kept"] % floor == 0
+    # stage 5: bins can't beat perfect packing; each (lang, shard) group's
+    # greedy bins never exceed docs
+    n_bins = out.loc[4, "aux"]
+    assert n_bins >= out.loc[4, "tokens_kept"] // PACK_BUDGET
+    assert n_bins <= out.loc[4, "n_kept"]
