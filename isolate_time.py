@@ -46,8 +46,19 @@ def worker(name: str) -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
+    def full() -> float:
+        # TIME fn() TOO — bench.py does, and for iterative / order-stat
+        # queries the build step itself runs Spark jobs (propagation loops
+        # with localCheckpoints, percentile-boundary collects). The first
+        # round-9 version of this tool evaluated fn() before starting the
+        # clock and "found" a phantom 3-6x suite-vs-isolate gap that was
+        # really the untimed build work.
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
     # fresh-plan: build + execute, best-of-3 (matches bench.py's protocol).
-    fresh = [sink(fn(spark, sf_dir)) for _ in range(3)]
+    fresh = [full() for _ in range(3)]
     # exec-same-df: re-execute the LAST built frame (plan cached in Catalyst).
     df = fn(spark, sf_dir)
     sink(df)  # pay its first-execution cost outside the timed runs

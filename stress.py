@@ -165,6 +165,13 @@ CHECK_QUERIES = [
     "tokenizer_fertility",
     "two_hop_candidates",
     "embedding_health_stats",
+    # round-9 additions: the five-stage curation composition (floor counts,
+    # window ranks and pack bins all group-size-dependent), URL group sizes,
+    # the 16-shard permutation ranks, and per-mille drift shares at 8x lists
+    "corpus_curation_pipeline",
+    "url_canonical_dedup",
+    "training_order_shuffle",
+    "centroid_drift_monitor",
 ]
 
 
