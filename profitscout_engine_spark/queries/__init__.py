@@ -119,15 +119,17 @@ _MODULES = (
 #   20-21  queries edited THIS round (corpus_filter_pipeline source
 #          refactor for the capstone; incremental_lpa_delta perf work) —
 #          their r8 stamps go stale the moment the edits land;
-#   22-25  round-9 additions (url canonicalization dedup, shard-aware
-#          training shuffle, centroid drift monitor, curation capstone);
-#   26-50  the 25 alphabetically-first r3-vintage driver greens as
+#   22-27  round-9 additions (url canonicalization dedup, shard-aware
+#          training shuffle, centroid drift monitor, curation capstone,
+#          boilerplate lines, bitext margin mining);
+#   28-50  the 23 alphabetically-first r3-vintage driver greens as
 #          freshness re-rows. Per ADVICE r8, the 2 oracle-less sketch
 #          queries are EXCLUDED from freshness selection (their driver
 #          rows are rows-only `no_oracle` — a wasted hash-compare slot);
-#          they were restamped r8 anyway. The 5 remaining r3-vintage rows
-#          (two_key_sort_limit, unigram_freq_quality, union_all_patterns,
-#          value_counts_pct, window_extrema) rotate in next round.
+#          they were restamped r8 anyway. The 7 remaining r3-vintage rows
+#          (token_stats_bpe, top_n_per_group, two_key_sort_limit,
+#          unigram_freq_quality, union_all_patterns, value_counts_pct,
+#          window_extrema) rotate in next round.
 # Everything rotated out was driver-green r1-r8 on unchanged code and stays
 # pinned by tests/test_correctness.py + tests/test_driver_state.py.
 _WINDOW_FRONT = (
@@ -160,7 +162,9 @@ _WINDOW_FRONT = (
     "training_order_shuffle",
     "centroid_drift_monitor",
     "corpus_curation_pipeline",
-    # -- freshness re-rows: the 25 alphabetically-first r3-vintage greens --
+    "boilerplate_lines",
+    "bitext_margin_mining",
+    # -- freshness re-rows: the 23 alphabetically-first r3-vintage greens --
     "dedup_rank",
     "dim_enrichment_revenue",
     "distinct_pairs",
@@ -184,8 +188,6 @@ _WINDOW_FRONT = (
     "set_ops_intersect_except",
     "string_extract",
     "tier_tally",
-    "token_stats_bpe",
-    "top_n_per_group",
 )
 
 

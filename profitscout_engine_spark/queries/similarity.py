@@ -5891,3 +5891,146 @@ def centroid_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("drifted"),
     )
     return out
+
+
+# ---- bitext mining: margin-criterion translation-pair candidates ---------------
+BITEXT_TOPN = 4       # neighborhood size for the margin denominator
+BITEXT_MARGIN_MIN = 1.05  # mined pairs must beat their neighborhoods by 5%
+
+
+def _bitext_oracle() -> str:
+    bucket_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT vec_id, {t_} AS table_id, {_lsh_bucket_sql('v', t_)} AS bucket FROM e"
+        for t_ in range(sim.LSH_TABLES)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    buckets AS (
+        {bucket_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM buckets a JOIN buckets b
+          ON a.table_id = b.table_id AND a.bucket = b.bucket
+         AND a.vec_id <> b.vec_id
+    ),
+    sims AS (
+        SELECT c.a_id, c.b_id,
+               CAST(FLOOR({_cosine_sql('ea.v', 'eb.v')} * 1e6 + 0.5) AS BIGINT)
+                   AS msim
+        FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id
+    ),
+    crossed AS (
+        SELECT * FROM sims WHERE a_id % 2 <> b_id % 2 AND msim > 0
+    ),
+    nbh AS (
+        SELECT a_id, CAST(SUM(msim) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT a_id, msim,
+                   ROW_NUMBER() OVER (PARTITION BY a_id
+                                      ORDER BY msim DESC, b_id) AS rn
+            FROM crossed) z
+        WHERE rn <= {BITEXT_TOPN}
+        GROUP BY 1
+    ),
+    j AS (
+        SELECT c.a_id, c.b_id, c.msim,
+               na.s AS sa, na.n AS n_a, nb.s AS sb, nb.n AS n_b
+        FROM crossed c
+        JOIN nbh na ON na.a_id = c.a_id
+        JOIN nbh nb ON nb.a_id = c.b_id
+        WHERE c.a_id % 2 = 0
+    ),
+    m AS (
+        SELECT a_id, b_id, msim,
+               ROUND((2 * msim * n_a * n_b) * 1.0 / (sa * n_b + sb * n_a), 6)
+                   AS margin
+        FROM j
+    ),
+    r AS (
+        SELECT a_id, b_id, msim, margin,
+               ROW_NUMBER() OVER (PARTITION BY a_id
+                                  ORDER BY margin DESC, b_id) AS rn
+        FROM m WHERE margin >= {BITEXT_MARGIN_MIN}
+    )
+    SELECT a_id AS src_id, b_id AS tgt_id, msim, margin FROM r WHERE rn = 1
+    """
+
+
+@query(
+    "bitext_margin_mining",
+    oracle=_bitext_oracle(),
+    tags=("similarity", "bitext", "mining", "retrieval"),
+)
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext (translation-pair) mining with the Artetxe–Schwenk MARGIN
+    criterion over the shared LSH candidate set — the parallel-corpus
+    miner an LLM-data pipeline runs over multilingual embeddings: raw
+    cosine retrieval mines hubs (vectors close to everything); dividing
+    by the mean similarity of each endpoint's own cross-lingual
+    neighborhood (top-{BITEXT_TOPN}) cancels hubness. Sides are the
+    deterministic vec_id parity (the fixture has no language column on
+    embeddings); only cross-side, positive-cosine candidates compete.
+    All accumulation is exact: cosines land on the micro-lattice
+    (floor(x*1e6+0.5) BIGINT), neighborhood sums/counts are BIGINTs, and
+    the margin is ONE IEEE division of two exact integers —
+    margin = 2*msim*n_a*n_b / (sa*n_b + sb*n_a) — so both engines round
+    the same double. A mined pair must beat its neighborhoods by
+    {BITEXT_MARGIN_MIN}x; the best target per source (margin desc,
+    tgt id tie-break) is emitted. Scale shape: candidates come from the
+    session-shared banded LSH frame (never corpus²), neighborhoods are
+    one top-N window + one bounded aggregation on the candidate set,
+    and the final join keys on vector ids — plain shuffle equi-joins."""
+    s = _lsh_scored(spark, sf_dir)
+    directed = s.select(
+        F.col("d1").alias("a_id"), F.col("d2").alias("b_id"), "sim_raw"
+    ).unionByName(
+        s.select(F.col("d2").alias("a_id"), F.col("d1").alias("b_id"), "sim_raw")
+    )
+    crossed = directed.where(
+        (F.col("a_id") % 2 != F.col("b_id") % 2)
+    ).select(
+        "a_id",
+        "b_id",
+        F.floor(F.col("sim_raw") * 1e6 + 0.5).cast("long").alias("msim"),
+    ).where(F.col("msim") > 0)
+    w_top = Window.partitionBy("a_id").orderBy(F.desc("msim"), F.asc("b_id"))
+    nbh = (
+        crossed.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= BITEXT_TOPN)
+        .groupBy("a_id")
+        .agg(F.sum("msim").cast("long").alias("s"), F.count("*").cast("long").alias("n"))
+    )
+    j = (
+        crossed.where(F.col("a_id") % 2 == 0)
+        .join(
+            nbh.select(F.col("a_id"), F.col("s").alias("sa"), F.col("n").alias("n_a")),
+            "a_id",
+        )
+        .join(
+            nbh.select(
+                F.col("a_id").alias("b_id"), F.col("s").alias("sb"), F.col("n").alias("n_b")
+            ),
+            "b_id",
+        )
+    )
+    m = j.select(
+        "a_id",
+        "b_id",
+        "msim",
+        r6(
+            (F.lit(2) * F.col("msim") * F.col("n_a") * F.col("n_b"))
+            / (F.col("sa") * F.col("n_b") + F.col("sb") * F.col("n_a"))
+        ).alias("margin"),
+    ).where(F.col("margin") >= BITEXT_MARGIN_MIN)
+    w_best = Window.partitionBy("a_id").orderBy(F.desc("margin"), F.asc("b_id"))
+    return (
+        m.withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("a_id").alias("src_id"),
+            F.col("b_id").alias("tgt_id"),
+            "msim",
+            "margin",
+        )
+    )

@@ -1808,3 +1808,110 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("long").alias("group_size"),
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_kept"),
     )
+
+
+# --- boilerplate line detection: per-domain repeated-line scrub -----------------
+# "Lines" are non-overlapping 2-token windows (the fixture's text has no
+# newlines; the operator shape — explode lines, per-domain doc-frequency,
+# flag lines above a share threshold, join the flags back per doc — is the
+# jusText/trafilatura-style boilerplate pass a web pipeline runs after URL
+# dedup and before content dedup.)
+BOILER_LINE_TOKENS = 2
+BOILER_MIN_DF = 2  # a line must appear in >=2 docs AND >=20% of its domain
+
+
+@query(
+    "boilerplate_lines",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+    lines AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(0, len(tk) // {BOILER_LINE_TOKENS}),
+                   i -> array_to_string(
+                       tk[{BOILER_LINE_TOKENS}*i+1:{BOILER_LINE_TOKENS}*i+{BOILER_LINE_TOKENS}],
+                       ' '))) AS line
+        FROM tk
+    ),
+    nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+    df AS (
+        SELECT source, line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM lines GROUP BY 1, 2
+    ),
+    boiler AS (
+        SELECT d.source, d.line
+        FROM df d JOIN nd USING (source)
+        WHERE d.df >= {BOILER_MIN_DF} AND d.df * 5 >= nd.n_docs
+    ),
+    per_doc AS (
+        SELECT l.doc_id, l.source,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_boiler
+        FROM lines l LEFT JOIN boiler b
+          ON b.source = l.source AND b.line = l.line
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, source, n_lines, n_boiler,
+           ROUND(n_boiler * 1.0 / n_lines, 4) AS boiler_frac
+    FROM per_doc
+    """,
+    tags=("textops", "boilerplate", "web-corpus"),
+)
+def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain boilerplate-line detection — the nav-bar / footer scrub
+    of a web-corpus pipeline: a doc's text is split into fixed
+    {BOILER_LINE_TOKENS}-token lines, each (domain, line)'s document
+    frequency is counted, and lines appearing in >= max({BOILER_MIN_DF},
+    20% of the domain's docs) documents are flagged boilerplate; every
+    doc reports its line count, boilerplate-line count, and fraction —
+    the score the cleaning stage drops or strips on. Integer thresholds
+    (df*5 >= n_docs) so both engines gate identical values. Scale
+    shape: explode rides the scan, the doc-frequency count is one
+    shuffle on (domain, line) — a high-cardinality natural key — the
+    domain totals are a bounded broadcast, and the flag join keys on
+    the same (domain, line) partitioning the count just produced; at
+    100 TB each domain's line vocabulary is independent, so no global
+    state and no skew beyond the domain's own repetition (which is the
+    signal)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", tokens(F.col("text")).alias("tk")
+    )
+    k = BOILER_LINE_TOKENS
+    lines = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(tk) >= {k} THEN transform("
+                f"sequence(0, size(tk) div {k} - 1),"
+                f" i -> array_join(slice(tk, {k}*i+1, {k}), ' '))"
+                f" ELSE array() END"
+            )
+        ).alias("line"),
+    )
+    nd = _docs(spark, sf_dir).groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    df = lines.groupBy("source", "line").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    boiler = (
+        df.join(F.broadcast(nd), "source")
+        .where((F.col("df") >= BOILER_MIN_DF) & (F.col("df") * 5 >= F.col("n_docs")))
+        .select("source", "line", F.lit(1).alias("is_boiler"))
+    )
+    per_doc = (
+        lines.join(boiler, ["source", "line"], "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).cast("long").alias("n_boiler"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "source",
+        "n_lines",
+        "n_boiler",
+        r4(F.col("n_boiler") * F.lit(1.0) / F.col("n_lines")).alias("boiler_frac"),
+    )

@@ -172,6 +172,8 @@ CHECK_QUERIES = [
     "url_canonical_dedup",
     "training_order_shuffle",
     "centroid_drift_monitor",
+    "boilerplate_lines",
+    "bitext_margin_mining",
 ]
 
 

@@ -70,9 +70,11 @@ def test_driver_window_order_is_pinned():
         "training_order_shuffle",
         "centroid_drift_monitor",
         "corpus_curation_pipeline",
+        "boilerplate_lines",
+        "bitext_margin_mining",
         # freshness re-rows (r3 vintage)
         "dedup_rank",
-        "top_n_per_group",
+        "tier_tally",
     } <= window
     # oracle-less queries never spend a freshness slot (ADVICE r8)
     assert not {"approx_distinct_sketch", "approx_quantile_sketch"} & set(

@@ -103,3 +103,53 @@ def test_curation_pipeline_stages_telescope(spark, sf_dir):
     n_bins = out.loc[4, "aux"]
     assert n_bins >= out.loc[4, "tokens_kept"] // PACK_BUDGET
     assert n_bins <= out.loc[4, "n_kept"]
+
+
+def test_boilerplate_lines_accounting(spark, sf_dir):
+    import pandas as pd
+
+    out = REGISTRY["boilerplate_lines"].fn(spark, sf_dir).toPandas()
+    docs = t(spark, sf_dir, "documents").toPandas()
+    # every doc with >= 2 tokens reports; boiler counts bounded by lines
+    assert (out["n_boiler"] <= out["n_lines"]).all()
+    assert (out["n_lines"] >= 1).all()
+    assert ((out["boiler_frac"] >= 0) & (out["boiler_frac"] <= 1)).all()
+    with_lines = (docs["text"].str.split(" ").str.len() >= 2).sum()
+    assert len(out) == with_lines
+    # a flagged line is flagged for EVERY doc of its domain: recompute one
+    # domain's boilerplate set in pandas and reconcile the counts
+    src = out["source"].iloc[0]
+    sub = docs[docs["source"] == src]
+    lines = {}
+    for _, r in sub.iterrows():
+        tk = r["text"].split(" ")
+        doc_lines = [" ".join(tk[2 * i:2 * i + 2]) for i in range(len(tk) // 2)]
+        for ln in set(doc_lines):
+            lines[ln] = lines.get(ln, 0) + 1
+    n_docs = len(sub)
+    boiler = {ln for ln, df in lines.items() if df >= 2 and df * 5 >= n_docs}
+    for _, r in sub.iterrows():
+        tk = r["text"].split(" ")
+        doc_lines = [" ".join(tk[2 * i:2 * i + 2]) for i in range(len(tk) // 2)]
+        expect = sum(1 for ln in doc_lines if ln in boiler)
+        got = out[(out["doc_id"] == r["doc_id"])]["n_boiler"].iloc[0]
+        assert got == expect, (r["doc_id"], got, expect)
+
+
+def test_bitext_margin_properties(spark, sf_dir):
+    from profitscout_engine_spark.queries.similarity import (
+        BITEXT_MARGIN_MIN,
+    )
+
+    out = REGISTRY["bitext_margin_mining"].fn(spark, sf_dir).toPandas()
+    # sides never mix: src even, tgt odd parity-crossed
+    assert ((out["src_id"] % 2) == 0).all()
+    assert ((out["tgt_id"] % 2) == 1).all()
+    # one mined pair per source vector, margin above the floor,
+    # positive cosine only
+    assert out["src_id"].is_unique
+    assert (out["margin"] >= BITEXT_MARGIN_MIN).all()
+    assert (out["msim"] > 0).all()
+    # hubness control: a target may serve several sources, but the mined
+    # pair count is bounded by the source-side candidates
+    assert len(out) <= (out["src_id"].nunique())
