@@ -43,12 +43,18 @@ def worker(names: list[str], out_path: str) -> None:
     from profitscout_engine_spark.queries import load_registry
     from profitscout_engine_spark.session import get_spark
 
+    from profitscout_engine_spark.queries._util import reset_shared
+
     spark = get_spark(master="local[8]")
     reg = load_registry()
     flags: dict[str, dict] = {}
     skipped: dict[str, str] = {}
     for name in names:
         try:
+            # Pristine state per capture: drop the session-shared frame memo
+            # AND the cache registry, so the recorded plan is independent of
+            # which queries shared this worker's chunk (see reset_shared).
+            reset_shared()
             spark.catalog.clearCache()
             df = reg[name].fn(spark, SF)
             f = plan_flags(df)
@@ -68,15 +74,20 @@ def main() -> None:
     # per-run chunk dir: fixed /tmp paths could be clobbered by (or load a
     # stale file from) a concurrent snapshot run.
     chunk_dir = tempfile.mkdtemp(prefix="plans_snapshot_")
-    try:
-        for i in range(0, len(names), CHUNK):
-            chunk = names[i : i + CHUNK]
-            out = os.path.join(chunk_dir, f"plans_chunk_{i}.json")
+
+    def run_chunks(todo: list[str], chunk_size: int, tag: str) -> None:
+        # Heavier worker heap than the library default: reset-per-capture
+        # rebuilds the iterative trainers' shared frames inside one JVM, and
+        # an OOM-stopped SparkContext takes the rest of its chunk with it.
+        env = {**os.environ, "SPARK_GRAFT_DRIVER_MEM": "12g"}
+        for i in range(0, len(todo), chunk_size):
+            chunk = todo[i : i + chunk_size]
+            out = os.path.join(chunk_dir, f"plans_{tag}_{i}.json")
             try:
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--worker",
                      "--names", ",".join(chunk), "--out", out],
-                    capture_output=True, text=True, timeout=900,
+                    capture_output=True, text=True, timeout=900, env=env,
                 )
             except subprocess.TimeoutExpired:
                 # a hung chunk is recorded like any other worker failure
@@ -91,8 +102,24 @@ def main() -> None:
             part = json.load(open(out))
             flags.update(part["flags"])
             skipped.update(part["skipped"])
-            print(f"chunk {i // CHUNK + 1}: +{len(part['flags'])} "
+            print(f"{tag} {i // chunk_size + 1}: +{len(part['flags'])} "
                   f"(skipped {len(part['skipped'])})", flush=True)
+
+    try:
+        run_chunks(names, CHUNK, "chunk")
+        # Retry pass: a mid-chunk SparkContext death (OOM) poisons every
+        # later capture in that worker ("stopped SparkContext") — re-run the
+        # casualties in small fresh-JVM chunks so one heavy query costs at
+        # most its own flag, not 13 neighbors'.
+        retry = [n for n in names if n not in flags]
+        if retry:
+            print(f"retrying {len(retry)} skipped in chunks of 8", flush=True)
+            for n in retry:
+                skipped.pop(n, None)
+            run_chunks(retry, 8, "retry")
+            for n in retry:
+                if n not in flags:
+                    skipped.setdefault(n, "failed after retry")
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
     out = {

@@ -36,6 +36,27 @@ _SHARED: dict[tuple[str, str, str], DataFrame] = {}
 _SHARED_LOCK = threading.RLock()
 
 
+def reset_shared() -> None:
+    """Drop EVERY session-shared frame (and its cache registration).
+
+    For snapshot/test isolation: plans_snapshot.py captures each query's
+    plan from a pristine state. clearCache() alone is not enough — the
+    _SHARED dict still holds the old DataFrame objects, so a later
+    consumer reuses a frame whose analyzed plan nests whatever
+    InMemoryRelation structure the CHUNK ORDER happened to bake in
+    (round-9 finding: 8 shared-frame consumers flipped plan shas when
+    new queries shifted the alphabetical chunk boundaries, with zero
+    source/oracle changes). After reset, a capture rebuilds its shared
+    chain in the query's own deterministic build order."""
+    with _SHARED_LOCK:
+        for k in list(_SHARED):
+            df = _SHARED.pop(k)
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session gone or never persisted — nothing to release
+
+
 def _evict_stale(app_id: str) -> None:
     """Drop (and unpersist) entries from sessions other than the live one,
     so a long-lived driver process that restarts its SparkSession doesn't

@@ -2355,7 +2355,13 @@ def threshold_sweep_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lvl") * F.lit(1_000_000_000) + F.col("d1")).alias("d1"),
         (F.col("lvl") * F.lit(1_000_000_000) + F.col("d2")).alias("d2"),
     ).coalesce(8)
-    comp = connected_components(edges).select(
+    # The converged sweep components are session-shared like _neardup_cc:
+    # the propagation loop (the expensive, build-time part) runs once per
+    # (session, dataset); re-invocations read the maintained result.
+    comp = shared(
+        spark, sf_dir, "sweep_components",
+        lambda: connected_components(edges),
+    ).select(
         F.floor(F.col("node") / F.lit(1_000_000_000)).cast("int").alias("lvl"),
         "comp",
         "node",
@@ -5978,7 +5984,8 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same double. A mined pair must beat its neighborhoods by
     {BITEXT_MARGIN_MIN}x; the best target per source (margin desc,
     tgt id tie-break) is emitted. Scale shape: candidates come from the
-    session-shared banded LSH frame (never corpus²), neighborhoods are
+    session-shared banded LSH frame, scored once per session by the
+    Arrow-batched packed-vector dot (never corpus²), neighborhoods are
     one top-N window + one bounded aggregation on the candidate set,
     and the final join keys on vector ids — plain shuffle equi-joins."""
     s = _lsh_scored(spark, sf_dir)

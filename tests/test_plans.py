@@ -189,6 +189,10 @@ _NL_JOIN_OK = {
     "cross_correlation_lags",
     # 1-row smoothed-total broadcast cross join
     "psi_drift",
+    # 1-row era-totals scalar cross join (per-mille share denominators)
+    "centroid_drift_monitor",
+    # 1-row scalars: domain-mix floor + the two component-audit counts
+    "corpus_curation_pipeline",
 }
 
 
