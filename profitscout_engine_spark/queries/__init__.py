@@ -119,17 +119,18 @@ _MODULES = (
 #   20-21  queries edited THIS round (corpus_filter_pipeline source
 #          refactor for the capstone; incremental_lpa_delta perf work) —
 #          their r8 stamps go stale the moment the edits land;
-#   22-27  round-9 additions (url canonicalization dedup, shard-aware
+#   22-29  round-9 additions (url canonicalization dedup, shard-aware
 #          training shuffle, centroid drift monitor, curation capstone,
-#          boilerplate lines, bitext margin mining);
-#   28-50  the 23 alphabetically-first r3-vintage driver greens as
+#          boilerplate lines, bitext margin mining, signature-store
+#          maintenance, smart-batching waste);
+#   30-50  the 21 alphabetically-first r3-vintage driver greens as
 #          freshness re-rows. Per ADVICE r8, the 2 oracle-less sketch
 #          queries are EXCLUDED from freshness selection (their driver
 #          rows are rows-only `no_oracle` — a wasted hash-compare slot);
-#          they were restamped r8 anyway. The 7 remaining r3-vintage rows
-#          (token_stats_bpe, top_n_per_group, two_key_sort_limit,
-#          unigram_freq_quality, union_all_patterns, value_counts_pct,
-#          window_extrema) rotate in next round.
+#          they were restamped r8 anyway. The 9 remaining r3-vintage rows
+#          (string_extract, tier_tally, token_stats_bpe, top_n_per_group,
+#          two_key_sort_limit, unigram_freq_quality, union_all_patterns,
+#          value_counts_pct, window_extrema) rotate in next round.
 # Everything rotated out was driver-green r1-r8 on unchanged code and stays
 # pinned by tests/test_correctness.py + tests/test_driver_state.py.
 _WINDOW_FRONT = (
@@ -164,7 +165,9 @@ _WINDOW_FRONT = (
     "corpus_curation_pipeline",
     "boilerplate_lines",
     "bitext_margin_mining",
-    # -- freshness re-rows: the 23 alphabetically-first r3-vintage greens --
+    "signature_store_maintenance",
+    "smart_batching_waste",
+    # -- freshness re-rows: the 21 alphabetically-first r3-vintage greens --
     "dedup_rank",
     "dim_enrichment_revenue",
     "distinct_pairs",
@@ -186,8 +189,6 @@ _WINDOW_FRONT = (
     "rollup_totals",
     "seq_packing",
     "set_ops_intersect_except",
-    "string_extract",
-    "tier_tally",
 )
 
 

@@ -2923,3 +2923,113 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             CAST(5 AS BIGINT), 'seq_packing', k4, k4, CAST(0 AS BIGINT), t4, aux5
         ) AS (stage_id, stage, n_in, n_kept, n_dropped, tokens_kept, aux)"""
     )
+
+
+# --- smart-batching padding-waste audit ----------------------------------------
+BATCH_DOCS = 32  # sequences per training batch
+
+
+@query(
+    "smart_batching_waste",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, doc_id // {SHARD_DOCS} AS shard_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    naive AS (
+        SELECT shard_id, n_tokens,
+               (ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY doc_id) - 1)
+                   // {BATCH_DOCS} AS batch_id
+        FROM d
+    ),
+    smart AS (
+        SELECT shard_id, n_tokens,
+               (ROW_NUMBER() OVER (PARTITION BY shard_id
+                                   ORDER BY n_tokens, doc_id) - 1)
+                   // {BATCH_DOCS} AS batch_id
+        FROM d
+    ),
+    nw AS (
+        SELECT shard_id,
+               CAST(SUM(cnt * mx - s) AS BIGINT) AS naive_waste
+        FROM (SELECT shard_id, batch_id, COUNT(*) AS cnt,
+                     MAX(n_tokens) AS mx, SUM(n_tokens) AS s
+              FROM naive GROUP BY 1, 2) z
+        GROUP BY 1
+    ),
+    sw AS (
+        SELECT shard_id,
+               CAST(SUM(cnt * mx - s) AS BIGINT) AS sorted_waste
+        FROM (SELECT shard_id, batch_id, COUNT(*) AS cnt,
+                     MAX(n_tokens) AS mx, SUM(n_tokens) AS s
+              FROM smart GROUP BY 1, 2) z
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        FROM d GROUP BY 1
+    )
+    SELECT t.shard_id, t.n_docs, t.n_tokens, nw.naive_waste, sw.sorted_waste,
+           CASE WHEN nw.naive_waste > 0
+                THEN ROUND(1.0 - sw.sorted_waste * 1.0 / nw.naive_waste, 4)
+           END AS saving_ratio
+    FROM tot t JOIN nw USING (shard_id) JOIN sw USING (shard_id)
+    """,
+    tags=("curation", "batching", "efficiency"),
+)
+def smart_batching_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smart-batching (length-sorted) padding-waste audit — the measurement
+    behind the classic training-throughput trick: a batch pads every
+    sequence to its longest member, so arrival-order batches waste
+    sum(cnt*max - sum) tokens while length-sorted batches of the same
+    docs waste far less. Both schemes are evaluated per shard (the
+    deterministic SHARD_DOCS doc_id range — batching, like packing, is a
+    per-input-split decision at scale, never a global sort) with
+    {BATCH_DOCS}-doc batches; the report is per shard: doc/token totals,
+    both waste figures (exact BIGINT token counts), and the saving
+    ratio (the only float, one rounded division). Scale shape: two
+    windows partitioned by shard, two bounded aggregations — the audit
+    a data-loader team runs before turning on bucketed batching."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"doc_id div {SHARD_DOCS}").alias("shard_id"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w_naive = Window.partitionBy("shard_id").orderBy("doc_id")
+    w_smart = Window.partitionBy("shard_id").orderBy("n_tokens", "doc_id")
+
+    def waste(frame: DataFrame, w, alias: str) -> DataFrame:
+        batched = frame.withColumn(
+            "batch_id", F.expr(f"(rn - 1) div {BATCH_DOCS}")
+        ).groupBy("shard_id", "batch_id").agg(
+            F.count("*").alias("cnt"),
+            F.max("n_tokens").alias("mx"),
+            F.sum("n_tokens").alias("s"),
+        )
+        return batched.groupBy("shard_id").agg(
+            F.sum(F.col("cnt") * F.col("mx") - F.col("s")).cast("long").alias(alias)
+        )
+
+    nw = waste(d.withColumn("rn", F.row_number().over(w_naive)), w_naive, "naive_waste")
+    sw = waste(d.withColumn("rn", F.row_number().over(w_smart)), w_smart, "sorted_waste")
+    tot = d.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    return (
+        tot.join(nw, "shard_id")
+        .join(sw, "shard_id")
+        .select(
+            "shard_id",
+            "n_docs",
+            "n_tokens",
+            "naive_waste",
+            "sorted_waste",
+            F.when(
+                F.col("naive_waste") > 0,
+                r4(F.lit(1.0) - F.col("sorted_waste") * F.lit(1.0) / F.col("naive_waste")),
+            ).alias("saving_ratio"),
+        )
+    )

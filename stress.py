@@ -174,6 +174,8 @@ CHECK_QUERIES = [
     "centroid_drift_monitor",
     "boilerplate_lines",
     "bitext_margin_mining",
+    "signature_store_maintenance",
+    "smart_batching_waste",
 ]
 
 

@@ -72,9 +72,11 @@ def test_driver_window_order_is_pinned():
         "corpus_curation_pipeline",
         "boilerplate_lines",
         "bitext_margin_mining",
+        "signature_store_maintenance",
+        "smart_batching_waste",
         # freshness re-rows (r3 vintage)
         "dedup_rank",
-        "tier_tally",
+        "set_ops_intersect_except",
     } <= window
     # oracle-less queries never spend a freshness slot (ADVICE r8)
     assert not {"approx_distinct_sketch", "approx_quantile_sketch"} & set(

@@ -153,3 +153,27 @@ def test_bitext_margin_properties(spark, sf_dir):
     # hubness control: a target may serve several sources, but the mined
     # pair count is bounded by the source-side candidates
     assert len(out) <= (out["src_id"].nunique())
+
+
+def test_signature_store_maintenance_accounting(spark, sf_dir):
+    from profitscout_engine_spark.operators.text import MINHASH_BANDS
+
+    out = REGISTRY["signature_store_maintenance"].fn(spark, sf_dir).toPandas()
+    assert len(out) == MINHASH_BANDS
+    assert (out["n_rewritten"] + out["n_unchanged"] == out["n_edited"]).all()
+    # every band sees the SAME edited-doc population
+    assert out["n_edited"].nunique() == 1
+    # appending tokens can only add shingles: at least one band rewrites
+    # at fixture scale
+    assert out["n_rewritten"].sum() > 0
+
+
+def test_smart_batching_never_loses(spark, sf_dir):
+    out = REGISTRY["smart_batching_waste"].fn(spark, sf_dir).toPandas()
+    # sorted batching never wastes more than arrival-order batching
+    assert (out["sorted_waste"] <= out["naive_waste"]).all()
+    assert (out["sorted_waste"] >= 0).all()
+    # waste is bounded by (batch padding ceiling): cnt*max - sum < n_docs*max
+    assert (out["naive_waste"] < out["n_tokens"] * 100).all()
+    sr = out["saving_ratio"].dropna()
+    assert ((sr >= 0) & (sr <= 1)).all()
