@@ -74,16 +74,26 @@ def worker(name: str) -> None:
 
 def main(names: list[str]) -> None:
     for name in names:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", name],
-            capture_output=True, text=True, timeout=900,
-        )
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", name],
+                capture_output=True, text=True, timeout=900,
+            )
+        except subprocess.TimeoutExpired:
+            # one hung query must not abort the rest of the isolate run
+            print(json.dumps({"query": name, "err": "worker timeout (900s)"}),
+                  flush=True)
+            continue
         line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
         print(line[-1] if line else f'{{"query": "{name}", "err": {json.dumps(r.stderr[-300:])}}}',
               flush=True)
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        print(f"usage: {sys.argv[0]} <query-name>...   (fresh-JVM bench-protocol re-timing)",
+              file=sys.stderr)
+        sys.exit(2)
     if sys.argv[1] == "--worker":
         worker(sys.argv[2])
     else:

@@ -111,7 +111,16 @@ def main() -> None:
         # later capture in that worker ("stopped SparkContext") — re-run the
         # casualties in small fresh-JVM chunks so one heavy query costs at
         # most its own flag, not 13 neighbors'.
-        retry = [n for n in names if n not in flags]
+        # Only chunk-level casualties are worth a fresh JVM: a query whose
+        # OWN capture failed (worker recorded a real per-query reason) will
+        # fail again and burn a chunk slot each.
+        def _chunk_casualty(reason: str) -> bool:
+            return ("stopped SparkContext" in reason
+                    or reason.startswith("worker timeout")
+                    or reason.startswith("worker failed"))
+
+        retry = [n for n in names if n not in flags
+                 and (n not in skipped or _chunk_casualty(skipped[n]))]
         if retry:
             print(f"retrying {len(retry)} skipped in chunks of 8", flush=True)
             for n in retry:

@@ -547,36 +547,99 @@ def union_all_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (SURVEY §2.4 notes the reference has no approximate aggregates; at 100 TB
 # the exact forms (sort-based percentile, full COUNT DISTINCT shuffle) are
 # the bottleneck, and the HLL/KLL sketches are the operators you actually
-# run. No cross-engine oracle — sketch internals differ — so the driver
-# records rows-only and pytest pins the error envelope vs the exact twins.)
-@query("approx_distinct_sketch", oracle=None, tags=("A19", "approx"))
+# run. Sketch internals differ across engines, so the ESTIMATE itself can't
+# be value-hashed — instead each query exposes the error-bound INVARIANT the
+# sketch guarantees as a checkable column (VERDICT r9 item 4): the oracle
+# computes the exact statistic and asserts the bound held, so a sketch that
+# ever strays past its published envelope goes red in the driver. Reference
+# analog: scripts/tests_and_diagnostics/check_liquidity_stats.py:6-15 (the
+# reference's own computed-vs-expected sanity-check pattern).
+@query(
+    "approx_distinct_sketch",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_suppkey
+    """,
+    tags=("A19", "approx"),
+)
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct parts per supplier (rsd 2%) — one pass, fixed
-    memory per group, vs the exact shuffle-dedup twin."""
+    """HLL++ distinct parts per supplier (rsd 2%) — one pass, fixed memory
+    per group, vs the exact shuffle-dedup twin computed alongside.
+
+    ``within_bound`` asserts |approx - exact| <= 3*rsd*exact + 2 (3σ of the
+    configured relative standard deviation, plus an absolute slack of 2 for
+    tiny groups where HLL++'s sparse mode quantizes). The oracle emits the
+    exact count and a literal TRUE, so the driver hash-check FAILS the round
+    the sketch ever exceeds its envelope — the strongest cross-engine
+    statement possible for an implementation-defined estimator.
+    """
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_suppkey").agg(
+    g = li.groupBy("l_suppkey").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
+    )
+    bound = F.lit(3 * 0.02) * F.col("exact_parts") + F.lit(2.0)
+    return g.select(
+        "l_suppkey",
+        "exact_parts",
+        (F.abs(F.col("approx_parts") - F.col("exact_parts")) <= bound).alias(
+            "within_bound"
+        ),
     )
 
 
-@query("approx_quantile_sketch", oracle=None, tags=("A13", "approx"))
+@query(
+    "approx_quantile_sketch",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS b25, TRUE AS b50, TRUE AS b75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("A13", "approx"),
+)
 def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (accuracy 10k) per return flag — mergeable
-    sketch, no per-group sort buffer."""
-    li = t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.expr(
-                "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)"
-            ).alias("q")
-        )
-        .select(
-            "l_returnflag",
-            r4(F.col("q")[0]).alias("q25"),
-            r4(F.col("q")[1]).alias("med"),
-            r4(F.col("q")[2]).alias("q75"),
-        )
+    """approx_percentile (accuracy 10k) per return flag — mergeable sketch,
+    no per-group sort buffer — checked against its published rank guarantee.
+
+    The Greenwald-Khanna contract: the returned value's exact rank is within
+    n/accuracy of floor(q*n). With ties the value occupies the rank interval
+    [cnt_lt+1, cnt_le], so ``b{q}`` asserts that interval intersects
+    [q*n - tol, q*n + tol] with tol = n/accuracy + 1:
+    cnt_lt <= q*n + tol AND cnt_le >= q*n - tol. The oracle emits literal
+    TRUEs over the exact group counts — an out-of-envelope sketch
+    hash-mismatches.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    q = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)"
+        ).alias("q")
+    )
+    j = li.join(F.broadcast(q), "l_returnflag")
+    g = j.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        *[
+            agg.alias(f"{kind}{int(frac * 100)}")
+            for i, frac in enumerate((0.25, 0.5, 0.75))
+            for kind, agg in (
+                ("lt", F.sum((F.col("l_extendedprice") < F.col("q")[i]).cast("long"))),
+                ("le", F.sum((F.col("l_extendedprice") <= F.col("q")[i]).cast("long"))),
+            )
+        ],
+    )
+    tol = F.col("n_rows") / F.lit(10000.0) + F.lit(1.0)
+
+    def bracket(frac: float, tag: int):
+        target = F.col("n_rows") * F.lit(frac)
+        return (
+            (F.col(f"lt{tag}") <= target + tol) & (F.col(f"le{tag}") >= target - tol)
+        ).alias(f"b{tag}")
+
+    return g.select(
+        "l_returnflag", "n_rows", bracket(0.25, 25), bracket(0.5, 50), bracket(0.75, 75)
     )
 
 

@@ -2902,10 +2902,14 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(
             F.when(
                 F.col("keep4"),
-                F.concat_ws(
-                    "|",
+                # concat (not concat_ws): NULL-propagating like the oracle's
+                # `||`, so a NULL lang is excluded from the COUNT DISTINCT in
+                # BOTH engines.
+                F.concat(
                     F.col("lang"),
+                    F.lit("|"),
                     F.col("shard_id").cast("string"),
+                    F.lit("|"),
                     F.col("bin_id").cast("string"),
                 ),
             )
@@ -3000,7 +3004,7 @@ def smart_batching_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_naive = Window.partitionBy("shard_id").orderBy("doc_id")
     w_smart = Window.partitionBy("shard_id").orderBy("n_tokens", "doc_id")
 
-    def waste(frame: DataFrame, w, alias: str) -> DataFrame:
+    def waste(frame: DataFrame, alias: str) -> DataFrame:
         batched = frame.withColumn(
             "batch_id", F.expr(f"(rn - 1) div {BATCH_DOCS}")
         ).groupBy("shard_id", "batch_id").agg(
@@ -3012,8 +3016,8 @@ def smart_batching_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cnt") * F.col("mx") - F.col("s")).cast("long").alias(alias)
         )
 
-    nw = waste(d.withColumn("rn", F.row_number().over(w_naive)), w_naive, "naive_waste")
-    sw = waste(d.withColumn("rn", F.row_number().over(w_smart)), w_smart, "sorted_waste")
+    nw = waste(d.withColumn("rn", F.row_number().over(w_naive)), "naive_waste")
+    sw = waste(d.withColumn("rn", F.row_number().over(w_smart)), "sorted_waste")
     tot = d.groupBy("shard_id").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
