@@ -124,6 +124,7 @@ def main() -> None:
     # Print a compact line: suite total + the slowest queries, trimmed until
     # the line is guaranteed to fit inside the tail window.
     slowest = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
+    producer = os.environ.get("BENCH_PRODUCER", "unlabeled")
     payload = {
         "metric": "engine_query_suite_wall",
         "value": round(total, 3),
@@ -131,6 +132,17 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "detail": "BENCH_FULL.json",
+        # Provenance travels in the PARSED line too (VERDICT r9 item 3), so
+        # BENCH_r{N}.json itself says whether round-over-round comparison is
+        # trustworthy: unlabeled runs are subject to the documented ±9%
+        # co-tenant noise envelope and need isolate re-timing before any
+        # sub-2s delta is believed.
+        "producer": producer,
+        **(
+            {"producer_note": "unlabeled: round-over-round deltas need isolate retiming"}
+            if producer == "unlabeled"
+            else {}
+        ),
         "queries": dict(slowest),
     }
     line = json.dumps(payload)

@@ -3037,3 +3037,61 @@ def smart_batching_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("saving_ratio"),
         )
     )
+
+
+# --- truncation-loss audit: what a SEQ_MAX truncate-or-pad policy costs --------
+SEQ_MAX = 64  # max training-sequence length for the truncate-or-pad policy
+LEN_BUCKET = 16  # token-length histogram bucket width
+
+
+@query(
+    "packing_truncation_audit",
+    oracle=f"""
+    WITH d AS (
+        SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents
+    )
+    SELECT lang, n // {LEN_BUCKET} AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n > {SEQ_MAX} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_truncated,
+           CAST(SUM(n) AS BIGINT) AS tokens_total,
+           CAST(SUM(LEAST(n, {SEQ_MAX})) AS BIGINT) AS tokens_kept,
+           CAST(SUM(GREATEST(n - {SEQ_MAX}, 0)) AS BIGINT) AS tokens_lost,
+           CAST(SUM(GREATEST({SEQ_MAX} - n, 0)) AS BIGINT) AS pad_tokens,
+           ROUND(SUM(GREATEST(n - {SEQ_MAX}, 0)) * 1.0 / SUM(n), 4) AS loss_frac,
+           ROUND(SUM(GREATEST({SEQ_MAX} - n, 0)) * 1.0
+                     / (COUNT(*) * {SEQ_MAX}), 4) AS pad_frac
+    FROM d GROUP BY 1, 2
+    """,
+    tags=("curation", "seq-packing", "truncation", "efficiency"),
+)
+def packing_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-loss audit for the SEQ_MAX truncate-or-pad policy
+    (VERDICT r9 item 6c) — the `smart_batching_waste` twin that completes
+    the seq-packing story: when each doc becomes exactly ONE training
+    sequence of {SEQ_MAX} tokens, long docs lose their tail (truncation
+    loss) and short docs burn budget on padding. The report, per
+    (lang, {LEN_BUCKET}-token length bucket), gives BOTH costs as exact
+    BIGINT token masses — lost vs padded — plus the two rounded fractions
+    a curation team reads to choose SEQ_MAX (or to switch to packing,
+    whose `seq_packing` fill_ratio is the same trade expressed from the
+    other side). Scale shape: pure per-row arithmetic riding the scan
+    into one aggregation on a bounded (lang, bucket) key — map-side
+    partials do almost all the work, no window, no join."""
+    d = _docs(spark, sf_dir).select(
+        "lang", F.size(tokens(F.col("text"))).cast("long").alias("n")
+    )
+    n = F.col("n")
+    lost = F.greatest(n - SEQ_MAX, F.lit(0))
+    pad = F.greatest(F.lit(SEQ_MAX) - n, F.lit(0))
+    return d.groupBy("lang", F.expr(f"n div {LEN_BUCKET}").alias("len_bucket")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(n > SEQ_MAX, 1).otherwise(0)).cast("long").alias("n_truncated"),
+        F.sum(n).cast("long").alias("tokens_total"),
+        F.sum(F.least(n, F.lit(SEQ_MAX))).cast("long").alias("tokens_kept"),
+        F.sum(lost).cast("long").alias("tokens_lost"),
+        F.sum(pad).cast("long").alias("pad_tokens"),
+        r4(F.sum(lost) * F.lit(1.0) / F.sum(n)).alias("loss_frac"),
+        r4(F.sum(pad) * F.lit(1.0) / (F.count("*") * F.lit(SEQ_MAX))).alias("pad_frac"),
+    )

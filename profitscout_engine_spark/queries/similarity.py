@@ -6126,3 +6126,107 @@ def signature_store_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("changed").cast("long").alias("n_rewritten"),
         F.sum(1 - F.col("changed")).cast("long").alias("n_unchanged"),
     )
+
+
+# ---- cross-snapshot incremental dedup: daily-partition ledger ------------------
+N_SNAP_DAYS = 4
+_SNAP_DAY_DUCK = (
+    "(strpos('0123456789abcdef',"
+    " substr(md5('snap|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) // 4"
+)
+_SNAP_DAY_SPARK = (
+    "CAST((instr('0123456789abcdef',"
+    " substr(md5(concat('snap|', CAST(doc_id AS STRING))), 1, 1)) - 1) div 4 AS BIGINT)"
+)
+
+
+def _cross_snapshot_oracle() -> str:
+    return f"""
+    WITH {_minhash_bands_ctes()},
+    snap AS (
+        SELECT doc_id, CAST({_SNAP_DAY_DUCK} AS BIGINT) AS day FROM documents
+    ),
+    bd AS (
+        SELECT b.doc_id, b.band_id, b.band_sig, s.day
+        FROM bands b JOIN snap s USING (doc_id)
+    ),
+    cell AS (
+        SELECT band_id, band_sig, MIN(day) AS first_day FROM bd GROUP BY 1, 2
+    ),
+    dup AS (
+        SELECT DISTINCT bd.doc_id, bd.day
+        FROM bd JOIN cell USING (band_id, band_sig)
+        WHERE cell.first_day < bd.day
+    ),
+    ing AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_ingested FROM snap GROUP BY 1),
+    dd AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_dup FROM dup GROUP BY 1),
+    nc AS (
+        SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new_sig_cells
+        FROM cell GROUP BY 1
+    )
+    SELECT i.day, i.n_ingested,
+           COALESCE(d.n_dup, 0) AS n_dup_vs_store,
+           i.n_ingested - COALESCE(d.n_dup, 0) AS n_novel,
+           COALESCE(c.n_new_sig_cells, 0) AS n_new_sig_cells,
+           ROUND(COALESCE(d.n_dup, 0) * 1.0 / i.n_ingested, 4) AS dup_frac
+    FROM ing i LEFT JOIN dd d USING (day) LEFT JOIN nc c USING (day)
+    """
+
+
+@query(
+    "cross_snapshot_dedup",
+    oracle=_cross_snapshot_oracle(),
+    tags=("dedup", "incremental", "snapshot", "minhash"),
+)
+def cross_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup ledger (VERDICT r9 item 6a): the
+    corpus arrives as {N_SNAP_DAYS} daily partitions (a deterministic md5
+    split of doc_id), each day's MinHash band signatures probe the
+    accumulated store of all PRIOR days, and the per-day ledger reports
+    ingested / duplicate-vs-store / novel doc counts plus how many distinct
+    signature CELLS (band_id, band_sig) the day adds to the store — the
+    dashboard row a daily ingest pipeline commits next to its S10/S11
+    partition swap. Complements `incremental_dedup_probe` (one batch vs one
+    store) by modeling the full multi-snapshot timeline in one pass.
+
+    Scale shape — the key move is that the probe NEVER self-joins the band
+    table: the store is first collapsed to distinct signature cells with
+    their first-seen day (one aggregation, output bounded by distinct
+    signatures), and each day's rows equi-join that cell dim on
+    (band_id, band_sig) with `first_day < day` as a post-filter. Cost is
+    store-cells + ingest-rows, not ingest × store matches; in production
+    only the NEW day's partition shuffles (the cell dim is the committed
+    signature snapshot read from the store table), which is exactly the
+    delta-proportional shape the verdict asked for."""
+    day = F.expr(_SNAP_DAY_SPARK)
+    snap = _docs(spark, sf_dir).select("doc_id", day.alias("day"))
+    bd = _mh_bands(spark, sf_dir).join(snap, "doc_id").select(
+        "doc_id", "band_id", "band_sig", "day"
+    )
+    cell = bd.groupBy("band_id", "band_sig").agg(F.min("day").alias("first_day"))
+    dup = (
+        bd.join(cell, ["band_id", "band_sig"])
+        .where(F.col("first_day") < F.col("day"))
+        .select("doc_id", "day")
+        .distinct()
+    )
+    ing = snap.groupBy("day").agg(F.count("*").cast("long").alias("n_ingested"))
+    dd = dup.groupBy("day").agg(F.count("*").cast("long").alias("n_dup"))
+    nc = cell.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("long").alias("n_new_sig_cells")
+    )
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0)).cast("long")
+    return (
+        ing.join(dd, "day", "left")
+        .join(nc, "day", "left")
+        .select(
+            "day",
+            "n_ingested",
+            n_dup.alias("n_dup_vs_store"),
+            (F.col("n_ingested") - n_dup).cast("long").alias("n_novel"),
+            F.coalesce(F.col("n_new_sig_cells"), F.lit(0)).cast("long").alias(
+                "n_new_sig_cells"
+            ),
+            r4(n_dup * F.lit(1.0) / F.col("n_ingested")).alias("dup_frac"),
+        )
+    )

@@ -1751,6 +1751,40 @@ def _url_dedup_oracle() -> str:
     """
 
 
+def _url_parsed_frame(spark: SparkSession, sf_dir: str, keep=None) -> DataFrame:
+    """Parsed+normalized URL frame (doc_id, raw_url, scheme, host, path0,
+    query) — the shared front half of the web-pipeline stage-0 queries:
+    `url_canonical_dedup` assembles the canonical form from it,
+    `robots_policy_filter` joins its hosts against the policy dim. Pure
+    per-row string algebra riding the scan, no shuffle. ``keep`` maps
+    extra output names to Columns computed on the documents row (e.g. a
+    token count), so consumers needing doc attributes alongside the parse
+    stay single-scan instead of self-joining the corpus on doc_id."""
+    keep = keep or {}
+    raw = _raw_url_sql(_URL_K_SPARK, "upper").replace("AS VARCHAR", "AS STRING")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(raw).alias("raw_url"),
+        *[c.alias(n) for n, c in keep.items()],
+    )
+    d = d.withColumn("scheme", F.expr("lower(split_part(raw_url, '://', 1))"))
+    d = d.withColumn("rest", F.expr("split_part(split_part(raw_url, '://', 2), '#', 1)"))
+    d = d.withColumn("host_part", F.expr("split_part(rest, '/', 1)"))
+    d = d.withColumn("pq", F.expr("substr(rest, length(host_part) + 1)"))
+    d = d.withColumn(
+        "host",
+        F.expr(
+            r"regexp_replace(regexp_replace(lower(host_part), ':443$', ''), '^www\\.', '')"
+        ),
+    )
+    d = d.withColumn("path0", F.expr("split_part(pq, '?', 1)"))
+    d = d.withColumn(
+        "query",
+        F.expr("CASE WHEN contains(pq, '?') THEN split_part(pq, '?', 2) ELSE '' END"),
+    )
+    return d.select("doc_id", "raw_url", "scheme", "host", "path0", "query", *keep)
+
+
 @query(
     "url_canonical_dedup",
     oracle=_url_dedup_oracle(),
@@ -1771,23 +1805,7 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse+normalize is pure per-row string algebra riding the scan; the
     only shuffle is the window on canonical_url (a natural high-
     cardinality hash key, skew-free by construction)."""
-    raw = _raw_url_sql(_URL_K_SPARK, "upper").replace("AS VARCHAR", "AS STRING")
-    d = _docs(spark, sf_dir).select("doc_id", F.expr(raw).alias("raw_url"))
-    d = d.withColumn("scheme", F.expr("lower(split_part(raw_url, '://', 1))"))
-    d = d.withColumn("rest", F.expr("split_part(split_part(raw_url, '://', 2), '#', 1)"))
-    d = d.withColumn("host_part", F.expr("split_part(rest, '/', 1)"))
-    d = d.withColumn("pq", F.expr("substr(rest, length(host_part) + 1)"))
-    d = d.withColumn(
-        "host",
-        F.expr(
-            r"regexp_replace(regexp_replace(lower(host_part), ':443$', ''), '^www\\.', '')"
-        ),
-    )
-    d = d.withColumn("path0", F.expr("split_part(pq, '?', 1)"))
-    d = d.withColumn(
-        "query",
-        F.expr("CASE WHEN contains(pq, '?') THEN split_part(pq, '?', 2) ELSE '' END"),
-    )
+    d = _url_parsed_frame(spark, sf_dir)
     params = (
         "array_join(array_sort(filter(split(query, '&'),"
         " x -> NOT startswith(x, 'utm_'))), '&')"
@@ -1807,6 +1825,136 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_url",
         F.count("*").over(w).cast("long").alias("group_size"),
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_kept"),
+    )
+
+
+# --- robots/license-aware source filtering: per-domain policy gate --------------
+def _robots_oracle() -> str:
+    raw = _raw_url_sql(_URL_K, "upper")
+    return f"""
+    WITH raw AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, {raw} AS raw_url
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, n_tokens,
+               regexp_replace(regexp_replace(lower(split_part(split_part(
+                   split_part(raw_url, '://', 2), '#', 1), '/', 1)),
+                   ':443$', ''), '^www\\.', '') AS domain
+        FROM raw
+    ),
+    pol AS (
+        SELECT doc_id, n_tokens, domain,
+               md5('policy|' || domain) AS k, doc_id % 40 < 8 AS low_path
+        FROM h
+    ),
+    fl AS (
+        SELECT doc_id, n_tokens, domain, low_path,
+               substr(k, 1, 1) NOT IN ('0', '1') AS crawl_ok,
+               CASE WHEN substr(k, 2, 1) BETWEEN '0' AND '7' THEN 'cc-by'
+                    WHEN substr(k, 2, 1) BETWEEN '8' AND 'b' THEN 'cc-by-nc'
+                    ELSE 'all-rights-reserved' END AS license,
+               substr(k, 3, 1) BETWEEN '0' AND '7' AS disallow_low
+        FROM pol
+    ),
+    dec AS (
+        SELECT domain, license, crawl_ok, n_tokens,
+               CASE WHEN NOT crawl_ok THEN 'robots'
+                    WHEN license = 'all-rights-reserved' THEN 'license'
+                    WHEN disallow_low AND low_path THEN 'path'
+                    ELSE 'keep' END AS gate
+        FROM fl
+    )
+    SELECT domain, license, crawl_ok,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN gate = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN gate = 'robots' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_drop_robots,
+           CAST(SUM(CASE WHEN gate = 'license' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_drop_license,
+           CAST(SUM(CASE WHEN gate = 'path' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_drop_path,
+           CAST(SUM(CASE WHEN gate = 'keep' THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS tokens_kept,
+           ROUND(SUM(CASE WHEN gate = 'keep' THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+               AS kept_frac
+    FROM dec GROUP BY 1, 2, 3
+    """
+
+
+@query(
+    "robots_policy_filter",
+    oracle=_robots_oracle(),
+    tags=("textops", "policy", "robots", "license", "web-corpus"),
+)
+def robots_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots/licence-aware source filtering (VERDICT r9 item 6b) — the
+    FIRST gate of every web-corpus pipeline, run on the canonical hosts
+    that `url_canonical_dedup` produces: a per-domain POLICY DIMENSION
+    (crawlability from robots.txt, licence class from the domain's terms,
+    an optional per-path Disallow rule) is broadcast-joined into the doc
+    stream and every doc is gated with deterministic precedence
+    robots > licence > path. The report is the per-(domain, licence)
+    audit a curation team reviews before ingest: doc counts by drop
+    reason, kept token mass, kept fraction.
+
+    The policy dim here is derived from md5(domain) so the oracle can
+    replay it (crawl_ok ~7/8 of domains; licence cc-by / cc-by-nc /
+    all-rights-reserved at 8:4:4; half the domains disallow the low path
+    bucket doc_id%40<8 — modeling a `Disallow: /docs/0x` rule). In
+    production it is the fetched robots/licence store: a FEW-THOUSAND-ROW
+    table at web scale, which is exactly why the join must broadcast —
+    the corpus never shuffles for a policy lookup.
+
+    Scale shape: ONE scan computes url+tokens per row (shared
+    `_url_parsed_frame`, single-scan via its keep= hook); the dim is a
+    distinct-host aggregate (bounded by domain count) broadcast back; the
+    only corpus-wide exchange is the final per-domain rollup, keyed on a
+    bounded-cardinality key."""
+    p = _url_parsed_frame(
+        spark,
+        sf_dir,
+        keep={"n_tokens": F.size(tokens(F.col("text"))).cast("long")},
+    ).select("doc_id", F.col("host").alias("domain"), "n_tokens")
+    k = F.md5(F.concat(F.lit("policy|"), F.col("domain")))
+    dim = (
+        p.select("domain")
+        .distinct()
+        .select(
+            "domain",
+            (~F.substring(k, 1, 1).isin("0", "1")).alias("crawl_ok"),
+            F.when(F.substring(k, 2, 1).between("0", "7"), "cc-by")
+            .when(F.substring(k, 2, 1).between("8", "b"), "cc-by-nc")
+            .otherwise("all-rights-reserved")
+            .alias("license"),
+            F.substring(k, 3, 1).between("0", "7").alias("disallow_low"),
+        )
+    )
+    gated = p.join(F.broadcast(dim), "domain").withColumn(
+        "gate",
+        F.when(~F.col("crawl_ok"), "robots")
+        .when(F.col("license") == "all-rights-reserved", "license")
+        .when(F.col("disallow_low") & (F.col("doc_id") % 40 < 8), "path")
+        .otherwise("keep"),
+    )
+
+    def n(g: str, alias: str):
+        return F.sum(F.when(F.col("gate") == g, 1).otherwise(0)).cast("long").alias(alias)
+
+    return gated.groupBy("domain", "license", "crawl_ok").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        n("keep", "n_kept"),
+        n("robots", "n_drop_robots"),
+        n("license", "n_drop_license"),
+        n("path", "n_drop_path"),
+        F.sum(F.when(F.col("gate") == "keep", F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+        r4(
+            F.sum(F.when(F.col("gate") == "keep", 1).otherwise(0))
+            * F.lit(1.0)
+            / F.count("*")
+        ).alias("kept_frac"),
     )
 
 
