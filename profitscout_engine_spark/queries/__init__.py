@@ -108,87 +108,80 @@ _MODULES = (
     "tpch",
 )
 
-# Round-9 window rotation (VERDICT r8 item 1 + ADVICE). Composition,
-# mechanically derived from DRIVER_STATE.json after `--stamp 8` (50 greens
-# stamped, `--check` 0 problems):
-#   1-4    the 4 NEVER-driver-checked queries (added after the r8 window
-#          froze; judge-r8 swept exact at sf0.01, so risk is low);
-#   5-19   the 15 rows whose basis is the r8 builder sweep restamp (their
-#          plan shas flipped under the RDD-id normalizer fix; a sweep
-#          verified them, but a driver row is stronger);
-#   20-21  queries edited THIS round (corpus_filter_pipeline source
-#          refactor for the capstone; incremental_lpa_delta perf work) —
-#          their r8 stamps go stale the moment the edits land;
-#   22-29  round-9 additions (url canonicalization dedup, shard-aware
-#          training shuffle, centroid drift monitor, curation capstone,
-#          boilerplate lines, bitext margin mining, signature-store
-#          maintenance, smart-batching waste);
-#   30-50  the 21 alphabetically-first r3-vintage driver greens as
-#          freshness re-rows. Per ADVICE r8, the 2 oracle-less sketch
-#          queries are EXCLUDED from freshness selection (their driver
-#          rows are rows-only `no_oracle` — a wasted hash-compare slot);
-#          they were restamped r8 anyway. The 9 remaining r3-vintage rows
-#          (string_extract, tier_tally, token_stats_bpe, top_n_per_group,
-#          two_key_sort_limit, unigram_freq_quality, union_all_patterns,
-#          value_counts_pct, window_extrema) rotate in next round.
-# Everything rotated out was driver-green r1-r8 on unchanged code and stays
+# Round-10 window rotation (VERDICT r9 item 1). Composition, mechanically
+# derived from DRIVER_STATE.json after `--stamp 9` (50 greens stamped,
+# `--check` 0 problems):
+#   1-16   the 16 rows whose basis is the r9 builder sweep restamp (their
+#          plan shas migrated to the chunk-independent reset-shared capture
+#          semantics; verified exact at sf0.01 + 2x, but a driver row is
+#          stronger) — the restamp queue the r9 verdict asked to lead with;
+#   17-21  queries edited THIS round (the two approx sketches gained bounds
+#          oracles; corpus_curation_pipeline aux5 NULL-propagating concat;
+#          smart_batching_waste helper signature; url_canonical_dedup parse
+#          chain factored into _url_parsed_frame) — their r9 stamps go
+#          stale the moment the edits land;
+#   22-24  round-10 additions (cross-snapshot dedup ledger, robots/licence
+#          policy gate, truncation-loss audit);
+#   25-50  freshness re-rows: the 9 remaining r3-vintage driver greens,
+#          then the 17 alphabetically-first r4-vintage ones.
+# Everything rotated out was driver-green r1-r9 on unchanged code and stays
 # pinned by tests/test_correctness.py + tests/test_driver_state.py.
 _WINDOW_FRONT = (
-    # -- never driver-checked (round-8 post-window additions) --
-    "embedding_health_stats",
-    "knn_graph_sparsify",
-    "tokenizer_fertility",
-    "two_hop_candidates",
-    # -- sweep-basis only since the RDD-id plan-sha normalizer restamp --
-    "benford_audit",
-    "containment_pairs",
-    "cosine_lsh_topk",
-    "dedup_impact_report",
-    "dedup_keep_best",
-    "embedding_neardup_lsh",
-    "enrichment_pipeline",
-    "graph_modularity",
-    "hard_negatives",
-    "hybrid_rank_fusion",
-    "k_core_peel",
-    "pct_change_guarded",
-    "prefix_filter_jaccard",
-    "table_profile",
-    "two_stage_rerank",
+    # -- sweep-basis only since the reset-shared plan-sha migration (r9) --
+    "ann_recall_curve",
+    "bigram_lm_logprob",
+    "dbscan_core_points",
+    "dedup_consensus",
+    "incremental_dedup_probe",
+    "ivfpq_search",
+    "knn_label_eval",
+    "label_propagation_rounds",
+    "lsh_s_curve_audit",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "pagerank_iteration",
+    "pagerank_power_lattice",
+    "scanner_rank",
+    "threshold_sweep_components",
+    "triangle_count",
     # -- edited this round (stamps stale by construction) --
-    "corpus_filter_pipeline",
-    "incremental_lpa_delta",
-    # -- round-9 additions --
-    "url_canonical_dedup",
-    "training_order_shuffle",
-    "centroid_drift_monitor",
+    "approx_distinct_sketch",
+    "approx_quantile_sketch",
     "corpus_curation_pipeline",
-    "boilerplate_lines",
-    "bitext_margin_mining",
-    "signature_store_maintenance",
     "smart_batching_waste",
-    # -- freshness re-rows: the 21 alphabetically-first r3-vintage greens --
-    "dedup_rank",
-    "dim_enrichment_revenue",
-    "distinct_pairs",
-    "funnel_stages",
-    "future_rows_top3",
-    "histogram_buckets",
-    "json_extraction",
-    "latest_day_filter",
-    "lead_returns",
-    "max_losing_streak",
-    "membership_semi",
-    "multiway_join",
-    "negated_conjunction",
-    "null_guard_cast",
-    "obv_cumulative",
-    "pattern_combo_having",
-    "pruned_scan",
-    "regime_weighted_score",
-    "rollup_totals",
-    "seq_packing",
-    "set_ops_intersect_except",
+    "url_canonical_dedup",
+    # -- round-10 additions --
+    "cross_snapshot_dedup",
+    "robots_policy_filter",
+    "packing_truncation_audit",
+    # -- freshness re-rows: the 9 remaining r3-vintage greens --
+    "string_extract",
+    "tier_tally",
+    "token_stats_bpe",
+    "top_n_per_group",
+    "two_key_sort_limit",
+    "unigram_freq_quality",
+    "union_all_patterns",
+    "value_counts_pct",
+    "window_extrema",
+    # -- freshness re-rows: the 17 alphabetically-first r4-vintage greens --
+    "anti_join_dormant_customers",
+    "beta_to_market",
+    "bloom_semijoin_account",
+    "click_attribution_stream",
+    "column_entropy",
+    "countmin_freq_portable",
+    "cube_flag_status",
+    "drawdown_stats",
+    "frame_sample_stride",
+    "gap_fill_ffill",
+    "hll_distinct_portable",
+    "hll_merge_incremental",
+    "image_resize_nn",
+    "incremental_agg_maintain",
+    "interval_peak_load",
+    "key_skew_report",
+    "kmeans_lloyd_step",
 )
 
 

@@ -38,56 +38,55 @@ def test_entry_contract(spark):
 
 
 def test_driver_window_order_is_pinned():
-    """The driver verifies the FIRST 50 registered queries. Round-9 rotation
-    (VERDICT r8 item 1 + ADVICE): the 4 never-driver-checked queries lead,
-    then the 15 sweep-basis restamps (RDD-id plan-sha normalizer), then
-    queries edited this round, then round-9 additions, then the oldest
-    (r3-vintage) greens as freshness re-rows — EXCLUDING the 2 oracle-less
-    sketch queries, whose driver rows are rows-only no_oracle checks
-    (a wasted hash-compare slot, per ADVICE r8)."""
+    """The driver verifies the FIRST 50 registered queries. Round-10 rotation
+    (VERDICT r9 item 1): the 16 plan-sha-migrated sweep-basis restamps LEAD
+    (the r9 restamp queue), then queries edited this round (both approx
+    sketches now carry bounds oracles — their first-ever hash-checked driver
+    rows), then round-10 additions, then the oldest (r3- then r4-vintage)
+    greens as freshness re-rows."""
     from profitscout_engine_spark.queries import _WINDOW_FRONT
 
     names = list(load_registry())
     assert names[: len(_WINDOW_FRONT)] == list(_WINDOW_FRONT)
-    assert len(_WINDOW_FRONT) <= 50
-    # the never-driver-checked round-8 additions lead the window
+    assert len(_WINDOW_FRONT) == 50
+    # the r9 sweep-basis restamp queue leads the window
     assert names[:4] == [
-        "embedding_health_stats",
-        "knn_graph_sparsify",
-        "tokenizer_fertility",
-        "two_hop_candidates",
+        "ann_recall_curve",
+        "bigram_lm_logprob",
+        "dbscan_core_points",
+        "dedup_consensus",
     ]
     window = set(names[:50])
     assert {
         # sweep-basis restamps
+        "threshold_sweep_components",
+        "triangle_count",
+        # edited this round — stamps stale by construction; the sketches'
+        # new bounds oracles get their first hash-checked driver rows
+        "approx_distinct_sketch",
+        "approx_quantile_sketch",
+        "corpus_curation_pipeline",
+        "smart_batching_waste",
+        "url_canonical_dedup",
+        # round-10 additions
+        "cross_snapshot_dedup",
+        "robots_policy_filter",
+        "packing_truncation_audit",
+        # freshness re-rows (r3 then r4 vintage)
+        "string_extract",
+        "window_extrema",
+        "anti_join_dormant_customers",
+        "kmeans_lloyd_step",
+    } <= window
+    # round-9-verified names must be GONE from the front
+    assert not {
+        "embedding_health_stats",
+        "knn_graph_sparsify",
+        "tokenizer_fertility",
+        "two_hop_candidates",
         "benford_audit",
-        "two_stage_rerank",
-        # edited this round — stamps stale by construction
         "corpus_filter_pipeline",
         "incremental_lpa_delta",
-        # round-9 additions
-        "url_canonical_dedup",
-        "training_order_shuffle",
-        "centroid_drift_monitor",
-        "corpus_curation_pipeline",
         "boilerplate_lines",
-        "bitext_margin_mining",
-        "signature_store_maintenance",
-        "smart_batching_waste",
-        # freshness re-rows (r3 vintage)
         "dedup_rank",
-        "set_ops_intersect_except",
-    } <= window
-    # oracle-less queries never spend a freshness slot (ADVICE r8)
-    assert not {"approx_distinct_sketch", "approx_quantile_sketch"} & set(
-        _WINDOW_FRONT
-    )
-    # round-8-verified names must be GONE from the front
-    assert not {
-        "community_top_terms",
-        "late_interaction_maxsim",
-        "kmeans_train_converged",
-        "expectation_audit",
-        "scanner_rank",
-        "minhash_lsh_pairs",
     } & set(_WINDOW_FRONT)
