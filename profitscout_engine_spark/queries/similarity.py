@@ -4444,7 +4444,18 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- iterated k-means training on the integer lattice --------------------------
-KM_TRAIN_K = 8
+# K is pinned so the oracle's statically-unrolled k-means CTEs replay the
+# trajectory exactly. The env override exists ONLY for stress.py timing
+# experiments (SCALING.md §14): production IVF re-sizes K with the corpus to
+# keep per-list size bounded — with K fixed, within-list candidate work is
+# Θ(n²/K); with K ∝ n it is Θ(n·L*) linear — and the override lets the
+# harness demonstrate that empirically. Correctness gates never set it (the
+# module reads the env once at import, and both the engine AND the generated
+# oracle text use the same value, so even a set-everywhere run stays
+# self-consistent).
+import os as _os
+
+KM_TRAIN_K = int(_os.environ.get("PSE_KM_TRAIN_K", "8"))
 KM_TRAIN_ITERS = 5
 
 

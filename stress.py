@@ -70,6 +70,22 @@ DEFAULT_QUERIES = [
     "enrichment_news_rollup",
 ]
 
+# The suite maxima (every >4s bench query, VERDICT r9 item 5): timed at
+# 8x AND 32x to prove each one's documented scale shape — streaming
+# per-batch overhead stays flat, banded/bounded algebra grows sub-linearly,
+# and the fixed-K IVF composition exposes its Θ(n²/K) within-list term
+# (production re-sizes K with the corpus; see SCALING.md §14 and
+# PSE_KM_TRAIN_K). Run: `python stress.py --maxima 8|32`. ann_recall_curve
+# is the DECLARED quadratic brute-force yardstick (bench _YARDSTICKS) —
+# included so its ratio is on record, not because it is a production path.
+MAXIMA_QUERIES = [
+    "stream_dedup_bands",
+    "stream_heavy_hitters_cms",
+    "gram_topk_deflation",
+    "ivf_rebuild_audit",
+    "ann_recall_curve",
+]
+
 # --check mode targets: queries whose float paths depend on GROUP SIZE —
 # percentile/median interpolation over growing groups, moment-sum statistics,
 # ordered window cumulations, 2dp rounding of float group sums. These are the
@@ -257,10 +273,11 @@ def build_replica(k: int) -> str:
 def main() -> int:
     args = sys.argv[1:]
     check = "--check" in args
-    args = [a for a in args if a != "--check"]
+    maxima = "--maxima" in args
+    args = [a for a in args if a not in ("--check", "--maxima")]
     k = int(args[0]) if args and args[0].isdigit() else 8
     names = [a for a in args if not a.isdigit()] or (
-        CHECK_QUERIES if check else DEFAULT_QUERIES
+        MAXIMA_QUERIES if maxima else CHECK_QUERIES if check else DEFAULT_QUERIES
     )
     reg = load_registry()
     unknown = [n for n in names if n not in reg]
