@@ -120,10 +120,11 @@ _MODULES = (
 #          smart_batching_waste helper signature; url_canonical_dedup parse
 #          chain factored into _url_parsed_frame) — their r9 stamps go
 #          stale the moment the edits land;
-#   22-24  round-10 additions (cross-snapshot dedup ledger, robots/licence
-#          policy gate, truncation-loss audit);
-#   25-50  freshness re-rows: the 9 remaining r3-vintage driver greens,
-#          then the 17 alphabetically-first r4-vintage ones.
+#   22-25  round-10 additions (cross-snapshot dedup ledger, robots/licence
+#          policy gate, truncation-loss audit, bounded-sample k-means
+#          trainer);
+#   26-50  freshness re-rows: the 9 remaining r3-vintage driver greens,
+#          then the 16 alphabetically-first r4-vintage ones.
 # Everything rotated out was driver-green r1-r9 on unchanged code and stays
 # pinned by tests/test_correctness.py + tests/test_driver_state.py.
 _WINDOW_FRONT = (
@@ -154,6 +155,7 @@ _WINDOW_FRONT = (
     "cross_snapshot_dedup",
     "robots_policy_filter",
     "packing_truncation_audit",
+    "kmeans_sample_train",
     # -- freshness re-rows: the 9 remaining r3-vintage greens --
     "string_extract",
     "tier_tally",
@@ -181,7 +183,6 @@ _WINDOW_FRONT = (
     "incremental_agg_maintain",
     "interval_peak_load",
     "key_skew_report",
-    "kmeans_lloyd_step",
 )
 
 

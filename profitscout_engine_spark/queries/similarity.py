@@ -4459,20 +4459,22 @@ KM_TRAIN_K = int(_os.environ.get("PSE_KM_TRAIN_K", "8"))
 KM_TRAIN_ITERS = 5
 
 
-def _km_unroll_ctes(p: str = "") -> str:
+def _km_unroll_ctes(p: str = "", src: str = "embeddings") -> str:
     """CTE chain ``{p}e, {p}c0 .. {p}c{ITERS}`` — micro-unit lattice
     embeddings, K-lowest-vec_id init, KM_TRAIN_ITERS unrolled Lloyd steps
     (assignment {p}a*, exact-integer round-half-up means {p}m*, centroid
     update {p}c*). The prefix lets the rebuild-audit oracle compose this
     chain next to other CTE families without name collisions; the plain
-    k-means oracle uses prefix ''. One generator = one source of truth
-    for the Lloyd formulas across both oracles."""
+    k-means oracle uses prefix ''. ``src`` is the training-set relation
+    (default the full corpus; the sample trainer passes a bounded join).
+    One generator = one source of truth for the Lloyd formulas across
+    all three oracles."""
     k, iters = KM_TRAIN_K, KM_TRAIN_ITERS
     parts = [f"""
     {p}e AS (SELECT vec_id,
                  list_transform(embedding::DOUBLE[],
                                 x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS v
-          FROM embeddings),
+          FROM {src}),
     {p}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
            FROM {p}e ORDER BY vec_id LIMIT {k})"""]
     for it in range(1, iters + 1):
@@ -4511,24 +4513,28 @@ def _km_unroll_ctes(p: str = "") -> str:
     return ",".join(parts)
 
 
-def _km_afin_cte(p: str, name: str, with_dist: bool) -> str:
+def _km_afin_cte(p: str, name: str, with_dist: bool, vec: str | None = None) -> str:
     """Final nearest-centroid assignment CTE over the unrolled chain's
     converged centroids ``{p}c{ITERS}`` (with the exact-BIGINT lattice
-    distance exposed when the consumer needs it)."""
+    distance exposed when the consumer needs it). ``vec`` names the CTE
+    holding the vectors to ASSIGN (default the chain's own training set;
+    the sample trainer assigns the FULL corpus against sample-trained
+    centroids)."""
     iters = KM_TRAIN_ITERS
+    v = vec or f"{p}e"
     dist_col = ", dist" if with_dist else ""
     return f"""
     {name} AS (
         SELECT vec_id, cid{dist_col} FROM (
-            SELECT {p}e.vec_id, cf.cid,
+            SELECT {v}.vec_id, cf.cid,
                    list_aggregate(list_transform(range(1, 65),
-                        i -> ({p}e.v[i] - cf.c[i]) * ({p}e.v[i] - cf.c[i])), 'sum') AS dist,
+                        i -> ({v}.v[i] - cf.c[i]) * ({v}.v[i] - cf.c[i])), 'sum') AS dist,
                    ROW_NUMBER() OVER (
-                       PARTITION BY {p}e.vec_id
+                       PARTITION BY {v}.vec_id
                        ORDER BY list_aggregate(list_transform(range(1, 65),
-                                i -> ({p}e.v[i] - cf.c[i]) * ({p}e.v[i] - cf.c[i])),
+                                i -> ({v}.v[i] - cf.c[i]) * ({v}.v[i] - cf.c[i])),
                                 'sum'), cf.cid) AS rn
-            FROM {p}e CROSS JOIN {p}c{iters} cf)
+            FROM {v} CROSS JOIN {p}c{iters} cf)
         WHERE rn = 1)"""
 
 
@@ -4606,19 +4612,31 @@ def _km_train(spark: SparkSession, sf_dir: str) -> dict[int, list[int]] | None:
     but broke the lattice family's exact-BIGINT claim. Trained centroids
     are cached per (session, dataset): training is deterministic, so the
     trainer query and the rebuild pipeline share one loop."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    return _km_train_cached(
+        spark, sf_dir, "full", lambda: _km_lattice_vecs(spark, sf_dir)
+    )
+
+
+def _km_train_cached(spark, sf_dir: str, tag: str, frame_fn):
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
     if key in _KM_CENT_CACHE:
         cached = _KM_CENT_CACHE[key]
         return None if cached is None else {c: list(v) for c, v in cached.items()}
     # evict entries from dead sessions (the shared()-frame discipline)
     for k in [k for k in _KM_CENT_CACHE if k[0] != key[0]]:
         del _KM_CENT_CACHE[k]
-    e = _km_lattice_vecs(spark, sf_dir)
+    cent = _km_lloyd_loop(frame_fn())
+    _KM_CENT_CACHE[key] = None if cent is None else {c: list(v) for c, v in cent.items()}
+    return cent
+
+
+def _km_lloyd_loop(e: DataFrame) -> dict[int, list[int]] | None:
+    """The Lloyd loop itself over a (vec_id, v) lattice frame — shared by
+    the full-corpus trainer and the bounded-sample trainer."""
     k, iters = KM_TRAIN_K, KM_TRAIN_ITERS
     init = e.orderBy("vec_id").limit(k).collect()
     cent = {i: list(r["v"]) for i, r in enumerate(init)}
     if not cent:
-        _KM_CENT_CACHE[key] = None
         return None
     for _ in range(iters):
         assign = e.select("v", _km_argmin(cent)["cid"].alias("cid"))
@@ -4644,7 +4662,6 @@ def _km_train(spark: SparkSession, sf_dir: str) -> dict[int, list[int]] | None:
         if new_cent == cent:
             break  # converged — further iterations are idempotent no-ops
         cent = new_cent
-    _KM_CENT_CACHE[key] = {c: list(v) for c, v in cent.items()}
     return cent
 
 
@@ -4709,6 +4726,127 @@ def kmeans_train_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_members", F.lit(0).cast("long")).alias("n_members"),
         F.coalesce("inertia", F.lit(0).cast("long")).alias("inertia"),
         "centroid_sum",
+    )
+
+
+# ---- bounded-sample k-means training (the production scale lever) -------------
+KM_SAMPLE_N = 256  # fixed training-set size, independent of corpus scale
+
+
+def _km_sample_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic bounded training sample: the KM_SAMPLE_N lowest
+    vectors by md5('kmsamp|'||vec_id) (vec_id tie-break) on the lattice.
+    orderBy+limit plans as TakeOrderedAndProject — a distributed top-N,
+    never a global sort — so drawing the sample is one linear pass at any
+    corpus size."""
+    return _km_lattice_vecs(spark, sf_dir).orderBy(
+        F.md5(F.concat(F.lit("kmsamp|"), F.col("vec_id").cast("string"))), "vec_id"
+    ).limit(KM_SAMPLE_N)
+
+
+def _km_train_sample(spark: SparkSession, sf_dir: str) -> dict[int, list[int]] | None:
+    """Lloyd training over the BOUNDED sample. The sample is collected once
+    (<= KM_SAMPLE_N x 64 ints — the same bounded-driver-state budget as the
+    centroids themselves) and re-parallelized, so the 5-iteration loop runs
+    over a tiny local frame instead of re-deriving the corpus top-N five
+    times."""
+
+    def frame() -> DataFrame:
+        rows = _km_sample_vecs(spark, sf_dir).collect()
+        return spark.createDataFrame(rows, "vec_id bigint, v array<bigint>")
+
+    return _km_train_cached(spark, sf_dir, "sample", frame)
+
+
+def _km_sample_oracle() -> str:
+    iters = KM_TRAIN_ITERS
+    return f"""
+    WITH samp AS (
+        SELECT vec_id FROM embeddings
+        ORDER BY md5('kmsamp|' || CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {KM_SAMPLE_N}
+    ),
+    {_km_unroll_ctes('s', src='embeddings JOIN samp USING (vec_id)')},
+    fe AS (SELECT vec_id,
+                  list_transform(embedding::DOUBLE[],
+                                 x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS v
+           FROM embeddings),
+    {_km_afin_cte('s', 'safin', with_dist=True, vec='fe')},
+    stats AS (
+        SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(dist // 1000000) AS BIGINT) AS inertia
+        FROM safin GROUP BY 1),
+    sstats AS (
+        SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_sample_members
+        FROM safin JOIN samp USING (vec_id) GROUP BY 1)
+    SELECT cf.cid AS cluster_id,
+           COALESCE(s.n_members, 0) AS n_members,
+           COALESCE(ss.n_sample_members, 0) AS n_sample_members,
+           COALESCE(s.inertia, 0) AS inertia,
+           CAST(list_aggregate(cf.c, 'sum') AS BIGINT) AS centroid_sum
+    FROM sc{iters} cf LEFT JOIN stats s USING (cid) LEFT JOIN sstats ss USING (cid)
+    """
+
+
+@query(
+    "kmeans_sample_train",
+    oracle=_km_sample_oracle(),
+    tags=("similarity", "ann", "ml-step", "iterative", "sample-train"),
+)
+def kmeans_sample_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-sample k-means training — the production scale lever the
+    round-10 stress audit isolated (SCALING.md §14): full-corpus Lloyd is
+    Θ(n·K·iters), so at 100 TB the coarse quantizer is trained on a FIXED
+    {KM_SAMPLE_N}-vector sample (faiss-style) and only the final
+    assignment touches the corpus. The sample is a deterministic md5
+    top-N (TakeOrderedAndProject — one linear pass, no global sort), the
+    Lloyd loop runs over the collected bounded frame (<= N x 64 ints of
+    driver state, same budget as the centroids), and the FULL corpus is
+    then assigned with the zero-shuffle argmin projection. Per cluster:
+    corpus members, how many of the training sample landed there, exact
+    milli-lattice inertia, and the centroid checksum — the report that
+    says whether a bounded sample was good enough to rebuild from
+    (compare inertia against `kmeans_train_converged`'s full-corpus
+    training; the pytest pins the ratio at the fixture)."""
+    cent = _km_train_sample(spark, sf_dir)
+    if cent is None:  # empty corpus: no sample, no clusters
+        return spark.createDataFrame(
+            [],
+            "cluster_id int, n_members bigint, n_sample_members bigint,"
+            " inertia bigint, centroid_sum bigint",
+        )
+    e = _km_lattice_vecs(spark, sf_dir)
+    s = _km_argmin(cent)
+    assigned = e.select("vec_id", s["cid"].alias("cid"), s["dist"].alias("dist"))
+    stats = assigned.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum(F.expr("dist div 1000000")).cast("long").alias("inertia"),
+    )
+    sstats = (
+        assigned.join(
+            F.broadcast(_km_sample_vecs(spark, sf_dir).select("vec_id")),
+            "vec_id",
+            "leftsemi",
+        )
+        .groupBy("cid")
+        .agg(F.count("*").cast("long").alias("n_sample_members"))
+    )
+    spine = spark.createDataFrame(
+        [(cid, sum(vec)) for cid, vec in sorted(cent.items())],
+        "cid int, centroid_sum bigint",
+    )
+    z = F.lit(0).cast("long")
+    return (
+        F.broadcast(spine)
+        .join(stats, "cid", "left")
+        .join(sstats, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            F.coalesce("n_members", z).alias("n_members"),
+            F.coalesce("n_sample_members", z).alias("n_sample_members"),
+            F.coalesce("inertia", z).alias("inertia"),
+            "centroid_sum",
+        )
     )
 
 

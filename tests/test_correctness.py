@@ -72,11 +72,12 @@ def test_driver_window_order_is_pinned():
         "cross_snapshot_dedup",
         "robots_policy_filter",
         "packing_truncation_audit",
+        "kmeans_sample_train",
         # freshness re-rows (r3 then r4 vintage)
         "string_extract",
         "window_extrema",
         "anti_join_dormant_customers",
-        "kmeans_lloyd_step",
+        "key_skew_report",
     } <= window
     # round-9-verified names must be GONE from the front
     assert not {

@@ -76,3 +76,22 @@ def test_sketch_bounds_hold(spark, sf_dir):
     assert d["within_bound"].all()
     q = REGISTRY["approx_quantile_sketch"].fn(spark, sf_dir).toPandas()
     assert q["b25"].all() and q["b50"].all() and q["b75"].all()
+
+
+def test_sample_trainer_bounded_and_comparable(spark, sf_dir):
+    out = REGISTRY["kmeans_sample_train"].fn(spark, sf_dir).toPandas()
+    from profitscout_engine_spark.queries.similarity import KM_SAMPLE_N, KM_TRAIN_K
+
+    n_vec = t(spark, sf_dir, "embeddings").count()
+    assert len(out) == min(KM_TRAIN_K, n_vec)
+    # the full corpus is assigned; exactly the bounded sample is marked
+    assert out["n_members"].sum() == n_vec
+    assert out["n_sample_members"].sum() == min(KM_SAMPLE_N, n_vec)
+    assert (out["n_sample_members"] <= out["n_members"]).all()
+    # a bounded sample must train an index whose full-corpus inertia is in
+    # the same regime as full-corpus training (the production question the
+    # report answers); Lloyd local optima differ, so pin a loose envelope
+    full = REGISTRY["kmeans_train_converged"].fn(spark, sf_dir).toPandas()
+    si, fi = out["inertia"].sum(), full["inertia"].sum()
+    assert si > 0 and fi > 0
+    assert si <= 3 * fi
