@@ -120,11 +120,11 @@ _MODULES = (
 #          smart_batching_waste helper signature; url_canonical_dedup parse
 #          chain factored into _url_parsed_frame) — their r9 stamps go
 #          stale the moment the edits land;
-#   22-25  round-10 additions (cross-snapshot dedup ledger, robots/licence
+#   22-26  round-10 additions (cross-snapshot dedup ledger, robots/licence
 #          policy gate, truncation-loss audit, bounded-sample k-means
-#          trainer);
-#   26-50  freshness re-rows: the 9 remaining r3-vintage driver greens,
-#          then the 16 alphabetically-first r4-vintage ones.
+#          trainer, crawl-budget allocator);
+#   27-50  freshness re-rows: the 9 remaining r3-vintage driver greens,
+#          then the 15 alphabetically-first r4-vintage ones.
 # Everything rotated out was driver-green r1-r9 on unchanged code and stays
 # pinned by tests/test_correctness.py + tests/test_driver_state.py.
 _WINDOW_FRONT = (
@@ -156,6 +156,7 @@ _WINDOW_FRONT = (
     "robots_policy_filter",
     "packing_truncation_audit",
     "kmeans_sample_train",
+    "crawl_budget_allocator",
     # -- freshness re-rows: the 9 remaining r3-vintage greens --
     "string_extract",
     "tier_tally",
@@ -166,7 +167,7 @@ _WINDOW_FRONT = (
     "union_all_patterns",
     "value_counts_pct",
     "window_extrema",
-    # -- freshness re-rows: the 17 alphabetically-first r4-vintage greens --
+    # -- freshness re-rows: the 15 alphabetically-first r4-vintage greens --
     "anti_join_dormant_customers",
     "beta_to_market",
     "bloom_semijoin_account",
@@ -182,7 +183,6 @@ _WINDOW_FRONT = (
     "image_resize_nn",
     "incremental_agg_maintain",
     "interval_peak_load",
-    "key_skew_report",
 )
 
 

@@ -1829,10 +1829,12 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- robots/license-aware source filtering: per-domain policy gate --------------
-def _robots_oracle() -> str:
+def _robots_gate_ctes() -> str:
+    """The raw-URL → host → policy → per-doc gate CTE chain, shared by the
+    robots filter oracle and the crawl-budget allocator oracle (one source
+    of truth for the md5 policy derivation)."""
     raw = _raw_url_sql(_URL_K, "upper")
-    return f"""
-    WITH raw AS (
+    return f"""raw AS (
         SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, {raw} AS raw_url
         FROM documents
     ),
@@ -1864,7 +1866,12 @@ def _robots_oracle() -> str:
                     WHEN disallow_low AND low_path THEN 'path'
                     ELSE 'keep' END AS gate
         FROM fl
-    )
+    )"""
+
+
+def _robots_oracle() -> str:
+    return f"""
+    WITH {_robots_gate_ctes()}
     SELECT domain, license, crawl_ok,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN gate = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -1955,6 +1962,125 @@ def robots_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.lit(1.0)
             / F.count("*")
         ).alias("kept_frac"),
+    )
+
+
+# --- crawl-budget allocation over the policy-gated domains ----------------------
+CRAWL_DAILY_TOKENS = 1_000_000  # global daily token budget across all domains
+CRAWL_DAY_MS = 86_400_000
+
+
+def _crawl_budget_oracle() -> str:
+    return f"""
+    WITH {_robots_gate_ctes()},
+    dom AS (
+        SELECT domain,
+               CAST(SUM(CASE WHEN gate = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(SUM(CASE WHEN gate = 'keep' THEN n_tokens ELSE 0 END) AS BIGINT)
+                   AS tokens_kept
+        FROM dec GROUP BY 1
+    ),
+    pol2 AS (
+        SELECT domain, n_kept, tokens_kept,
+               CAST(((strpos('0123456789abcdef',
+                             substr(md5('policy|' || domain), 4, 1)) - 1) % 4)
+                    * 500 + 500 AS BIGINT) AS delay_ms
+        FROM dom WHERE n_kept > 0
+    ),
+    tot AS (SELECT CAST(SUM(tokens_kept) AS BIGINT) AS t FROM pol2),
+    calc AS (
+        SELECT domain, n_kept, tokens_kept,
+               CAST({CRAWL_DAY_MS} // delay_ms AS BIGINT) AS rpd,
+               CAST(({CRAWL_DAY_MS} // delay_ms) * (tokens_kept // n_kept) AS BIGINT)
+                   AS max_daily_tokens,
+               CAST(({CRAWL_DAILY_TOKENS} * tokens_kept) // t AS BIGINT) AS fair_share
+        FROM pol2 CROSS JOIN tot
+    )
+    SELECT domain, rpd, n_kept, tokens_kept, fair_share, max_daily_tokens,
+           CAST(LEAST(fair_share, max_daily_tokens, tokens_kept) AS BIGINT)
+               AS alloc_tokens,
+           CASE WHEN tokens_kept <= fair_share AND tokens_kept <= max_daily_tokens
+                THEN 'corpus'
+                WHEN max_daily_tokens < fair_share THEN 'politeness'
+                ELSE 'share' END AS bottleneck
+    FROM calc
+    """
+
+
+@query(
+    "crawl_budget_allocator",
+    oracle=_crawl_budget_oracle(),
+    tags=("textops", "crawl", "policy", "scheduling", "web-corpus"),
+)
+def crawl_budget_allocator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl-budget allocation — the SCHEDULING step right after
+    the `robots_policy_filter` gate in a web pipeline: a global daily token
+    budget ({CRAWL_DAILY_TOKENS}) is split across crawlable domains
+    proportional to their kept token mass (fair_share), then capped by each
+    domain's politeness limit — requests/day from its crawl-delay
+    (md5-derived here, robots.txt Crawl-delay in production) times its
+    average doc size — and by the corpus that actually remains. The
+    bottleneck column names which constraint bound each domain, which is
+    the knob a crawl operator actually reads. Integer arithmetic
+    end-to-end (floor divisions on nonneg operands — Spark div == DuckDB
+    //), so both engines agree bit-exactly.
+
+    Scale shape: composes the registered policy-gate rollup (already a
+    bounded per-domain frame), one more bounded GROUP BY, and a 1-row
+    total broadcast back — nothing corpus-sized moves after the gate."""
+    from . import REGISTRY
+
+    dom = (
+        REGISTRY["robots_policy_filter"]
+        .fn(spark, sf_dir)
+        .groupBy("domain")
+        .agg(
+            F.sum("n_kept").cast("long").alias("n_kept"),
+            F.sum("tokens_kept").cast("long").alias("tokens_kept"),
+        )
+        .where(F.col("n_kept") > 0)
+    )
+    k = F.md5(F.concat(F.lit("policy|"), F.col("domain")))
+    delay = (
+        (
+            F.expr("instr('0123456789abcdef', substr(md5(concat('policy|', domain)), 4, 1))")
+            - 1
+        )
+        % 4
+    ) * 500 + 500
+    pol = dom.withColumn("delay_ms", delay.cast("long"))
+    tot = pol.agg(F.sum("tokens_kept").cast("long").alias("t"))
+    calc = pol.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_kept",
+        "tokens_kept",
+        F.expr(f"{CRAWL_DAY_MS} div delay_ms").cast("long").alias("rpd"),
+        F.expr(f"({CRAWL_DAY_MS} div delay_ms) * (tokens_kept div n_kept)")
+        .cast("long")
+        .alias("max_daily_tokens"),
+        F.expr(f"({CRAWL_DAILY_TOKENS} * tokens_kept) div t").cast("long").alias(
+            "fair_share"
+        ),
+    )
+    return calc.select(
+        "domain",
+        "rpd",
+        "n_kept",
+        "tokens_kept",
+        "fair_share",
+        "max_daily_tokens",
+        F.least("fair_share", "max_daily_tokens", "tokens_kept")
+        .cast("long")
+        .alias("alloc_tokens"),
+        F.when(
+            (F.col("tokens_kept") <= F.col("fair_share"))
+            & (F.col("tokens_kept") <= F.col("max_daily_tokens")),
+            "corpus",
+        )
+        .when(F.col("max_daily_tokens") < F.col("fair_share"), "politeness")
+        .otherwise("share")
+        .alias("bottleneck"),
     )
 
 

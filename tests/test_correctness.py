@@ -73,11 +73,12 @@ def test_driver_window_order_is_pinned():
         "robots_policy_filter",
         "packing_truncation_audit",
         "kmeans_sample_train",
+        "crawl_budget_allocator",
         # freshness re-rows (r3 then r4 vintage)
         "string_extract",
         "window_extrema",
         "anti_join_dormant_customers",
-        "key_skew_report",
+        "interval_peak_load",
     } <= window
     # round-9-verified names must be GONE from the front
     assert not {

@@ -120,6 +120,8 @@ _NL_JOIN_OK = {
     "trading_day_offsets",
     # 1-row global-scalar cross join (regime selector)
     "regime_weighted_score",
+    # 1-row kept-token-total scalar cross join (fair-share denominator)
+    "crawl_budget_allocator",
     # 1-row global-scalar threshold compare (positive-balance average)
     "q22_dormant_balance",
     # 1-row global-scalar cross join (nation-scoped grand total for HAVING)

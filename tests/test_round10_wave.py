@@ -157,3 +157,26 @@ def test_cross_snapshot_store_integration(spark, sf_dir, tmp_path):
     final = txn.read_versioned(spark, root)
     assert final.count() == bd.count()
     assert final.exceptAll(bd).count() == 0 and bd.exceptAll(final).count() == 0
+
+
+def test_crawl_budget_constraints_hold(spark, sf_dir):
+    out = REGISTRY["crawl_budget_allocator"].fn(spark, sf_dir).toPandas()
+    from profitscout_engine_spark.queries.textops import CRAWL_DAILY_TOKENS
+
+    # the allocation never exceeds any of its three bounds
+    assert (out["alloc_tokens"] <= out["fair_share"]).all()
+    assert (out["alloc_tokens"] <= out["max_daily_tokens"]).all()
+    assert (out["alloc_tokens"] <= out["tokens_kept"]).all()
+    # fair shares never oversubscribe the global budget (floor division)
+    assert out["fair_share"].sum() <= CRAWL_DAILY_TOKENS
+    # bottleneck labels are consistent with the binding constraint
+    corpus = out[out["bottleneck"] == "corpus"]
+    assert (corpus["alloc_tokens"] == corpus["tokens_kept"]).all()
+    polite = out[out["bottleneck"] == "politeness"]
+    assert (polite["alloc_tokens"] == polite["max_daily_tokens"]).all()
+    share = out[out["bottleneck"] == "share"]
+    assert (share["alloc_tokens"] == share["fair_share"]).all()
+    # only crawlable, non-empty domains get budget rows
+    gate = REGISTRY["robots_policy_filter"].fn(spark, sf_dir).toPandas()
+    crawlable = set(gate[gate["n_kept"] > 0]["domain"])
+    assert set(out["domain"]) == crawlable
