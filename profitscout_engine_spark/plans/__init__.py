@@ -65,7 +65,10 @@ def normalized_plan_sha(plan: str) -> str:
     # operator structure — shuffle byte sizes vary with codec buffering and
     # session history (bit round 10: k_core_peel's sha flipped between
     # snapshot runs with byte-identical code). Stage ids are counters too.
-    s = re.sub(r"Statistics\([^)]*\)", "Statistics(_)", s)
+    # Statistics renderings can nest one paren level (ColumnStat details);
+    # the old [^)]* stopped at the first ')' and left a dangling unparsed
+    # tail that still flipped shas (ADVICE r10). One nesting level handled.
+    s = re.sub(r"Statistics\((?:[^()]|\([^()]*\))*\)", "Statistics(_)", s)
     s = re.sub(r"QueryStage \(\d+\)", "QueryStage (_)", s)
     # Round-10 noise class: RewriteDistinctAggregates orders the per-column
     # distinct groups of its Expand by exprId-dependent hash order, so a
@@ -74,18 +77,71 @@ def normalized_plan_sha(plan: str) -> str:
     # same query hashed differently depending on which queries planned
     # earlier in the worker (bit round 10: table_profile/enrichment_pipeline
     # flipped sha between chunkings with byte-identical code). Canonicalize
-    # ONLY the lines carrying the expand's gid column as an order-free token
-    # multiset: adding/removing/renaming a distinct column still shifts the
-    # hash; pure group reordering (never a semantic change) no longer does.
+    # ONLY the lines carrying the expand's gid column, at the GROUP level
+    # (ADVICE r10 — the r10 token-multiset flatten erased bracket structure
+    # and column-to-group pairing): each bracketed list sorts its COMMA-
+    # SEPARATED ELEMENTS (paren-aware, nested brackets canonicalized first
+    # and kept intact as single elements), so an expand group like
+    # [suppkey#, null, 0] survives as a unit and only the session-order-
+    # dependent ORDERING of groups/columns is erased. Adding/removing/
+    # renaming a distinct column, or re-pairing a column to a different
+    # group, still shifts the hash.
     s = "\n".join(
-        " ".join(sorted(t for t in re.split(r"[\[\](),\s]+", line) if t))
-        if "gid#" in line
-        else line
+        _canon_bracket_groups(line) if "gid#" in line else line
         # split("\n"), NOT splitlines(): the latter drops a trailing
         # newline and would shift the hash of every gid-free plan too
         for line in s.split("\n")
     )
     return hashlib.sha256(s.encode()).hexdigest()
+
+
+def _canon_bracket_groups(line: str) -> str:
+    """Order-free canonical form of one plan line: every ``[...]`` AND
+    ``(...)`` group sorts its top-level comma-separated elements (the
+    noise class covers bracketed expand/key lists and paren-rendered
+    ``hashpartitioning(a#, gid#, 32)`` alike). Nested groups recurse
+    first, then ride along as single (already-canonical) elements of
+    their parent — so an expand group like ``[suppkey#, null, 0]``
+    survives as an intact unit inside the outer group list."""
+    closer = {"[": "]", "(": ")"}
+
+    def parse(s: str, i: int, opener: str) -> tuple[str, int]:
+        # i points just past the opener; returns (canonical group, next i)
+        close = closer[opener]
+        elems: list[str] = []
+        cur: list[str] = []
+        while i < len(s):
+            ch = s[i]
+            if ch in closer:
+                inner, i = parse(s, i + 1, ch)
+                cur.append(inner)
+            elif ch == close:
+                elems.append("".join(cur).strip())
+                return (
+                    opener + ", ".join(sorted(e for e in elems if e)) + close,
+                    i + 1,
+                )
+            elif ch == ",":
+                elems.append("".join(cur).strip())
+                cur = []
+                i += 1
+            else:
+                cur.append(ch)
+                i += 1
+        # unbalanced opener — keep what we have, order-free
+        elems.append("".join(cur).strip())
+        return opener + ", ".join(sorted(e for e in elems if e)) + close, i
+
+    out: list[str] = []
+    i = 0
+    while i < len(line):
+        if line[i] in closer:
+            seg, i = parse(line, i + 1, line[i])
+            out.append(seg)
+        else:
+            out.append(line[i])
+            i += 1
+    return "".join(out)
 
 
 def count_unpartitioned_windows(plan: str) -> int:

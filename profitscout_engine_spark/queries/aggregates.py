@@ -568,19 +568,23 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct parts per supplier (rsd 2%) — one pass, fixed memory
     per group, vs the exact shuffle-dedup twin computed alongside.
 
-    ``within_bound`` asserts |approx - exact| <= 3*rsd*exact + 2 (3σ of the
+    ``within_bound`` asserts |approx - exact| <= 4*rsd*exact + 2 (4σ of the
     configured relative standard deviation, plus an absolute slack of 2 for
     tiny groups where HLL++'s sparse mode quantizes). The oracle emits the
     exact count and a literal TRUE, so the driver hash-check FAILS the round
     the sketch ever exceeds its envelope — the strongest cross-engine
-    statement possible for an implementation-defined estimator.
+    statement possible for an implementation-defined estimator. The rsd is a
+    target, NOT a published worst-case guarantee: the estimator is
+    implementation-defined, so the envelope sits at 4σ (ADVICE r10 — 3σ was
+    tight enough that a Spark upgrade could flip a group red without a real
+    regression; at 4σ a breach means the sketch is genuinely out of spec).
     """
     li = t(spark, sf_dir, "lineitem")
     g = li.groupBy("l_suppkey").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
     )
-    bound = F.lit(3 * 0.02) * F.col("exact_parts") + F.lit(2.0)
+    bound = F.lit(4 * 0.02) * F.col("exact_parts") + F.lit(2.0)
     return g.select(
         "l_suppkey",
         "exact_parts",

@@ -4455,7 +4455,17 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # self-consistent).
 import os as _os
 
-KM_TRAIN_K = int(_os.environ.get("PSE_KM_TRAIN_K", "8"))
+# The PSE_KM_TRAIN_K timing override is honored ONLY when the stress
+# harness also sets PSE_KM_TIMING=1 (ADVICE r10: a stray env var read
+# unconditionally at import could silently change K during correctness /
+# driver / snapshot runs — self-consistent, but staling every stored plan
+# sha and DRIVER_STATE stamp with no guard). stress.py sets the flag for
+# timing modes only; every correctness entry point sees the pinned 8.
+KM_TRAIN_K = (
+    int(_os.environ["PSE_KM_TRAIN_K"])
+    if _os.environ.get("PSE_KM_TIMING") == "1" and "PSE_KM_TRAIN_K" in _os.environ
+    else 8
+)
 KM_TRAIN_ITERS = 5
 
 
@@ -4851,13 +4861,27 @@ def kmeans_sample_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- end-to-end IVF index REBUILD + parity audit --------------------------------
+# The audit evaluates on a BOUNDED query panel (production recall-eval shape):
+# the r10 32x stress audit proved that auditing EVERY vector's within-list
+# top-k is Θ(n²/K) at fixed K and dies disk-full at scale (SCALING.md §14 —
+# 512M scored pairs at 32x). A rebuild report needs a statistically useful
+# panel, not the full corpus: with Q fixed, each side's candidate set is the
+# panel's probed lists — Q·(n/K) pairs, LINEAR in n.
+RB_QUERY_N = 64
+
+
 def _ivf_rebuild_oracle() -> str:
     sql = f"""
     WITH {_IVF_ASSIGN_CTES},
+    qs AS (
+        SELECT vec_id FROM embeddings
+        ORDER BY md5('rbq|' || CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {RB_QUERY_N}
+    ),
     oldcand AS (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id
-        FROM assign a JOIN assign b
-          ON a.c_label = b.c_label AND a.vec_id <> b.vec_id
+        FROM assign a JOIN qs q ON q.vec_id = a.vec_id
+        JOIN assign b ON a.c_label = b.c_label AND a.vec_id <> b.vec_id
     ),
     oldsims AS (
         SELECT c.a_id, c.b_id,
@@ -4870,11 +4894,21 @@ def _ivf_rebuild_oracle() -> str:
         FROM oldsims
     ),
     oldtop AS (SELECT a_id, b_id FROM oldranked WHERE rank <= {LSH_TOPK}),
-    {_km_unroll_ctes('km')},
-    {_km_afin_cte('km', 'kmafin', with_dist=False)},
+    samp AS (
+        SELECT vec_id FROM embeddings
+        ORDER BY md5('kmsamp|' || CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {KM_SAMPLE_N}
+    ),
+    {_km_unroll_ctes('km', src='embeddings JOIN samp USING (vec_id)')},
+    kfe AS (SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS v
+            FROM embeddings),
+    {_km_afin_cte('km', 'kmafin', with_dist=False, vec='kfe')},
     newcand AS (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id
-        FROM kmafin a JOIN kmafin b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+        FROM kmafin a JOIN qs q ON q.vec_id = a.vec_id
+        JOIN kmafin b ON a.cid = b.cid AND a.vec_id <> b.vec_id
     ),
     newsims AS (
         SELECT c.a_id, c.b_id,
@@ -4892,15 +4926,17 @@ def _ivf_rebuild_oracle() -> str:
     n_c AS (SELECT o.a_id, CAST(COUNT(*) AS BIGINT) AS n_common
             FROM oldtop o JOIN newtop n ON n.a_id = o.a_id AND n.b_id = o.b_id
             GROUP BY 1)
-    SELECT a_id,
+    SELECT qs.vec_id AS a_id,
            COALESCE(n_old, 0) AS n_old,
            COALESCE(n_new, 0) AS n_new,
            COALESCE(n_common, 0) AS n_common
-    FROM n_o FULL OUTER JOIN n_n USING (a_id) LEFT JOIN n_c USING (a_id)
+    FROM qs LEFT JOIN n_o ON n_o.a_id = qs.vec_id
+            LEFT JOIN n_n ON n_n.a_id = qs.vec_id
+            LEFT JOIN n_c ON n_c.a_id = qs.vec_id
     """
     return _materialize_ctes(
         sql,
-        ("e", "assign", "oldtop", "kme", "kmafin", "newtop")
+        ("e", "assign", "qs", "oldtop", "kme", "kfe", "kmafin", "newtop")
         + tuple(f"kmc{i}" for i in range(KM_TRAIN_ITERS + 1)),
     )
 
@@ -4912,38 +4948,66 @@ def _ivf_rebuild_oracle() -> str:
 )
 def ivf_rebuild_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end IVF index REBUILD pipeline with a parity audit against
-    the serving index (VERDICT r7 next-wave item b) — the §3-style
-    composition query for the ANN family: TRAIN new coarse centroids with
-    the exact-lattice Lloyd loop (`_km_train`, the kmeans_train_converged
-    machinery), ASSIGN every vector to its trained list with the
-    zero-shuffle argmin projection, SEARCH the rebuilt index (same
-    skew-safe candidate generation + packed Arrow-dot cosine scorer the
-    old index uses), and AUDIT per query: result count under the old
+    the serving index (VERDICT r7 next-wave item b; re-shaped scale-safe
+    per VERDICT r10 item 1) — the §3-style composition query for the ANN
+    family: TRAIN new coarse centroids on the BOUNDED {KM_SAMPLE_N}-vector
+    sample (`_km_train_sample`, the kmeans_sample_train production lever),
+    ASSIGN every vector to its trained list with the zero-shuffle argmin
+    projection, then AUDIT a deterministic md5-sampled panel of
+    {RB_QUERY_N} queries: each panel query's top-{LSH_TOPK} under the old
     label-centroid index, under the rebuilt k-means index, and their
-    top-{LSH_TOPK} overlap — the report a production rebuild publishes
-    before switching the pointer. Scale shape: training state is K x 64
-    integers on the driver; both searches are list-bucketed equi-joins
-    (never all-pairs) with hot lists salted; the audit itself is two
-    bounded groupBys and one full-outer key join."""
-    from . import REGISTRY
-    from ..operators.skew import skewsafe_directed_pairs
+    overlap — the recall report a production rebuild publishes before
+    switching the pointer.
 
-    cent = _km_train(spark, sf_dir)
-    if cent is None:  # empty corpus: no index, no audit rows
+    Scale shape — the r10 32x stress audit killed the previous form (audit
+    EVERY vector's within-list top-k = Θ(n²/K) at fixed K; 512M scored
+    pairs, disk-full at 32x — SCALING.md §14). This shape is Θ(n + Q·n/K):
+    training is Lloyd over a collected {KM_SAMPLE_N}-row frame (bounded
+    driver state), both full-corpus assignments are map-side projections /
+    one bounded crossJoin-broadcast ranking, and candidate generation
+    BROADCASTS the Q-row panel's list assignments against each index — the
+    corpus streams through a map-side join emitting at most Q rows per
+    list, so nothing corpus-sized ever shuffles by list and the pair count
+    is the panel's probed lists, linear in n. Scoring is the packed
+    Arrow-dot shuffle-join path; the audit itself is three bounded
+    groupBys left-joined onto the panel spine."""
+    cent = _km_train_sample(spark, sf_dir)
+    if cent is None:  # empty corpus: no index, no panel, no audit rows
         return spark.createDataFrame(
             [], "a_id bigint, n_old bigint, n_new bigint, n_common bigint"
         )
+    qs = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .orderBy(
+            F.md5(F.concat(F.lit("rbq|"), F.col("vec_id").cast("string"))), "vec_id"
+        )
+        .limit(RB_QUERY_N)
+    )
+    ea, eb = _packed_sides(spark, sf_dir)
+
+    def panel_top(assign: DataFrame, list_col: str) -> DataFrame:
+        """Top-{LSH_TOPK} for the panel under one index: broadcast the
+        panel's Q list assignments, map-side join the full corpus side."""
+        probe = assign.join(F.broadcast(qs), "vec_id").select(
+            F.col("vec_id").alias("a_id"), F.col(list_col).alias("lst")
+        )
+        build = assign.select(
+            F.col("vec_id").alias("b_id"), F.col(list_col).alias("lst")
+        )
+        cand = (
+            build.join(F.broadcast(probe), "lst")
+            .where(F.col("a_id") != F.col("b_id"))
+            .select("a_id", "b_id")
+        )
+        return _score_candidates(cand, ea, eb, r6, LSH_TOPK).select("a_id", "b_id")
+
     new_assign = _km_lattice_vecs(spark, sf_dir).select(
         "vec_id", _km_argmin(cent)["cid"].alias("cid")
     )
-    a = new_assign.select(F.col("vec_id").alias("a_id"), F.col("cid").alias("lst"))
-    b = new_assign.select(F.col("vec_id").alias("b_id"), F.col("cid").alias("lst"))
-    cand = skewsafe_directed_pairs(
-        a, b, key="lst", probe_id="a_id", build_id="b_id", hot_size=IVF_HOT_LIST,
-    )
-    ea, eb = _packed_sides(spark, sf_dir)
-    new_top = _score_candidates(cand, ea, eb, r6, LSH_TOPK).select("a_id", "b_id")
-    old_top = REGISTRY["ivf_search_topk"].fn(spark, sf_dir).select("a_id", "b_id")
+    new_top = panel_top(new_assign, "cid")
+    old_assign = _ivf_assignments(spark, sf_dir).select("vec_id", "assigned_label")
+    old_top = panel_top(old_assign, "assigned_label")
     n_old = old_top.groupBy("a_id").agg(F.count("*").cast("long").alias("n_old"))
     n_new = new_top.groupBy("a_id").agg(F.count("*").cast("long").alias("n_new"))
     common = (
@@ -4953,7 +5017,9 @@ def ivf_rebuild_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = F.lit(0).cast("long")
     return (
-        n_old.join(n_new, "a_id", "full_outer")
+        qs.select(F.col("vec_id").alias("a_id"))
+        .join(n_old, "a_id", "left")
+        .join(n_new, "a_id", "left")
         .join(common, "a_id", "left")
         .select(
             "a_id",

@@ -2041,7 +2041,6 @@ def crawl_budget_allocator(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_kept") > 0)
     )
-    k = F.md5(F.concat(F.lit("policy|"), F.col("domain")))
     delay = (
         (
             F.expr("instr('0123456789abcdef', substr(md5(concat('policy|', domain)), 4, 1))")

@@ -37,6 +37,15 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# PSE_KM_TRAIN_K is a TIMING-ONLY lever (SCALING.md §14): similarity.py
+# honors it only when PSE_KM_TIMING=1 is also set, and this harness raises
+# the flag only for timing runs — --check mode is a correctness claim and
+# must see the pinned K=8 that every stored oracle / plan sha / DRIVER_STATE
+# stamp was generated under (ADVICE r10). The flag must be set BEFORE the
+# registry import (similarity.py reads the env once at import).
+if "--check" not in sys.argv:
+    os.environ["PSE_KM_TIMING"] = "1"
+
 from profitscout_engine_spark.queries import load_registry
 from profitscout_engine_spark.session import get_spark
 

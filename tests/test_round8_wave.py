@@ -45,8 +45,13 @@ def test_gram_deflation_orthogonality_and_rayleigh(spark, sf_dir):
 
 def test_ivf_rebuild_audit_matches_parent_searches(spark, sf_dir):
     """Audit counts reconcile exactly with the old-index search results
-    and obey the overlap bounds (n_common <= min(n_old, n_new) <= topk)."""
-    from profitscout_engine_spark.queries.similarity import LSH_TOPK
+    restricted to the bounded query panel, the panel is exactly the
+    RB_QUERY_N md5-lowest vec_ids (recomputed here with hashlib — not the
+    engine's md5), and overlap bounds hold
+    (n_common <= min(n_old, n_new) <= topk)."""
+    import hashlib
+
+    from profitscout_engine_spark.queries.similarity import LSH_TOPK, RB_QUERY_N
 
     audit = REGISTRY["ivf_rebuild_audit"].fn(spark, sf_dir).toPandas()
     old = REGISTRY["ivf_search_topk"].fn(spark, sf_dir).toPandas()
@@ -54,10 +59,18 @@ def test_ivf_rebuild_audit_matches_parent_searches(spark, sf_dir):
     assert (audit["n_old"] <= LSH_TOPK).all()
     assert (audit["n_new"] <= LSH_TOPK).all()
     assert (audit["n_common"] <= audit[["n_old", "n_new"]].min(axis=1)).all()
+    # per-panel-query reconciliation: within-list candidates are identical,
+    # so each panel query's old-index count equals the full search's count
     for _, r in audit.iterrows():
         assert r["n_old"] == old_counts.get(r["a_id"], 0)
-    # every old-index query id appears in the audit
-    assert set(old_counts) <= set(audit["a_id"])
+    # the audit covers EXACTLY the deterministic md5 panel (bounded-query
+    # production shape — VERDICT r10 item 1), independently recomputed
+    vec_ids = [r.vec_id for r in t(spark, sf_dir, "embeddings").select("vec_id").collect()]
+    panel = sorted(
+        vec_ids, key=lambda v: (hashlib.md5(f"rbq|{v}".encode()).hexdigest(), v)
+    )[:RB_QUERY_N]
+    assert set(audit["a_id"]) == set(panel)
+    assert len(audit) == min(RB_QUERY_N, len(vec_ids))
 
 
 def test_leakage_safe_split_conserves_docs_and_never_leaks(spark, sf_dir):
