@@ -59,6 +59,13 @@ def normalized_plan_sha(plan: str) -> str:
     # queries planned first — pure session-order noise (bit round 8: 11
     # phantom stale-green flags after a re-chunked snapshot run)
     s = re.sub(r"RDD\[\d+\]", "RDD[_]", s)
+    # Round-11 noise class: CollapseProject's common-subexpression aliases
+    # (_common_expr_N) draw N from a session-global counter just like
+    # exprIds — the same plan renders _common_expr_0 in a fresh session and
+    # _common_expr_16 after other queries planned first (bit round 11:
+    # crawl_budget_allocator flipped sha between the full chunked snapshot
+    # and a solo worker with byte-identical code).
+    s = re.sub(r"_common_expr_\d+", "_common_expr_", s)
     # Round-10 noise class: iterative builds (localCheckpoint loops) leave
     # MATERIALIZED AQE query stages in the final plan, whose rendered
     # Statistics(sizeInBytes=…, rowCount=…) are runtime MEASUREMENTS, not
@@ -86,8 +93,19 @@ def normalized_plan_sha(plan: str) -> str:
     # dependent ORDERING of groups/columns is erased. Adding/removing/
     # renaming a distinct column, or re-pairing a column to a different
     # group, still shifts the hash.
+    # …and the gid VALUES themselves are assigned to distinct columns in
+    # exprId-hash order, so `[1, l_tax#, null…]` in one session is
+    # `[1, l_quantity#, null…]` in another and every
+    # `FILTER (WHERE (gid# = N))` pairs N with a different function (bit
+    # round 11: table_profile flipped sha with byte-identical code even
+    # after group-level sorting). Erase integer literals on gid-carrying
+    # lines BEFORE canonicalizing, so groups differing only in gid
+    # numbering collapse; the function names and column multisets still
+    # pin the operator structure.
     s = "\n".join(
-        _canon_bracket_groups(line) if "gid#" in line else line
+        _canon_bracket_groups(re.sub(r"\b\d+\b", "_", line))
+        if "gid#" in line
+        else line
         # split("\n"), NOT splitlines(): the latter drops a trailing
         # newline and would shift the hash of every gid-free plan too
         for line in s.split("\n")

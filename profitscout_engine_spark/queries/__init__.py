@@ -108,81 +108,86 @@ _MODULES = (
     "tpch",
 )
 
-# Round-10 window rotation (VERDICT r9 item 1). Composition, mechanically
-# derived from DRIVER_STATE.json after `--stamp 9` (50 greens stamped,
+# Round-11 window rotation (VERDICT r10 item 2). Composition, mechanically
+# derived from DRIVER_STATE.json after `--stamp 10` (50 greens stamped,
 # `--check` 0 problems):
-#   1-16   the 16 rows whose basis is the r9 builder sweep restamp (their
-#          plan shas migrated to the chunk-independent reset-shared capture
-#          semantics; verified exact at sf0.01 + 2x, but a driver row is
-#          stronger) — the restamp queue the r9 verdict asked to lead with;
-#   17-21  queries edited THIS round (the two approx sketches gained bounds
-#          oracles; corpus_curation_pipeline aux5 NULL-propagating concat;
-#          smart_batching_waste helper signature; url_canonical_dedup parse
-#          chain factored into _url_parsed_frame) — their r9 stamps go
-#          stale the moment the edits land;
-#   22-26  round-10 additions (cross-snapshot dedup ledger, robots/licence
-#          policy gate, truncation-loss audit, bounded-sample k-means
-#          trainer, crawl-budget allocator);
-#   27-50  freshness re-rows: the 9 remaining r3-vintage driver greens,
-#          then the 15 alphabetically-first r4-vintage ones.
-# Everything rotated out was driver-green r1-r9 on unchanged code and stays
+#   1-8    the 8 rows whose basis is the r10 builder sweep restamp (their
+#          plan shas migrated to the r10-closed AQE-statistics noise class;
+#          verified exact at sf0.01 + 2x, but a driver row is stronger) —
+#          the restamp queue the r10 verdict asked to lead with;
+#   9-10   queries edited THIS round (ivf_rebuild_audit re-shaped onto the
+#          bounded-panel sample-trainer path; quality_classifier_score's
+#          scorer core factored into _qc_scored for the drift ledger —
+#          plan sha unchanged, fn source changed) — their stamps go stale
+#          the moment the edits land;
+#   11-13  round-11 additions (cross-snapshot semantic dedup, incremental
+#          IVF maintenance ledger, quality-calibration drift);
+#   14-18  plan-sha migrations from the 92f2fa2 normalizer fixes (code
+#          untouched; same restamp class as r10's);
+#   19-48  freshness re-rows: ALL 30 remaining r4-vintage driver greens
+#          (now the stalest — the verdict's named five are among them);
+#   49-50  freshness re-rows: the 2 alphabetically-first r5-vintage ones.
+# Everything rotated out was driver-green r1-r10 on unchanged code and stays
 # pinned by tests/test_correctness.py + tests/test_driver_state.py.
 _WINDOW_FRONT = (
-    # -- sweep-basis only since the reset-shared plan-sha migration (r9) --
-    "ann_recall_curve",
-    "bigram_lm_logprob",
-    "dbscan_core_points",
-    "dedup_consensus",
-    "incremental_dedup_probe",
-    "ivfpq_search",
-    "knn_label_eval",
-    "label_propagation_rounds",
-    "lsh_s_curve_audit",
-    "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "pagerank_iteration",
-    "pagerank_power_lattice",
-    "scanner_rank",
-    "threshold_sweep_components",
-    "triangle_count",
+    # -- sweep-basis only since the r10 AQE-stats plan-sha migration --
+    "enrichment_pipeline",
+    "gram_power_iteration",
+    "gram_topk_deflation",
+    "graph_modularity",
+    "k_core_peel",
+    "rfm_segmentation",
+    "table_profile",
+    "trader_pipeline",
     # -- edited this round (stamps stale by construction) --
+    "ivf_rebuild_audit",
+    "quality_classifier_score",
+    # -- round-11 additions --
+    "cross_snapshot_semantic_dedup",
+    "ivf_incremental_maintain",
+    "quality_calibration_drift",
+    # -- plan-sha migrations: the 92f2fa2 normalizer fixes (group-level gid
+    #    canonicalization + nested Statistics) moved these five to their
+    #    stable canonical shas; code untouched, restamp like the r10 class --
     "approx_distinct_sketch",
-    "approx_quantile_sketch",
     "corpus_curation_pipeline",
-    "smart_batching_waste",
-    "url_canonical_dedup",
-    # -- round-10 additions --
-    "cross_snapshot_dedup",
-    "robots_policy_filter",
-    "packing_truncation_audit",
-    "kmeans_sample_train",
     "crawl_budget_allocator",
-    # -- freshness re-rows: the 9 remaining r3-vintage greens --
-    "string_extract",
-    "tier_tally",
-    "token_stats_bpe",
-    "top_n_per_group",
-    "two_key_sort_limit",
-    "unigram_freq_quality",
-    "union_all_patterns",
-    "value_counts_pct",
-    "window_extrema",
-    # -- freshness re-rows: the 15 alphabetically-first r4-vintage greens --
-    "anti_join_dormant_customers",
-    "beta_to_market",
-    "bloom_semijoin_account",
-    "click_attribution_stream",
-    "column_entropy",
-    "countmin_freq_portable",
     "cube_flag_status",
-    "drawdown_stats",
-    "frame_sample_stride",
-    "gap_fill_ffill",
-    "hll_distinct_portable",
-    "hll_merge_incremental",
-    "image_resize_nn",
-    "incremental_agg_maintain",
-    "interval_peak_load",
+    "scanner_rank",
+    # -- freshness re-rows: all 30 remaining r4-vintage greens --
+    "key_skew_report",
+    "kmeans_lloyd_step",
+    "monte_carlo_paths",
+    "ohlc_resample",
+    "order_line_array_ops",
+    "pairwise_return_corr",
+    "pareto_frontier",
+    "pivot_lang_counts",
+    "pmi_collocations",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_revenue_delta",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "quantile_digest_merge",
+    "range_window_revenue",
+    "rank_normalize",
+    "retention_cohorts",
+    "rsi_macd",
+    "scd2_history",
+    "snapshot_diff",
+    "streaming_hll_users",
+    "unigram_lm_logprob",
+    "vwap_running",
+    "weighted_sample_ares",
+    # -- freshness re-rows: the 2 alphabetically-first r5-vintage greens --
+    "ab_test_stats",
+    "bm25_search",
 )
 
 

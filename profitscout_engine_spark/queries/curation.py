@@ -1001,12 +1001,14 @@ def _qc_weight_sql(instr_fn: str, feat: str) -> str:
     )
 
 
-def _qc_oracle() -> str:
+def _qc_scored_ctes(col: str) -> str:
+    """The hashed-bag scorer's CTE chain (tk → feats → scored), carrying
+    ``col`` alongside doc_id — shared by the serving oracle (lang) and the
+    calibration-drift oracle (source)."""
     w = _qc_weight_sql("strpos", "f")
-    return f"""
-    WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+    return f"""tk AS (SELECT doc_id, {col}, string_split(text, ' ') AS tk FROM documents),
     feats AS (
-        SELECT doc_id, lang,
+        SELECT doc_id, {col},
                list_concat(
                    tk,
                    CASE WHEN len(tk) >= 2
@@ -1016,16 +1018,46 @@ def _qc_oracle() -> str:
         FROM tk
     ),
     scored AS (
-        SELECT doc_id, lang, len(fs) AS n_feats,
+        SELECT doc_id, {col}, len(fs) AS n_feats,
                list_aggregate(list_transform(fs, f -> CAST({w} AS BIGINT)),
                               'sum') AS wsum
         FROM feats
-    )
+    )"""
+
+
+def _qc_oracle() -> str:
+    return f"""
+    WITH {_qc_scored_ctes('lang')}
     SELECT doc_id, lang, CAST(n_feats AS BIGINT) AS n_feats,
            ROUND(wsum / (GREATEST(n_feats, 1) * 32768.0), 6) AS score,
            (wsum > 0) AS keep
     FROM scored
     """
+
+
+def _qc_scored(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
+    """(doc_id, *cols, n_feats, wsum) — the hashed-bag scorer's
+    exact-integer core (Spark twin of :func:`_qc_scored_ctes`), shared by
+    the serving query and the calibration-drift ledger."""
+    w = _qc_weight_sql("instr", "f")
+    bigrams = (
+        "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), "
+        "i -> concat(element_at(tk, i), '_', element_at(tk, i + 1))) "
+        "ELSE array() END"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", *cols, tokens(F.col("text")).alias("tk"))
+        .withColumn("fs", F.expr(f"concat(tk, {bigrams})"))
+        .select(
+            "doc_id",
+            *cols,
+            F.size("fs").cast("long").alias("n_feats"),
+            F.expr(
+                f"aggregate(transform(fs, f -> CAST({w} AS BIGINT)), 0L, (a, z) -> a + z)"
+            ).alias("wsum"),
+        )
+    )
 
 
 @query("quality_classifier_score", oracle=_qc_oracle(), tags=("curation", "quality", "classifier"))
@@ -1040,24 +1072,8 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     float op is the final normalization. At 100 TB this is a map-only
     pass whose cost is md5 throughput, the cheapest possible shape for
     a corpus-wide model-based filter."""
-    w = _qc_weight_sql("instr", "f")
-    bigrams = (
-        "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), "
-        "i -> concat(element_at(tk, i), '_', element_at(tk, i + 1))) "
-        "ELSE array() END"
-    )
     return (
-        _docs(spark, sf_dir)
-        .select("doc_id", "lang", tokens(F.col("text")).alias("tk"))
-        .withColumn("fs", F.expr(f"concat(tk, {bigrams})"))
-        .select(
-            "doc_id",
-            "lang",
-            F.size("fs").cast("long").alias("n_feats"),
-            F.expr(
-                f"aggregate(transform(fs, f -> CAST({w} AS BIGINT)), 0L, (a, z) -> a + z)"
-            ).alias("wsum"),
-        )
+        _qc_scored(spark, sf_dir, "lang")
         .select(
             "doc_id",
             "lang",
@@ -3094,4 +3110,173 @@ def packing_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(pad).cast("long").alias("pad_tokens"),
         r4(F.sum(lost) * F.lit(1.0) / F.sum(n)).alias("loss_frac"),
         r4(F.sum(pad) * F.lit(1.0) / (F.count("*") * F.lit(SEQ_MAX))).alias("pad_frac"),
+    )
+
+
+# --- quality-classifier calibration drift vs the committed baseline ------------
+# (VERDICT r10 item 5c — composes `quality_classifier_score` with the
+# `psi_drift` nano-snap PSI kernel over the same md5 'snap|' ingest timeline
+# as `cross_snapshot_dedup`, so all three cross-snapshot ledgers share one
+# daily-partition story.)
+QC_SNAP_DAYS = 4
+QC_PSI_BINS = 16  # score bins over [-1, 1]
+QC_DRIFT_PSI = 0.25  # the standard "investigate" PSI threshold
+_QSNAP_DAY_DUCK = (
+    "(strpos('0123456789abcdef',"
+    " substr(md5('snap|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) // 4"
+)
+_QSNAP_DAY_SPARK = (
+    "CAST((instr('0123456789abcdef',"
+    " substr(md5(concat('snap|', CAST(doc_id AS STRING))), 1, 1)) - 1) div 4 AS BIGINT)"
+)
+# non-negative-shifted integer binning: bin = floor((score + 1) / 2 * 16) on
+# the EXACT integer (wsum, n_feats) pair — no float ever touches the bin id,
+# so both engines bucket identically even at the bin edges
+_QC_BIN = (
+    "LEAST(((wsum + 32768 * GREATEST(n_feats, 1)) * 8)"
+    f" {{div}} (32768 * GREATEST(n_feats, 1)), {QC_PSI_BINS - 1})"
+)
+
+
+def _qc_drift_oracle() -> str:
+    return f"""
+    WITH {_qc_scored_ctes('source')},
+    b AS (
+        SELECT source,
+               CAST({_QSNAP_DAY_DUCK} AS BIGINT) AS day,
+               {_QC_BIN.format(div='//')} AS bin
+        FROM scored
+    ),
+    grid AS (
+        SELECT s.source, d.day, g.bin
+        FROM (SELECT DISTINCT source FROM documents) s,
+             (SELECT UNNEST(range(0, {QC_SNAP_DAYS})) AS day) d,
+             (SELECT UNNEST(range(0, {QC_PSI_BINS})) AS bin) g
+    ),
+    cur AS (
+        SELECT g.source, g.day, g.bin, CAST(COUNT(b.source) AS BIGINT) + 1 AS ca
+        FROM grid g LEFT JOIN b
+          ON b.source = g.source AND b.day = g.day AND b.bin = g.bin
+        GROUP BY 1, 2, 3
+    ),
+    base AS (SELECT source, bin, ca AS cb FROM cur WHERE day = 0),
+    tot AS (SELECT source, day, CAST(SUM(ca) AS BIGINT) AS na
+            FROM cur GROUP BY 1, 2),
+    btot AS (SELECT source, CAST(SUM(cb) AS BIGINT) AS nb FROM base GROUP BY 1),
+    terms AS (
+        SELECT c.source, c.day, t.na, bt.nb,
+               CAST(FLOOR((CAST(c.ca AS DOUBLE) / t.na
+                           - CAST(bs.cb AS DOUBLE) / bt.nb)
+                          * ln((CAST(c.ca AS DOUBLE) / t.na)
+                               / (CAST(bs.cb AS DOUBLE) / bt.nb))
+                          * 1000000000 + 0.5) AS BIGINT) AS t_nano
+        FROM cur c
+        JOIN base bs ON bs.source = c.source AND bs.bin = c.bin
+        JOIN tot t ON t.source = c.source AND t.day = c.day
+        JOIN btot bt ON bt.source = c.source
+    )
+    SELECT source, day,
+           CAST(MAX(na) - {QC_PSI_BINS} AS BIGINT) AS n_docs,
+           CAST(MAX(nb) - {QC_PSI_BINS} AS BIGINT) AS n_base_docs,
+           ROUND(SUM(t_nano) / 1.0E9, 6) AS psi,
+           ROUND(SUM(t_nano) / 1.0E9, 6) > {QC_DRIFT_PSI} AS drifted
+    FROM terms GROUP BY 1, 2
+    """
+
+
+@query(
+    "quality_calibration_drift",
+    oracle=_qc_drift_oracle(),
+    tags=("curation", "quality", "drift", "psi", "snapshot"),
+)
+def quality_calibration_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier calibration drift vs a committed baseline
+    (VERDICT r10 item 5c): documents arrive as {QC_SNAP_DAYS} daily
+    partitions (the same md5 'snap|' timeline as `cross_snapshot_dedup`),
+    day 0's per-source SCORE distribution is the committed baseline
+    histogram, and every day's per-source distribution is compared to it
+    with the population stability index — the gate an ML-ops pipeline
+    runs before trusting a trained quality filter on a new snapshot.
+    Scores bin into {QC_PSI_BINS} buckets over [-1, 1] by EXACT integer
+    arithmetic on the classifier's (wsum, n_feats) pair (no float ever
+    touches a bin id), counts are add-one smoothed over the dense
+    source x day x bin grid, and each (p - q) * ln(p / q) term snaps to
+    integer nano-units before the cross-bin sum (the `psi_drift` trap-log
+    rule), so the reported PSI is exact. Day 0 scores 0.0 against itself
+    by construction — a built-in self-check. `drifted` flags
+    PSI > {QC_DRIFT_PSI}, the trigger a production store answers with a
+    classifier recalibration commit (the pytest integration drives the
+    actual baseline-histogram commit on the txn layer).
+
+    Scale shape: scoring is the same map-only md5 pass as
+    `quality_classifier_score`; everything after is one hash aggregation
+    onto the bounded (source, day, bin) grid — at 100 TB the corpus is
+    touched ONCE, and the PSI algebra runs on dims of
+    |sources| x {QC_SNAP_DAYS} x {QC_PSI_BINS} rows, broadcast-joined. In
+    production the baseline histogram is the committed day-0 snapshot
+    read back from the store, so a daily run scores only the NEW day."""
+    sc = _qc_scored(spark, sf_dir, "source")
+    b = sc.select(
+        "source",
+        F.expr(_QSNAP_DAY_SPARK).alias("day"),
+        F.expr(_QC_BIN.format(div="div")).cast("long").alias("bin"),
+    )
+    counts = b.groupBy("source", "day", "bin").agg(F.count("*").alias("cnt"))
+    grid = (
+        b.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(QC_SNAP_DAYS - 1)).cast("array<long>")
+            ).alias("day"),
+        )
+        .select(
+            "source",
+            "day",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(QC_PSI_BINS - 1)).cast("array<long>")
+            ).alias("bin"),
+        )
+    )
+    cur = grid.join(counts, ["source", "day", "bin"], "left").select(
+        "source",
+        "day",
+        "bin",
+        (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("long").alias("ca"),
+    )
+    base = cur.where(F.col("day") == 0).select(
+        "source", "bin", F.col("ca").alias("cb")
+    )
+    tot = cur.groupBy("source", "day").agg(F.sum("ca").cast("long").alias("na"))
+    btot = base.groupBy("source").agg(F.sum("cb").cast("long").alias("nb"))
+    pa = F.col("ca").cast("double") / F.col("na")
+    pb = F.col("cb").cast("double") / F.col("nb")
+    terms = (
+        cur.join(F.broadcast(base), ["source", "bin"])
+        .join(F.broadcast(tot), ["source", "day"])
+        .join(F.broadcast(btot), "source")
+        .withColumn(
+            "t_nano",
+            F.floor((pa - pb) * F.log(pa / pb) * 1_000_000_000 + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+    )
+    psi = r6(F.col("sn") / F.lit(1.0e9))
+    return (
+        terms.groupBy("source", "day")
+        .agg(
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+            F.sum("t_nano").alias("sn"),
+        )
+        .select(
+            "source",
+            "day",
+            (F.col("na") - QC_PSI_BINS).cast("long").alias("n_docs"),
+            (F.col("nb") - QC_PSI_BINS).cast("long").alias("n_base_docs"),
+            psi.alias("psi"),
+            (psi > F.lit(QC_DRIFT_PSI)).alias("drifted"),
+        )
     )

@@ -6445,3 +6445,298 @@ def cross_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(n_dup * F.lit(1.0) / F.col("n_ingested")).alias("dup_frac"),
         )
     )
+
+
+# ---- cross-snapshot SEMANTIC dedup: committed LSH-bucket store, daily probe ----
+# (VERDICT r10 item 5b — the delta-proportional twin of `semantic_dedup`.)
+# Embedding ingest timeline: the same md5 daily split discipline as the
+# MinHash ledger, salted on vec_id so the two stores share one timeline.
+_VSNAP_DAY_DUCK = (
+    "(strpos('0123456789abcdef',"
+    " substr(md5('vsnap|' || CAST(vec_id AS VARCHAR)), 1, 1)) - 1) // 4"
+)
+_VSNAP_DAY_SPARK = (
+    "CAST((instr('0123456789abcdef',"
+    " substr(md5(concat('vsnap|', CAST(vec_id AS STRING))), 1, 1)) - 1) div 4 AS BIGINT)"
+)
+
+
+def _cross_snap_sem_oracle() -> str:
+    bucket_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT vec_id, {t_} AS table_id, {_lsh_bucket_sql('v', t_)} AS bucket FROM e"
+        for t_ in range(sim.LSH_TABLES)
+    )
+    sql = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    snap AS (
+        SELECT vec_id, CAST({_VSNAP_DAY_DUCK} AS BIGINT) AS day FROM embeddings
+    ),
+    buckets AS (
+        {bucket_rows}
+    ),
+    bd AS (
+        SELECT b.vec_id, b.table_id, b.bucket, s.day
+        FROM buckets b JOIN snap s USING (vec_id)
+    ),
+    cell AS (
+        SELECT table_id, bucket, MIN(day) AS first_day FROM bd GROUP BY 1, 2
+    ),
+    rep AS (
+        SELECT bd.table_id, bd.bucket, c.first_day, MIN(bd.vec_id) AS rep_id
+        FROM bd JOIN cell c
+          ON c.table_id = bd.table_id AND c.bucket = bd.bucket
+         AND bd.day = c.first_day
+        GROUP BY 1, 2, 3
+    ),
+    hits AS (
+        SELECT DISTINCT bd.vec_id, bd.day, r.rep_id
+        FROM bd JOIN rep r
+          ON r.table_id = bd.table_id AND r.bucket = bd.bucket
+         AND r.first_day < bd.day
+    ),
+    ver AS (
+        SELECT h.vec_id, h.day,
+               MAX(CASE WHEN ROUND({_cosine_sql('ea.v', 'eb.v')}, 6)
+                             >= {SEMDEDUP_THETA}
+                        THEN 1 ELSE 0 END) AS is_dup
+        FROM hits h JOIN e ea ON ea.vec_id = h.vec_id
+                    JOIN e eb ON eb.vec_id = h.rep_id
+        GROUP BY 1, 2
+    ),
+    ing AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_ingested FROM snap GROUP BY 1),
+    cnd AS (SELECT day, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_candidates
+            FROM hits GROUP BY 1),
+    vd AS (SELECT day, CAST(SUM(is_dup) AS BIGINT) AS n_dup FROM ver GROUP BY 1),
+    nc AS (SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new_bucket_cells
+           FROM cell GROUP BY 1)
+    SELECT i.day, i.n_ingested,
+           COALESCE(c.n_candidates, 0) AS n_candidates,
+           COALESCE(v.n_dup, 0) AS n_dup_vs_store,
+           i.n_ingested - COALESCE(v.n_dup, 0) AS n_novel,
+           COALESCE(nc.n_new_bucket_cells, 0) AS n_new_bucket_cells,
+           ROUND(COALESCE(v.n_dup, 0) * 1.0 / i.n_ingested, 4) AS dup_frac
+    FROM ing i LEFT JOIN cnd c USING (day) LEFT JOIN vd v USING (day)
+               LEFT JOIN nc USING (day)
+    """
+    return _materialize_ctes(sql, ("e", "buckets", "bd", "cell", "rep", "hits"))
+
+
+@query(
+    "cross_snapshot_semantic_dedup",
+    oracle=_cross_snap_sem_oracle(),
+    tags=("dedup", "semantic", "incremental", "snapshot", "embedding-lsh"),
+)
+def cross_snapshot_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot SEMANTIC dedup ledger (VERDICT r10 item 5b): vectors
+    arrive as {N_SNAP_DAYS} daily partitions (md5 split of vec_id), the
+    committed store is the hyperplane-LSH BUCKET table collapsed to
+    distinct (table, bucket) cells — each carrying its first-seen day and
+    a canonical representative (min vec_id of the first day) — and each
+    day's vectors probe the store of all PRIOR days: a bucket hit makes a
+    vector a CANDIDATE, and an exact cosine >= {SEMDEDUP_THETA} against
+    the cell's stored representative VERIFIES it as a semantic duplicate.
+    Per-day ledger: ingested / candidates / verified-dups / novel counts
+    plus how many bucket cells the day adds to the store — the
+    delta-proportional twin of `semantic_dedup`, playing the same role
+    for embeddings that `cross_snapshot_dedup` plays for MinHash bands.
+
+    Scale shape — the probe NEVER joins ingest vectors against store
+    VECTORS: the store is one aggregation down to distinct bucket cells
+    (bounded by distinct signatures) plus one representative per cell, so
+    each arriving vector meets at most {sim.LSH_TABLES} cells and scores
+    at most {sim.LSH_TABLES} exact cosines against stored reps (the
+    packed Arrow-dot path). Cost is store-cells + ingest-rows; in
+    production only the NEW day's vectors shuffle — the cell/rep dims are
+    the committed snapshot read back from the store table (the S10/S11
+    swap the pytest integration drives end-to-end)."""
+    day = F.expr(_VSNAP_DAY_SPARK)
+    e = _vecs(spark, sf_dir).select("vec_id", "v")
+    snap = e.select("vec_id", day.alias("day"))
+    bd = sim.lsh_buckets(e).join(snap, "vec_id")
+    cell = bd.groupBy("table_id", "bucket").agg(F.min("day").alias("first_day"))
+    rep = (
+        bd.join(cell, ["table_id", "bucket"])
+        .where(F.col("day") == F.col("first_day"))
+        .groupBy("table_id", "bucket", "first_day")
+        .agg(F.min("vec_id").alias("rep_id"))
+    )
+    hits = (
+        bd.join(rep, ["table_id", "bucket"])
+        .where(F.col("first_day") < F.col("day"))
+        .select("vec_id", "day", "rep_id")
+        .distinct()
+    )
+    ea, eb = _packed_sides(spark, sf_dir)
+    dot = sim.seq_dot_udf()
+    par = spark.sparkContext.defaultParallelism
+    ver = (
+        hits.withColumnRenamed("vec_id", "a_id")
+        .withColumnRenamed("rep_id", "b_id")
+        .repartition(par, "a_id")
+        .join(ea, "a_id")
+        .join(eb, "b_id")
+        .select(
+            F.col("a_id").alias("vec_id"),
+            "day",
+            F.when(
+                r6(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+                >= SEMDEDUP_THETA,
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("vec_id", "day")
+        .agg(F.max("hit").alias("is_dup"))
+    )
+    ing = snap.groupBy("day").agg(F.count("*").cast("long").alias("n_ingested"))
+    cnd = hits.groupBy("day").agg(
+        F.countDistinct("vec_id").cast("long").alias("n_candidates")
+    )
+    vd = ver.groupBy("day").agg(F.sum("is_dup").cast("long").alias("n_dup"))
+    nc = cell.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("long").alias("n_new_bucket_cells")
+    )
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0)).cast("long")
+    return (
+        ing.join(cnd, "day", "left")
+        .join(vd, "day", "left")
+        .join(nc, "day", "left")
+        .select(
+            "day",
+            "n_ingested",
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            n_dup.alias("n_dup_vs_store"),
+            (F.col("n_ingested") - n_dup).cast("long").alias("n_novel"),
+            F.coalesce(F.col("n_new_bucket_cells"), F.lit(0)).cast("long").alias(
+                "n_new_bucket_cells"
+            ),
+            r4(n_dup * F.lit(1.0) / F.col("n_ingested")).alias("dup_frac"),
+        )
+    )
+
+
+# ---- incremental IVF maintenance: committed centroids, assign-only ingest ------
+# (VERDICT r10 item 5a — pairs `kmeans_sample_train` with the snapshot/txn
+# cadence the way `cross_snapshot_dedup` pairs with S10/S11.)
+RETRAIN_DRIFT = 1.05  # drift ratio above which the ledger flags a retrain
+
+
+def _ivf_incr_oracle() -> str:
+    sql = f"""
+    WITH snap AS (
+        SELECT vec_id, CAST({_VSNAP_DAY_DUCK} AS BIGINT) AS day FROM embeddings
+    ),
+    d0 AS (SELECT vec_id FROM snap WHERE day = 0),
+    samp AS (
+        SELECT vec_id FROM embeddings JOIN d0 USING (vec_id)
+        ORDER BY md5('kmsamp|' || CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {KM_SAMPLE_N}
+    ),
+    {_km_unroll_ctes('im', src='embeddings JOIN samp USING (vec_id)')},
+    ife AS (SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS v
+            FROM embeddings),
+    {_km_afin_cte('im', 'imafin', with_dist=True, vec='ife')},
+    byday AS (
+        SELECT s.day,
+               CAST(COUNT(*) AS BIGINT) AS n_ingested,
+               CAST(SUM(a.dist // 1000000) AS BIGINT) AS sum_dist_milli,
+               CAST(COUNT(DISTINCT a.cid) AS BIGINT) AS n_lists_used
+        FROM imafin a JOIN snap s USING (vec_id)
+        GROUP BY 1
+    ),
+    base AS (SELECT sum_dist_milli AS s0, n_ingested AS n0 FROM byday WHERE day = 0)
+    SELECT day, n_ingested, sum_dist_milli, n_lists_used,
+           ROUND((CAST(sum_dist_milli AS DOUBLE) / n_ingested)
+                 / NULLIF(CAST(s0 AS DOUBLE) / n0, 0), 6) AS drift_ratio,
+           ROUND((CAST(sum_dist_milli AS DOUBLE) / n_ingested)
+                 / NULLIF(CAST(s0 AS DOUBLE) / n0, 0), 6) > {RETRAIN_DRIFT}
+               AS retrain_flag
+    FROM byday CROSS JOIN base
+    """
+    return _materialize_ctes(
+        sql,
+        ("snap", "samp", "ime", "ife", "imafin")
+        + tuple(f"imc{i}" for i in range(KM_TRAIN_ITERS + 1)),
+    )
+
+
+@query(
+    "ivf_incremental_maintain",
+    oracle=_ivf_incr_oracle(),
+    tags=("similarity", "ivf", "incremental", "maintenance", "snapshot"),
+)
+def ivf_incremental_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance ledger (VERDICT r10 item 5a):
+    day 0's corpus trains the coarse quantizer ONCE on its bounded
+    {KM_SAMPLE_N}-vector sample (`kmeans_sample_train`'s production
+    lever), the trained centroids are the COMMITTED snapshot, and every
+    later day is ASSIGN-ONLY ingest — each arriving vector routes to its
+    nearest committed centroid with the zero-shuffle argmin projection.
+    Per day the ledger reports ingest volume, the exact milli-lattice
+    assignment-distance mass, how many lists the day touched, and the
+    drift ratio (day's mean assignment distance over day 0's) — with the
+    retrain flag raised when drift exceeds {RETRAIN_DRIFT}x, the trigger
+    a production store answers with a `kmeans_sample_train` recommit
+    (reference analog: the daily recompute-and-MERGE cadence,
+    win-tracker/main.py:577-635). The pytest integration drives the
+    actual commit: centroids land in a versioned snapshot table, later
+    days read them back and assign against the COMMITTED copy.
+
+    Scale shape: training collects a bounded {KM_SAMPLE_N}-row frame once
+    (driver state <= N x 64 ints); assignment is a pure map-side
+    projection (K bounded centroid literals, argmin via array_min), so
+    every ingest day streams through with ZERO shuffle; the ledger is one
+    bounded groupBy over {N_SNAP_DAYS} day keys and a 1-row day-0 scalar
+    broadcast for the ratio."""
+    day_expr = _VSNAP_DAY_SPARK
+
+    def frame() -> DataFrame:
+        d0 = _km_lattice_vecs(spark, sf_dir).where(F.expr(day_expr) == 0)
+        rows = (
+            d0.orderBy(
+                F.md5(F.concat(F.lit("kmsamp|"), F.col("vec_id").cast("string"))),
+                "vec_id",
+            )
+            .limit(KM_SAMPLE_N)
+            .collect()
+        )
+        return spark.createDataFrame(rows, "vec_id bigint, v array<bigint>")
+
+    cent = _km_train_cached(spark, sf_dir, "day0-sample", frame)
+    if cent is None:  # empty day-0 partition: nothing committed, no ledger
+        return spark.createDataFrame(
+            [],
+            "day bigint, n_ingested bigint, sum_dist_milli bigint,"
+            " n_lists_used bigint, drift_ratio double, retrain_flag boolean",
+        )
+    s = _km_argmin(cent)
+    assigned = _km_lattice_vecs(spark, sf_dir).select(
+        F.expr(day_expr).alias("day"),
+        s["cid"].alias("cid"),
+        s["dist"].alias("dist"),
+    )
+    byday = assigned.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_ingested"),
+        F.sum(F.expr("dist div 1000000")).cast("long").alias("sum_dist_milli"),
+        F.countDistinct("cid").cast("long").alias("n_lists_used"),
+    )
+    base = byday.where(F.col("day") == 0).select(
+        F.col("sum_dist_milli").alias("s0"), F.col("n_ingested").alias("n0")
+    )
+    ratio = r6(
+        (F.col("sum_dist_milli").cast("double") / F.col("n_ingested"))
+        / F.expr("NULLIF(CAST(s0 AS DOUBLE) / n0, 0)")
+    )
+    return byday.crossJoin(F.broadcast(base)).select(
+        "day",
+        "n_ingested",
+        "sum_dist_milli",
+        "n_lists_used",
+        ratio.alias("drift_ratio"),
+        (ratio > F.lit(RETRAIN_DRIFT)).alias("retrain_flag"),
+    )

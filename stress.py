@@ -79,12 +79,13 @@ DEFAULT_QUERIES = [
     "enrichment_news_rollup",
 ]
 
-# The suite maxima (every >4s bench query, VERDICT r9 item 5): timed at
-# 8x AND 32x to prove each one's documented scale shape — streaming
+# The suite maxima (every >4s bench query, VERDICT r9 item 5 / r10 item 6):
+# timed at 8x AND 32x to prove each one's documented scale shape — streaming
 # per-batch overhead stays flat, banded/bounded algebra grows sub-linearly,
-# and the fixed-K IVF composition exposes its Θ(n²/K) within-list term
-# (production re-sizes K with the corpus; see SCALING.md §14 and
-# PSE_KM_TRAIN_K). Run: `python stress.py --maxima 8|32`. ann_recall_curve
+# the rebuild audit (re-shaped round 11 onto the bounded-panel sample-trainer
+# path after its old Θ(n²/K) form died at 32x) rides its Θ(n + Q·n/K) shape,
+# and incremental_lpa_delta's delta-proportional frontier is on the record
+# (r10 >4s newcomer). Run: `python stress.py --maxima 8|32`. ann_recall_curve
 # is the DECLARED quadratic brute-force yardstick (bench _YARDSTICKS) —
 # included so its ratio is on record, not because it is a production path.
 MAXIMA_QUERIES = [
@@ -92,6 +93,7 @@ MAXIMA_QUERIES = [
     "stream_heavy_hitters_cms",
     "gram_topk_deflation",
     "ivf_rebuild_audit",
+    "incremental_lpa_delta",
     "ann_recall_curve",
 ]
 

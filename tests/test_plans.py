@@ -157,6 +157,8 @@ _NL_JOIN_OK = {
     "streaming_hll_users",
     # 1-row Rayleigh-numerator scalar cross join
     "svd_power_step",
+    # 1-row day-0 baseline scalar cross join (drift-ratio denominator)
+    "ivf_incremental_maintain",
     # bounded-model broadcast (n_classes rows) + 1-row total cross joins
     "nb_confusion",
     "pr_curve_binned",

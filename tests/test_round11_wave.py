@@ -1,0 +1,352 @@
+"""Round-11 capability wave (VERDICT r10 item 5a/5b): incremental IVF
+maintenance on the committed snapshot store, and cross-snapshot SEMANTIC
+dedup against a committed embedding-LSH bucket store. Both get (a)
+ledger-invariant checks and (b) the end-to-end txn-store integration the
+r10 cross-snapshot MinHash ledger set the pattern for."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from profitscout_engine_spark.queries import load_registry
+
+REGISTRY = load_registry()
+
+
+def test_ivf_incremental_ledger_invariants(spark, sf_dir):
+    from profitscout_engine_spark.queries.similarity import (
+        KM_TRAIN_K,
+        N_SNAP_DAYS,
+        RETRAIN_DRIFT,
+    )
+    from profitscout_engine_spark.queries._util import t
+
+    out = REGISTRY["ivf_incremental_maintain"].fn(spark, sf_dir).toPandas()
+    out = out.sort_values("day").reset_index(drop=True)
+    assert list(out["day"]) == list(range(N_SNAP_DAYS))
+    # day 0 is the training day: its mean assignment distance IS the
+    # baseline, so its drift ratio is exactly 1 and never flags
+    assert out.loc[0, "drift_ratio"] == 1.0
+    assert not out.loc[0, "retrain_flag"]
+    # the flag is a pure function of the ratio
+    assert (out["retrain_flag"] == (out["drift_ratio"] > RETRAIN_DRIFT)).all()
+    # every vector is ingested exactly once across the days
+    assert out["n_ingested"].sum() == t(spark, sf_dir, "embeddings").count()
+    # a day cannot touch more lists than the quantizer has
+    assert (out["n_lists_used"] <= KM_TRAIN_K).all()
+    assert (out["n_lists_used"] >= 1).all()
+    assert (out["sum_dist_milli"] >= 0).all()
+
+
+def test_ivf_incremental_store_integration(spark, sf_dir, tmp_path):
+    """The production cadence behind `ivf_incremental_maintain`, driven
+    end-to-end on the txn layer: day 0 trains on its bounded sample and
+    COMMITS the centroids as a versioned snapshot table; every later day
+    reads the committed copy back and assigns against it (never against
+    in-process state); the drift trigger answers with a retrain COMMIT
+    that advances the table version. The incremental ledger must equal
+    the one-pass query's rows."""
+    from profitscout_engine_spark.queries.similarity import (
+        KM_SAMPLE_N,
+        N_SNAP_DAYS,
+        _VSNAP_DAY_SPARK,
+        _km_argmin,
+        _km_lattice_vecs,
+        _km_lloyd_loop,
+    )
+    from profitscout_engine_spark.sources import txn
+
+    vecs = _km_lattice_vecs(spark, sf_dir).withColumn(
+        "day", F.expr(_VSNAP_DAY_SPARK)
+    )
+    d0_sample = (
+        vecs.where(F.col("day") == 0)
+        .orderBy(
+            F.md5(F.concat(F.lit("kmsamp|"), F.col("vec_id").cast("string"))),
+            "vec_id",
+        )
+        .limit(KM_SAMPLE_N)
+        .select("vec_id", "v")
+    )
+    cent = _km_lloyd_loop(d0_sample)
+    assert cent is not None
+
+    root = str(tmp_path / "centroid_store")
+    cent_df = spark.createDataFrame(
+        [(cid, v) for cid, v in sorted(cent.items())], "cid int, v array<bigint>"
+    )
+    assert txn.commit_snapshot(cent_df, root) == 1
+
+    # ledger rebuilt day by day against the COMMITTED centroids
+    committed = {
+        r["cid"]: list(r["v"]) for r in txn.read_versioned(spark, root).collect()
+    }
+    assert committed == cent
+    ledger = {}
+    for day in range(N_SNAP_DAYS):
+        s = _km_argmin(committed)
+        row = (
+            vecs.where(F.col("day") == day)
+            .select(s["cid"].alias("cid"), s["dist"].alias("dist"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.expr("dist div 1000000")).alias("sd"),
+                F.countDistinct("cid").alias("nl"),
+            )
+            .collect()[0]
+        )
+        ledger[day] = (row["n"], row["sd"], row["nl"])
+
+    out = (
+        REGISTRY["ivf_incremental_maintain"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .set_index("day")
+    )
+    for day, (n, sd, nl) in ledger.items():
+        assert out.loc[day, "n_ingested"] == n, day
+        assert out.loc[day, "sum_dist_milli"] == sd, day
+        assert out.loc[day, "n_lists_used"] == nl, day
+
+    # the drift trigger's answer: a retrain recommit advances the version
+    # and later readers see the NEW quantizer (exercised unconditionally —
+    # at fixture scale the flag may never raise)
+    last_day_sample = (
+        vecs.where(F.col("day") == N_SNAP_DAYS - 1)
+        .orderBy(
+            F.md5(F.concat(F.lit("kmsamp|"), F.col("vec_id").cast("string"))),
+            "vec_id",
+        )
+        .limit(KM_SAMPLE_N)
+        .select("vec_id", "v")
+    )
+    cent2 = _km_lloyd_loop(last_day_sample)
+    cent2_df = spark.createDataFrame(
+        [(cid, v) for cid, v in sorted(cent2.items())], "cid int, v array<bigint>"
+    )
+    assert txn.commit_snapshot(cent2_df, root, expected_version=1) == 2
+    assert txn.current_version(root) == 2
+    readback = {
+        r["cid"]: list(r["v"]) for r in txn.read_versioned(spark, root).collect()
+    }
+    assert readback == cent2
+    # time travel still serves the original quantizer for reproducibility
+    v1 = {
+        r["cid"]: list(r["v"])
+        for r in txn.read_versioned(spark, root, version=1).collect()
+    }
+    assert v1 == cent
+
+
+def test_quality_calibration_drift_invariants(spark, sf_dir):
+    from profitscout_engine_spark.queries._util import t
+    from profitscout_engine_spark.queries.curation import (
+        QC_DRIFT_PSI,
+        QC_SNAP_DAYS,
+    )
+
+    out = REGISTRY["quality_calibration_drift"].fn(spark, sf_dir).toPandas()
+    n_sources = (
+        t(spark, sf_dir, "documents").select("source").distinct().count()
+    )
+    # dense ledger: every (source, day) cell reported exactly once
+    assert len(out) == n_sources * QC_SNAP_DAYS
+    # day 0 scores exactly 0 against itself and never flags
+    d0 = out[out["day"] == 0]
+    assert (d0["psi"] == 0.0).all()
+    assert (~d0["drifted"]).all()
+    assert (d0["n_docs"] == d0["n_base_docs"]).all()
+    # the flag is a pure function of the reported PSI
+    assert (out["drifted"] == (out["psi"] > QC_DRIFT_PSI)).all()
+    # every document lands in exactly one (source, day) cell
+    assert out["n_docs"].sum() == t(spark, sf_dir, "documents").count()
+    # PSI is symmetric-positive: nonzero only when distributions differ
+    assert (out["psi"] >= 0.0).all()
+
+
+def test_quality_calibration_baseline_store_integration(spark, sf_dir, tmp_path):
+    """The production cadence behind `quality_calibration_drift`: day 0's
+    per-source score histogram is COMMITTED as the versioned baseline
+    table; each later day computes only its own histogram, reads the
+    committed baseline back, and evaluates PSI against the stored copy —
+    the per-(source, day) PSI must equal the one-pass query's ledger."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from profitscout_engine_spark.queries.curation import (
+        _QC_BIN,
+        _QSNAP_DAY_SPARK,
+        QC_PSI_BINS,
+        QC_SNAP_DAYS,
+        _qc_scored,
+    )
+    from profitscout_engine_spark.sources import txn
+
+    b = _qc_scored(spark, sf_dir, "source").select(
+        "source",
+        F.expr(_QSNAP_DAY_SPARK).alias("day"),
+        F.expr(_QC_BIN.format(div="div")).cast("long").alias("bin"),
+    )
+
+    def day_hist(day: int):
+        """Dense add-one-smoothed per-source histogram for one day."""
+        rows = (
+            b.where(F.col("day") == day)
+            .groupBy("source", "bin")
+            .count()
+            .collect()
+        )
+        hist: dict[str, list[int]] = {}
+        for r in rows:
+            hist.setdefault(r["source"], [1] * QC_PSI_BINS)[r["bin"]] += r[
+                "count"
+            ]
+        return hist
+
+    sources = [r["source"] for r in b.select("source").distinct().collect()]
+    base = day_hist(0)
+    root = str(tmp_path / "baseline_store")
+    base_df = spark.createDataFrame(
+        [(s, base.get(s, [1] * QC_PSI_BINS)) for s in sources],
+        "source string, hist array<bigint>",
+    )
+    assert txn.commit_snapshot(base_df, root) == 1
+
+    committed = {
+        r["source"]: list(r["hist"])
+        for r in txn.read_versioned(spark, root).collect()
+    }
+
+    def psi(ca: list[int], cb: list[int]) -> float:
+        na, nb = sum(ca), sum(cb)
+        nano = 0
+        for a, bb in zip(ca, cb):
+            p, q = a / na, bb / nb
+            nano += math.floor((p - q) * math.log(p / q) * 1_000_000_000 + 0.5)
+        return round(nano / 1.0e9, 6)
+
+    out = (
+        REGISTRY["quality_calibration_drift"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .set_index(["source", "day"])
+    )
+    for day in range(QC_SNAP_DAYS):
+        cur = day_hist(day)
+        for s in sources:
+            expect = psi(
+                cur.get(s, [1] * QC_PSI_BINS), committed[s]
+            )
+            assert out.loc[(s, day), "psi"] == expect, (s, day)
+
+
+def test_cross_snapshot_semantic_ledger_telescopes(spark, sf_dir):
+    from profitscout_engine_spark.operators import similarity as sim
+    from profitscout_engine_spark.queries.similarity import N_SNAP_DAYS, _vecs
+
+    out = REGISTRY["cross_snapshot_semantic_dedup"].fn(spark, sf_dir).toPandas()
+    out = out.sort_values("day").reset_index(drop=True)
+    assert list(out["day"]) == list(range(N_SNAP_DAYS))
+    # day 0 probes an empty store
+    assert out.loc[0, "n_candidates"] == 0
+    assert out.loc[0, "n_dup_vs_store"] == 0
+    assert out.loc[0, "dup_frac"] == 0.0
+    # per-day accounting telescopes
+    assert (out["n_novel"] + out["n_dup_vs_store"] == out["n_ingested"]).all()
+    # verified dups are a subset of bucket candidates
+    assert (out["n_dup_vs_store"] <= out["n_candidates"]).all()
+    e = _vecs(spark, sf_dir).select("vec_id", "v")
+    assert out["n_ingested"].sum() == e.count()
+    # bucket cells are attributed exactly once across days
+    n_cells = sim.lsh_buckets(e).select("table_id", "bucket").distinct().count()
+    assert out["n_new_bucket_cells"].sum() == n_cells
+
+
+def test_cross_snapshot_semantic_store_integration(spark, sf_dir, tmp_path):
+    """The production shape behind `cross_snapshot_semantic_dedup`: the
+    committed store is the (table_id, bucket) cell dim with first-seen
+    day and representative; each day's vectors PROBE the committed store
+    (candidates = bucket hits), then the day's genuinely-new cells land
+    via the partition-pruned insert (anti-join makes it insert-only, so
+    first-seen metadata is immutable by construction). The incremental
+    candidate/new-cell counts must equal the one-pass query's ledger."""
+    from profitscout_engine_spark.operators import similarity as sim
+    from profitscout_engine_spark.queries.similarity import (
+        N_SNAP_DAYS,
+        _VSNAP_DAY_SPARK,
+        _vecs,
+    )
+    from profitscout_engine_spark.sources import txn
+
+    e = _vecs(spark, sf_dir).select("vec_id", "v")
+    snap = _vecs(spark, sf_dir).select(
+        "vec_id", F.expr(_VSNAP_DAY_SPARK).alias("day")
+    )
+    bd = sim.lsh_buckets(e).join(snap, "vec_id")
+
+    def day_cells(day: int):
+        return (
+            bd.where(F.col("day") == day)
+            .groupBy("table_id", "bucket")
+            .agg(
+                F.lit(day).cast("bigint").alias("first_day"),
+                F.min("vec_id").alias("rep_id"),
+            )
+        )
+
+    root = str(tmp_path / "bucket_store")
+    txn.commit_snapshot(day_cells(0), root, partition_col="first_day")
+    candidates = {0: 0}
+    new_cells = {0: txn.read_versioned(spark, root).count()}
+    for day in range(1, N_SNAP_DAYS):
+        store = txn.read_versioned(spark, root)
+        arriving = bd.where(F.col("day") == day)
+        candidates[day] = (
+            arriving.join(
+                store.select("table_id", "bucket"), ["table_id", "bucket"]
+            )
+            .select("vec_id")
+            .distinct()
+            .count()
+        )
+        fresh = day_cells(day).join(
+            store.select("table_id", "bucket"),
+            ["table_id", "bucket"],
+            "left_anti",
+        )
+        new_cells[day] = fresh.count()
+        # insert-only merge: fresh cells cannot collide with stored keys,
+        # and first_day is in the keys, so only the new day's partition
+        # is written — prior days hard-link through
+        v = txn.merge_upsert_txn(
+            spark,
+            root,
+            fresh,
+            keys=["table_id", "bucket", "first_day"],
+            partition_col="first_day",
+        )
+        assert v == day + 1
+
+    out = (
+        REGISTRY["cross_snapshot_semantic_dedup"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .set_index("day")
+    )
+    for day in range(N_SNAP_DAYS):
+        assert out.loc[day, "n_candidates"] == candidates[day], day
+        assert out.loc[day, "n_new_bucket_cells"] == new_cells[day], day
+    # the final store is the complete cell dim: every cell exactly once,
+    # stamped with its true first-seen day
+    final = txn.read_versioned(spark, root)
+    truth = bd.groupBy("table_id", "bucket").agg(
+        F.min("day").alias("first_day")
+    )
+    assert final.count() == truth.count()
+    assert (
+        final.select("table_id", "bucket", "first_day")
+        .exceptAll(truth)
+        .count()
+        == 0
+    )
