@@ -120,13 +120,13 @@ _MODULES = (
 #          scorer core factored into _qc_scored for the drift ledger —
 #          plan sha unchanged, fn source changed) — their stamps go stale
 #          the moment the edits land;
-#   11-13  round-11 additions (cross-snapshot semantic dedup, incremental
-#          IVF maintenance ledger, quality-calibration drift);
-#   14-18  plan-sha migrations from the 92f2fa2 normalizer fixes (code
+#   11-15  round-11 additions (cross-snapshot semantic dedup, incremental
+#          IVF maintenance ledger, quality-calibration drift, cross-
+#          snapshot contamination, vocab-coverage drift);
+#   16-20  plan-sha migrations from the 92f2fa2 normalizer fixes (code
 #          untouched; same restamp class as r10's);
-#   19-48  freshness re-rows: ALL 30 remaining r4-vintage driver greens
-#          (now the stalest — the verdict's named five are among them);
-#   49-50  freshness re-rows: the 2 alphabetically-first r5-vintage ones.
+#   21-50  freshness re-rows: ALL 30 remaining r4-vintage driver greens
+#          (now the stalest — the verdict's named five are among them).
 # Everything rotated out was driver-green r1-r10 on unchanged code and stays
 # pinned by tests/test_correctness.py + tests/test_driver_state.py.
 _WINDOW_FRONT = (
@@ -146,6 +146,8 @@ _WINDOW_FRONT = (
     "cross_snapshot_semantic_dedup",
     "ivf_incremental_maintain",
     "quality_calibration_drift",
+    "cross_snapshot_contamination",
+    "vocab_coverage_drift",
     # -- plan-sha migrations: the 92f2fa2 normalizer fixes (group-level gid
     #    canonicalization + nested Statistics) moved these five to their
     #    stable canonical shas; code untouched, restamp like the r10 class --
@@ -185,9 +187,6 @@ _WINDOW_FRONT = (
     "unigram_lm_logprob",
     "vwap_running",
     "weighted_sample_ares",
-    # -- freshness re-rows: the 2 alphabetically-first r5-vintage greens --
-    "ab_test_stats",
-    "bm25_search",
 )
 
 

@@ -3280,3 +3280,207 @@ def quality_calibration_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (psi > F.lit(QC_DRIFT_PSI)).alias("drifted"),
         )
     )
+
+
+# --- cross-snapshot benchmark contamination: committed test-shingle store ------
+# (Round-11 wave 2 — completes the cross-snapshot ledger family: MinHash
+# bands / LSH buckets / quality histograms / benchmark n-grams all follow
+# the same committed-store + daily-probe cadence on the 'snap|' timeline.)
+def _contam_snap_oracle() -> str:
+    return f"""
+    WITH split AS (
+        SELECT doc_id,
+               CAST({_QSNAP_DAY_DUCK} AS BIGINT) AS day,
+               CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) IN ('e', 'f')
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh_all AS (
+        SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        FROM toks, UNNEST(range(1, greatest(len(tk) - 1, 1))) AS u(i)
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh_all),
+    test_sh AS (
+        SELECT DISTINCT shingle FROM sh JOIN split USING (doc_id)
+        WHERE split = 'test'
+    ),
+    overlap AS (
+        SELECT sh.doc_id, COUNT(*) AS n_shared
+        FROM sh JOIN split USING (doc_id) JOIN test_sh USING (shingle)
+        WHERE split = 'train'
+        GROUP BY 1
+    ),
+    led AS (
+        SELECT t.day,
+               CAST(COUNT(*) AS BIGINT) AS n_train_ingested,
+               CAST(SUM(CASE WHEN o.n_shared >= {CONTAM_NGRAM_MIN}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+               CAST(SUM(COALESCE(o.n_shared, 0)) AS BIGINT) AS n_shared_hits
+        FROM split t LEFT JOIN overlap o ON o.doc_id = t.doc_id
+        WHERE t.split = 'train'
+        GROUP BY 1
+    )
+    SELECT day, n_train_ingested, n_contaminated,
+           n_train_ingested - n_contaminated AS n_clean,
+           n_shared_hits,
+           ROUND(n_contaminated * 1.0 / n_train_ingested, 4) AS contam_frac
+    FROM led
+    """
+
+
+@query(
+    "cross_snapshot_contamination",
+    oracle=_contam_snap_oracle(),
+    tags=("curation", "contamination", "incremental", "snapshot"),
+)
+def cross_snapshot_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot benchmark-contamination ledger: train documents
+    arrive as {QC_SNAP_DAYS} daily partitions (the 'snap|' timeline) and
+    every day PROBES the committed benchmark n-gram store — the distinct
+    word-3-gram set of the test split (`contamination_check`'s hash-split
+    contract), which in production is committed ONCE when the eval suite
+    freezes and read back by every ingest day. Per-day ledger: train docs
+    ingested, docs sharing >= {CONTAM_NGRAM_MIN} shingles with the
+    benchmark (contaminated), clean docs, total shared-shingle hits, and
+    the contamination fraction — the decontamination dashboard a
+    pretraining pipeline watches as crawl batches land.
+
+    Scale shape: the committed store is a bounded shingle dim (the
+    benchmark's n-grams, tiny vs the corpus); each day only the NEW day's
+    train shingles join it — never train x train, never day x day. The
+    per-day rollup is a bounded {QC_SNAP_DAYS}-key aggregation; the
+    shared `_sh_distinct` frame means the corpus tokenizes once per
+    session across the whole dedup/contamination family. The pytest
+    integration commits the benchmark store on the txn layer and replays
+    each day's probe against the committed copy."""
+    from .similarity import _sh_distinct
+
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    is_test = digit.isin("e", "f")
+    split = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(_QSNAP_DAY_SPARK).alias("day"),
+        F.when(is_test, "test").otherwise("train").alias("split"),
+    )
+    # split and day are pure functions of doc_id: the shingle frame tags
+    # itself, no join of the big posting list against a doc dim
+    sh = _sh_distinct(spark, sf_dir).withColumn(
+        "split", F.when(is_test, "test").otherwise("train")
+    )
+    test_sh = sh.where(F.col("split") == "test").select("shingle").distinct()
+    overlap = (
+        sh.where(F.col("split") == "train")
+        .join(test_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    n_contam = F.sum(
+        F.when(F.col("n_shared") >= CONTAM_NGRAM_MIN, 1).otherwise(0)
+    ).cast("long")
+    return (
+        split.where(F.col("split") == "train")
+        .join(overlap, "doc_id", "left")
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_train_ingested"),
+            n_contam.alias("n_contaminated"),
+            F.sum(F.coalesce(F.col("n_shared"), F.lit(0)))
+            .cast("long")
+            .alias("n_shared_hits"),
+        )
+        .select(
+            "day",
+            "n_train_ingested",
+            "n_contaminated",
+            (F.col("n_train_ingested") - F.col("n_contaminated"))
+            .cast("long")
+            .alias("n_clean"),
+            "n_shared_hits",
+            r4(
+                F.col("n_contaminated") * F.lit(1.0) / F.col("n_train_ingested")
+            ).alias("contam_frac"),
+        )
+    )
+
+
+# --- tokenizer-vocabulary OOV drift vs the committed day-0 vocabulary ----------
+OOV_RETOKENIZE = 0.05  # OOV token-mass fraction that flags a tokenizer refresh
+
+
+def _vocab_drift_oracle() -> str:
+    return f"""
+    WITH tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tkd AS (
+        SELECT t.term, CAST({_QSNAP_DAY_DUCK} AS BIGINT) AS day
+        FROM tk t JOIN documents USING (doc_id)
+    ),
+    vocab AS (SELECT DISTINCT term FROM tkd WHERE day = 0),
+    led AS (
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov_tokens,
+               CAST(COUNT(DISTINCT CASE WHEN v.term IS NULL THEN t.term END)
+                    AS BIGINT) AS n_new_terms
+        FROM tkd t LEFT JOIN vocab v USING (term)
+        GROUP BY 1
+    )
+    SELECT day, n_tokens, n_oov_tokens, n_new_terms,
+           ROUND(n_oov_tokens * 1.0 / n_tokens, 6) AS oov_frac,
+           ROUND(n_oov_tokens * 1.0 / n_tokens, 6) > {OOV_RETOKENIZE}
+               AS retokenize_flag
+    FROM led
+    """
+
+
+@query(
+    "vocab_coverage_drift",
+    oracle=_vocab_drift_oracle(),
+    tags=("curation", "vocab", "drift", "snapshot"),
+)
+def vocab_coverage_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary drift vs the committed day-0 vocabulary: day 0's
+    distinct-term set is the tokenizer's committed vocabulary snapshot,
+    and every later ingest day measures how much of its token MASS falls
+    outside it (n_oov_tokens / oov_frac) and how many genuinely new
+    distinct terms it contributes (n_new_terms) — the signal that decides
+    when the tokenizer must be retrained (`retokenize_flag` at
+    > {OOV_RETOKENIZE} OOV mass), completing the drift-trigger trio with
+    `quality_calibration_drift` (scores) and `ivf_incremental_maintain`
+    (embeddings). Day 0 is 0-OOV by construction — the built-in
+    self-check.
+
+    Scale shape: tokens explode once (the session-shared `_term_tokens`
+    pass), the day tag is a pure doc_id function riding the explode, and
+    the vocabulary is a bounded distinct dim keyed on term — the probe is
+    one equi-join on term (AQE broadcasts it at dim scale) feeding a
+    {QC_SNAP_DAYS}-key rollup with map-side partials. In production the
+    vocab dim is the committed snapshot read back from the store; only
+    the new day's tokens are scanned."""
+    tkd = _term_tokens(spark, sf_dir).select(
+        "term", F.expr(_QSNAP_DAY_SPARK).alias("day")
+    )
+    vocab = tkd.where(F.col("day") == 0).select("term").distinct()
+    probed = tkd.join(
+        vocab.withColumn("in_vocab", F.lit(True)), "term", "left"
+    )
+    oov = F.col("in_vocab").isNull()
+    led = probed.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(oov, 1).otherwise(0)).cast("long").alias("n_oov_tokens"),
+        F.countDistinct(F.when(oov, F.col("term")))
+        .cast("long")
+        .alias("n_new_terms"),
+    )
+    frac = r6(F.col("n_oov_tokens") * F.lit(1.0) / F.col("n_tokens"))
+    return led.select(
+        "day",
+        "n_tokens",
+        "n_oov_tokens",
+        "n_new_terms",
+        frac.alias("oov_frac"),
+        (frac > F.lit(OOV_RETOKENIZE)).alias("retokenize_flag"),
+    )

@@ -263,6 +263,134 @@ def test_cross_snapshot_semantic_ledger_telescopes(spark, sf_dir):
     assert out["n_new_bucket_cells"].sum() == n_cells
 
 
+def test_cross_snapshot_contamination_ledger(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from profitscout_engine_spark.queries._util import t
+    from profitscout_engine_spark.queries.curation import QC_SNAP_DAYS
+
+    out = REGISTRY["cross_snapshot_contamination"].fn(spark, sf_dir).toPandas()
+    out = out.sort_values("day").reset_index(drop=True)
+    assert list(out["day"]) == list(range(QC_SNAP_DAYS))
+    # per-day accounting telescopes
+    assert (out["n_clean"] + out["n_contaminated"] == out["n_train_ingested"]).all()
+    # every train doc ingested exactly once across days
+    d = t(spark, sf_dir, "documents").select(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("h")
+    )
+    n_train = d.where(~F.col("h").isin("e", "f")).count()
+    assert out["n_train_ingested"].sum() == n_train
+    # a contaminated doc carries at least CONTAM_NGRAM_MIN hits
+    from profitscout_engine_spark.queries.curation import CONTAM_NGRAM_MIN
+
+    assert (
+        out["n_shared_hits"] >= out["n_contaminated"] * CONTAM_NGRAM_MIN
+    ).all()
+    # the ledger aggregates contamination_check exactly (same split contract)
+    chk = REGISTRY["contamination_check"].fn(spark, sf_dir).toPandas()
+    assert out["n_contaminated"].sum() == int(chk["contaminated"].sum())
+    assert out["n_shared_hits"].sum() == int(chk["n_shared_ngrams"].sum())
+
+
+def test_contamination_benchmark_store_integration(spark, sf_dir, tmp_path):
+    """The committed benchmark store behind `cross_snapshot_contamination`:
+    the test split's distinct shingles land ONCE in a versioned snapshot
+    table when the eval suite freezes; each ingest day probes only its own
+    train shingles against the committed copy. The per-day counts must
+    equal the one-pass ledger's."""
+    from pyspark.sql import functions as F
+
+    from profitscout_engine_spark.queries.curation import (
+        _QSNAP_DAY_SPARK,
+        CONTAM_NGRAM_MIN,
+        QC_SNAP_DAYS,
+    )
+    from profitscout_engine_spark.queries.similarity import _sh_distinct
+    from profitscout_engine_spark.sources import txn
+
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    sh = _sh_distinct(spark, sf_dir).withColumn("is_test", digit.isin("e", "f"))
+    root = str(tmp_path / "benchmark_store")
+    txn.commit_snapshot(
+        sh.where(F.col("is_test")).select("shingle").distinct(), root
+    )
+
+    store = txn.read_versioned(spark, root)
+    train_sh = sh.where(~F.col("is_test")).withColumn(
+        "day", F.expr(_QSNAP_DAY_SPARK)
+    )
+    out = (
+        REGISTRY["cross_snapshot_contamination"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .set_index("day")
+    )
+    for day in range(QC_SNAP_DAYS):
+        probe = (
+            train_sh.where(F.col("day") == day)
+            .join(store, "shingle")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shared"))
+        )
+        agg = probe.agg(
+            F.sum("n_shared").alias("hits"),
+            F.sum(
+                F.when(F.col("n_shared") >= CONTAM_NGRAM_MIN, 1).otherwise(0)
+            ).alias("contam"),
+        ).collect()[0]
+        assert out.loc[day, "n_shared_hits"] == (agg["hits"] or 0), day
+        assert out.loc[day, "n_contaminated"] == (agg["contam"] or 0), day
+
+
+def test_vocab_drift_invariants_and_committed_vocab(spark, sf_dir, tmp_path):
+    """Ledger invariants plus the committed-vocabulary cadence: day 0's
+    distinct terms commit to a versioned snapshot; later days' OOV counts
+    against the COMMITTED copy equal the one-pass query's."""
+    from pyspark.sql import functions as F
+
+    from profitscout_engine_spark.queries.curation import (
+        _QSNAP_DAY_SPARK,
+        OOV_RETOKENIZE,
+        QC_SNAP_DAYS,
+        _term_tokens,
+    )
+    from profitscout_engine_spark.sources import txn
+
+    out = REGISTRY["vocab_coverage_drift"].fn(spark, sf_dir).toPandas()
+    out = out.sort_values("day").reset_index(drop=True)
+    assert list(out["day"]) == list(range(QC_SNAP_DAYS))
+    # day 0 defines the vocabulary: zero OOV by construction
+    assert out.loc[0, "n_oov_tokens"] == 0
+    assert out.loc[0, "n_new_terms"] == 0
+    assert not out.loc[0, "retokenize_flag"]
+    assert (out["n_oov_tokens"] <= out["n_tokens"]).all()
+    assert (out["n_new_terms"] <= out["n_oov_tokens"]).all()
+    assert (out["retokenize_flag"] == (out["oov_frac"] > OOV_RETOKENIZE)).all()
+    tkd = _term_tokens(spark, sf_dir).select(
+        "term", F.expr(_QSNAP_DAY_SPARK).alias("day")
+    )
+    assert out["n_tokens"].sum() == tkd.count()
+
+    # committed-vocabulary replay
+    root = str(tmp_path / "vocab_store")
+    txn.commit_snapshot(
+        tkd.where(F.col("day") == 0).select("term").distinct(), root
+    )
+    vocab = txn.read_versioned(spark, root)
+    for day in range(1, QC_SNAP_DAYS):
+        oov = (
+            tkd.where(F.col("day") == day)
+            .join(vocab, "term", "left_anti")
+            .agg(
+                F.count("*").alias("mass"),
+                F.countDistinct("term").alias("terms"),
+            )
+            .collect()[0]
+        )
+        assert out.set_index("day").loc[day, "n_oov_tokens"] == oov["mass"], day
+        assert out.set_index("day").loc[day, "n_new_terms"] == oov["terms"], day
+
+
 def test_cross_snapshot_semantic_store_integration(spark, sf_dir, tmp_path):
     """The production shape behind `cross_snapshot_semantic_dedup`: the
     committed store is the (table_id, bucket) cell dim with first-seen
