@@ -6740,3 +6740,153 @@ def ivf_incremental_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio.alias("drift_ratio"),
         (ratio > F.lit(RETRAIN_DRIFT)).alias("retrain_flag"),
     )
+
+
+# ---- right-to-be-forgotten propagation planner across derived stores ----------
+# (Round-11 wave 3 — the DELETE-side twin of the cross-snapshot ingest
+# ledgers: before a tombstone batch runs, the pipeline needs an exact
+# account of what must be purged from every derived store, and which
+# store KEYS become orphans — the cells/terms whose every contributor is
+# tombstoned, which future dedup/probe passes must not keep serving.
+# Reference analog: the daily recompute-and-MERGE upkeep cadence,
+# win-tracker/main.py:577-635, applied to deletion.)
+_TOMB_DUCK = (
+    "(substr(md5('tomb|' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1'))"
+)
+_TOMB_SPARK = (
+    "(substr(md5(concat('tomb|', CAST(doc_id AS STRING))), 1, 1) IN ('0', '1'))"
+)
+
+
+def _tombstone_oracle() -> str:
+    sql = f"""
+    WITH {_minhash_bands_ctes()},
+    tomb AS (
+        SELECT doc_id, CASE WHEN {_TOMB_DUCK} THEN 1 ELSE 0 END AS tomb
+        FROM documents
+    ),
+    tkx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tp AS (SELECT DISTINCT doc_id, term FROM tkx),
+    doc_s AS (
+        SELECT 'documents' AS store,
+               CAST(SUM(tomb) AS BIGINT) AS n_rows_purged,
+               CAST(COUNT(*) AS BIGINT) AS n_keys_total,
+               CAST(SUM(tomb) AS BIGINT) AS n_keys_orphaned
+        FROM tomb
+    ),
+    sh_cells AS (
+        SELECT shingle, SUM(tomb) AS td, COUNT(*) AS n
+        FROM sh JOIN tomb USING (doc_id) GROUP BY 1
+    ),
+    sh_s AS (
+        SELECT 'shingle_postings' AS store,
+               CAST(SUM(td) AS BIGINT) AS n_rows_purged,
+               CAST(COUNT(*) AS BIGINT) AS n_keys_total,
+               CAST(SUM(CASE WHEN td = n THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_keys_orphaned
+        FROM sh_cells
+    ),
+    bd_cells AS (
+        SELECT band_id, band_sig, SUM(tomb) AS td, COUNT(*) AS n
+        FROM bands JOIN tomb USING (doc_id) GROUP BY 1, 2
+    ),
+    bd_s AS (
+        SELECT 'minhash_bands' AS store,
+               CAST(SUM(td) AS BIGINT) AS n_rows_purged,
+               CAST(COUNT(*) AS BIGINT) AS n_keys_total,
+               CAST(SUM(CASE WHEN td = n THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_keys_orphaned
+        FROM bd_cells
+    ),
+    tm_cells AS (
+        SELECT term, SUM(tomb) AS td, COUNT(*) AS n
+        FROM tp JOIN tomb USING (doc_id) GROUP BY 1
+    ),
+    tm_s AS (
+        SELECT 'vocabulary_postings' AS store,
+               CAST(SUM(td) AS BIGINT) AS n_rows_purged,
+               CAST(COUNT(*) AS BIGINT) AS n_keys_total,
+               CAST(SUM(CASE WHEN td = n THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_keys_orphaned
+        FROM tm_cells
+    ),
+    led AS (
+        SELECT * FROM doc_s UNION ALL SELECT * FROM sh_s
+        UNION ALL SELECT * FROM bd_s UNION ALL SELECT * FROM tm_s
+    )
+    SELECT store, n_rows_purged, n_keys_total, n_keys_orphaned,
+           ROUND(n_keys_orphaned * 1.0 / n_keys_total, 6) AS orphan_frac
+    FROM led
+    """
+    return _materialize_ctes(sql, ("sh", "sig", "bands", "tomb", "tp"))
+
+
+@query(
+    "tombstone_propagation_audit",
+    oracle=_tombstone_oracle(),
+    tags=("dedup", "deletion", "gdpr", "maintenance", "snapshot"),
+)
+def tombstone_propagation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation planner: a deterministic
+    tombstone batch (md5 'tomb|' split, ~1/8 of doc_ids) must vanish not
+    just from `documents` but from every DERIVED store a curation
+    pipeline maintains — shingle postings, the MinHash band store, the
+    vocabulary posting list. Per store the ledger reports the exact rows
+    to purge, the total key count, and the ORPHANED keys (shingles /
+    band cells / terms whose every contributing doc is tombstoned) —
+    the cells a dedup store must stop serving and the terms a committed
+    vocabulary loses. `tests/test_round11_wave.py` drives the actual
+    purge: `delete_where_txn` on the committed band store removes
+    exactly `n_rows_purged` rows and the post-delete distinct-cell dim
+    shrinks by exactly `n_keys_orphaned`.
+
+    Scale shape: the tombstone flag is a pure doc_id function riding
+    each shared frame (no tombstone-list join); every store's plan is
+    ONE hash aggregation to its key (the same shuffle the store's own
+    maintenance already pays) followed by a 1-row rollup — map-side
+    partials carry td/n, nothing is ever joined pairwise. The union is
+    four 1-row frames. At 100 TB the planner costs one pass over each
+    derived store, the minimum possible for an exact purge plan."""
+    tombi = F.when(F.expr(_TOMB_SPARK), 1).otherwise(0)
+
+    def store_stats(cells: DataFrame, name: str, keys: list[str]) -> DataFrame:
+        c = cells.withColumn("tombi", tombi).groupBy(*keys).agg(
+            F.sum("tombi").alias("td"), F.count("*").alias("n")
+        )
+        return c.agg(
+            F.sum("td").cast("long").alias("n_rows_purged"),
+            F.count("*").cast("long").alias("n_keys_total"),
+            F.sum(F.when(F.col("td") == F.col("n"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_keys_orphaned"),
+        ).select(F.lit(name).alias("store"), "*")
+
+    from .curation import _term_tokens
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    tp = _term_tokens(spark, sf_dir).select("doc_id", "term").distinct()
+    led = (
+        store_stats(docs, "documents", ["doc_id"])
+        .unionByName(
+            store_stats(
+                _sh_distinct(spark, sf_dir), "shingle_postings", ["shingle"]
+            )
+        )
+        .unionByName(
+            store_stats(
+                _mh_bands(spark, sf_dir),
+                "minhash_bands",
+                ["band_id", "band_sig"],
+            )
+        )
+        .unionByName(store_stats(tp, "vocabulary_postings", ["term"]))
+    )
+    return led.select(
+        "store",
+        "n_rows_purged",
+        "n_keys_total",
+        "n_keys_orphaned",
+        r6(F.col("n_keys_orphaned") * F.lit(1.0) / F.col("n_keys_total")).alias(
+            "orphan_frac"
+        ),
+    )

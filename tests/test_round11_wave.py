@@ -478,3 +478,45 @@ def test_cross_snapshot_semantic_store_integration(spark, sf_dir, tmp_path):
         .count()
         == 0
     )
+
+
+def test_tombstone_purge_store_integration(spark, sf_dir, tmp_path):
+    """The actual purge behind `tombstone_propagation_audit`: the MinHash
+    band store commits to the txn layer, `delete_where_txn` removes the
+    tombstoned docs' rows in one atomic snapshot flip, and the planner's
+    numbers must match reality — exactly n_rows_purged rows vanish, the
+    distinct-cell dim shrinks by exactly n_keys_orphaned, and time travel
+    still serves the pre-purge snapshot (vacuum is the true erasure)."""
+    from pyspark.sql import functions as F
+
+    from profitscout_engine_spark.queries.similarity import (
+        _TOMB_SPARK,
+        _mh_bands,
+    )
+    from profitscout_engine_spark.sources import txn
+
+    bands = _mh_bands(spark, sf_dir)
+    root = str(tmp_path / "band_store")
+    txn.commit_snapshot(bands, root)
+
+    out = (
+        REGISTRY["tombstone_propagation_audit"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .set_index("store")
+    )
+    pre_rows = bands.count()
+    pre_cells = bands.select("band_id", "band_sig").distinct().count()
+    assert out.loc["minhash_bands", "n_keys_total"] == pre_cells
+
+    assert txn.delete_where_txn(spark, root, F.expr(_TOMB_SPARK)) == 2
+    post = txn.read_versioned(spark, root)
+    assert pre_rows - post.count() == out.loc["minhash_bands", "n_rows_purged"]
+    post_cells = post.select("band_id", "band_sig").distinct().count()
+    assert (
+        pre_cells - post_cells == out.loc["minhash_bands", "n_keys_orphaned"]
+    )
+    # no under-delete: nothing tombstoned survives the purge
+    assert post.where(F.expr(_TOMB_SPARK)).count() == 0
+    # prior snapshot intact until vacuum — the documented retention story
+    assert txn.read_versioned(spark, root, version=1).count() == pre_rows
