@@ -120,15 +120,16 @@ _MODULES = (
 #          scorer core factored into _qc_scored for the drift ledger —
 #          plan sha unchanged, fn source changed) — their stamps go stale
 #          the moment the edits land;
-#   11-16  round-11 additions (cross-snapshot semantic dedup, incremental
+#   11-17  round-11 additions (cross-snapshot semantic dedup, incremental
 #          IVF maintenance ledger, quality-calibration drift, cross-
 #          snapshot contamination, vocab-coverage drift, tombstone
-#          propagation audit);
-#   17-21  plan-sha migrations from the 92f2fa2 normalizer fixes (code
+#          propagation audit, LSH cell-skew audit);
+#   18-22  plan-sha migrations from the 92f2fa2 normalizer fixes (code
 #          untouched; same restamp class as r10's);
-#   22-50  freshness re-rows: 29 of the 30 remaining r4-vintage driver
-#          greens (the verdict's named five are among them;
-#          weighted_sample_ares, alphabetically last, waits one round).
+#   23-50  freshness re-rows: 28 of the 30 remaining r4-vintage driver
+#          greens (the verdict's named five are among them; the two
+#          alphabetically-last, vwap_running and weighted_sample_ares,
+#          wait one round).
 # Everything rotated out was driver-green r1-r10 on unchanged code and stays
 # pinned by tests/test_correctness.py + tests/test_driver_state.py.
 _WINDOW_FRONT = (
@@ -151,6 +152,7 @@ _WINDOW_FRONT = (
     "cross_snapshot_contamination",
     "vocab_coverage_drift",
     "tombstone_propagation_audit",
+    "lsh_cell_skew_audit",
     # -- plan-sha migrations: the 92f2fa2 normalizer fixes (group-level gid
     #    canonicalization + nested Statistics) moved these five to their
     #    stable canonical shas; code untouched, restamp like the r10 class --
@@ -188,7 +190,6 @@ _WINDOW_FRONT = (
     "snapshot_diff",
     "streaming_hll_users",
     "unigram_lm_logprob",
-    "vwap_running",
 )
 
 

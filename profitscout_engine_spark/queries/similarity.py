@@ -6890,3 +6890,54 @@ def tombstone_propagation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orphan_frac"
         ),
     )
+
+
+# ---- LSH band-cell skew audit: the dedup join's cost/skew planner -------------
+@query(
+    "lsh_cell_skew_audit",
+    oracle=f"""
+    WITH {{bands}},
+    cells AS (
+        SELECT band_id, band_sig, CAST(COUNT(*) AS BIGINT) AS n
+        FROM bands GROUP BY 1, 2
+    ),
+    b AS (SELECT length(bin(n)) - 1 AS occ_pow, n FROM cells)
+    SELECT CAST(occ_pow AS BIGINT) AS occ_pow,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MAX(n) AS BIGINT) AS max_cell,
+           CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS pair_mass
+    FROM b GROUP BY 1
+    """.format(bands=_minhash_bands_ctes()),
+    tags=("dedup", "lsh", "skew", "maintenance"),
+)
+def lsh_cell_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-cell occupancy histogram + candidate-pair mass — the cost and
+    skew planner for every banded LSH equi-join in the dedup family: per
+    power-of-two occupancy bucket (occ_pow = floor(log2(cell size))),
+    how many (band_id, band_sig) cells land there, their row mass, the
+    largest single cell, and the WITHIN-CELL candidate-pair mass
+    sum(n*(n-1)/2) — exactly the number of pair slots the banded join
+    will generate from that bucket. This is what a 100 TB dedup run
+    reads BEFORE the join: a fat top bucket means a hot cell that needs
+    salting (`skewsafe_directed_pairs`) or a cell-size cap, and the
+    total pair mass is the join's output-size forecast (the test pins it
+    to `minhash_lsh_pairs`' total shared-band count, which it equals by
+    construction). Scale shape: one hash aggregation to the cell dim
+    (the same shuffle the band store already pays), then a bounded
+    ~60-bucket rollup — the planner costs one pass over the band store
+    and nothing touches pairs."""
+    cells = (
+        _mh_bands(spark, sf_dir)
+        .groupBy("band_id", "band_sig")
+        .agg(F.count("*").alias("n"))
+    )
+    b = cells.select(
+        (F.length(F.expr("bin(n)")) - 1).cast("long").alias("occ_pow"), "n"
+    )
+    return b.groupBy("occ_pow").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_cell"),
+        F.sum(F.expr("(n * (n - 1)) div 2")).cast("long").alias("pair_mass"),
+    )

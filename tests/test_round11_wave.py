@@ -520,3 +520,20 @@ def test_tombstone_purge_store_integration(spark, sf_dir, tmp_path):
     assert post.where(F.expr(_TOMB_SPARK)).count() == 0
     # prior snapshot intact until vacuum — the documented retention story
     assert txn.read_versioned(spark, root, version=1).count() == pre_rows
+
+
+def test_lsh_skew_audit_forecasts_the_banded_join(spark, sf_dir):
+    """The audit's pair_mass is the banded join's exact output forecast:
+    sum over cells of n*(n-1)/2 equals the total shared-band count that
+    `minhash_lsh_pairs` actually produces — the planner predicts the join
+    before paying for it."""
+    out = REGISTRY["lsh_cell_skew_audit"].fn(spark, sf_dir).toPandas()
+    pairs = REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir).toPandas()
+    assert out["pair_mass"].sum() == int(pairs["n_shared_bands"].sum())
+    # bucket arithmetic: every cell in bucket p has 2^p <= n < 2^(p+1)
+    assert (out["max_cell"] < 2 ** (out["occ_pow"] + 1)).all()
+    assert (out["max_cell"] >= 2 ** out["occ_pow"]).all()
+    # row mass telescopes to the full band store
+    from profitscout_engine_spark.queries.similarity import _mh_bands
+
+    assert out["n_rows"].sum() == _mh_bands(spark, sf_dir).count()
