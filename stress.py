@@ -203,6 +203,17 @@ CHECK_QUERIES = [
     "bitext_margin_mining",
     "signature_store_maintenance",
     "smart_batching_waste",
+    # round-11 additions: the committed-store ledger family — PSI over
+    # grown per-source histograms, drift ratios over grown assignment
+    # masses, OOV/contamination fractions over grown day partitions, and
+    # the purge/skew planners' grown cell dims
+    "quality_calibration_drift",
+    "ivf_incremental_maintain",
+    "cross_snapshot_semantic_dedup",
+    "cross_snapshot_contamination",
+    "vocab_coverage_drift",
+    "tombstone_propagation_audit",
+    "lsh_cell_skew_audit",
 ]
 
 
