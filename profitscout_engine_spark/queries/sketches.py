@@ -666,13 +666,26 @@ def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"hllstream_{next(tempfile._get_candidate_names())}"
-    q = (
-        regs_stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # Pin the stream to 8 shuffle partitions (the click_attribution_stream
+    # rule): the stateful exchange opens one state-store provider per
+    # partition per micro-batch, and with only 256 bounded register states
+    # the session's 32 partitions are store-commit overhead, not
+    # parallelism. State partitioning is fixed per query at start, so the
+    # conf scopes to this stream; restored immediately. A real deployment
+    # sizes this to STATE CARDINALITY (m registers), which never grows
+    # with the corpus — the same 8 is right at 100 TB.
+    old_par = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            regs_stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_par)
     drain(q)
     sink = spark.table(name)
     # update-mode sink holds one row per (register, batch-it-changed-in);
@@ -1238,13 +1251,24 @@ def stream_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"hhcms_{next(tempfile._get_candidate_names())}"
-    q = (
-        reg_stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # Pin the stream to 8 shuffle partitions (the click_attribution_stream
+    # rule): d·w CMS cells are a FIXED state cardinality, so the session's
+    # 32 partitions mean 32 state-store commits per micro-batch for a few
+    # hundred counters — store machinery, not parallelism. Scoped to this
+    # stream (state partitioning fixes at start), restored immediately;
+    # the bounded register count makes the same choice right at 100 TB.
+    old_par = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            reg_stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_par)
     drain(q)
     # counters are monotone; latest state == max over update emissions
     sketch = (

@@ -1266,14 +1266,28 @@ def stream_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_on_time")
     )
     name = f"wmaudit_{next(tempfile._get_candidate_names())}"
-    q = (
-        agg.select(F.col("win.start").alias("window_start"), "n_on_time")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # Pin the stream to 8 shuffle partitions (the click_attribution_stream
+    # rule): windowed-aggregation state is bounded by the watermark
+    # horizon (open 1-hour windows), so the session's 32 partitions are
+    # 32 state-store commits per micro-batch for a handful of windows.
+    # Scoped to this stream (state partitioning fixes at start), restored
+    # immediately. The watermark bound — not the corpus — sizes this at
+    # 100 TB too. NOTE the watermark TRAJECTORY (batch boundaries, slice
+    # order) is untouched; only the state exchange's partition count
+    # changes, which cannot alter which rows are late.
+    old_par = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.select(F.col("win.start").alias("window_start"), "n_on_time")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_par)
     drain(q)
     # Sum the sink by window_start: a row landing in the one-batch gap
     # (window end <= eviction watermark but > late-filter watermark) AFTER

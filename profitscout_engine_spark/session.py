@@ -35,7 +35,7 @@ def get_spark(
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
-    spark = (
+    builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle))
@@ -46,8 +46,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # A/B experiment hook (round-11 optimization): semicolon-separated
+    # key=value pairs applied LAST, so a measurement run can flip one conf
+    # without editing source. Production-default confs chosen from those
+    # experiments are set explicitly above / in _apply_runtime_confs.
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "").split(";"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            builder = builder.config(k.strip(), v.strip())
+    spark = builder.getOrCreate()
     _apply_runtime_confs(spark)
     return spark
 

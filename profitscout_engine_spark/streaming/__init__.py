@@ -178,13 +178,24 @@ def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
     )
     name = f"enrich_{next(tempfile._get_candidate_names())}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # Pin the stream to 8 shuffle partitions (the click_attribution_stream
+    # rule): streaming state here is the windowed rollup only — bounded by
+    # hour-windows × market segments — so 32 state-store commits per
+    # micro-batch are machinery, not parallelism. Scoped to this stream
+    # (state partitioning fixes at start), restored immediately; the
+    # windows×segments bound sizes this at 100 TB too.
+    old_par = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_par)
     drain(q)
     return spark.table(name)
 
