@@ -126,10 +126,12 @@ _MODULES = (
 #          propagation audit, LSH cell-skew audit);
 #   18-22  plan-sha migrations from the 92f2fa2 normalizer fixes (code
 #          untouched; same restamp class as r10's);
-#   23-50  freshness re-rows: 28 of the 30 remaining r4-vintage driver
-#          greens (the verdict's named five are among them; the two
-#          alphabetically-last, vwap_running and weighted_sample_ares,
-#          wait one round).
+#   23-50  freshness re-rows: 25 of the 30 remaining r4-vintage driver
+#          greens (the verdict's named five are among them; the five
+#          alphabetically-last — scd2_history, snapshot_diff,
+#          unigram_lm_logprob, vwap_running, weighted_sample_ares —
+#          wait one round: three slots went to the queries edited in
+#          the r11 OPTIMIZATION phase, which MUST re-verify).
 # Everything rotated out was driver-green r1-r10 on unchanged code and stays
 # pinned by tests/test_correctness.py + tests/test_driver_state.py.
 _WINDOW_FRONT = (
@@ -145,6 +147,12 @@ _WINDOW_FRONT = (
     # -- edited this round (stamps stale by construction) --
     "ivf_rebuild_audit",
     "quality_classifier_score",
+    # -- edited in the r11 OPTIMIZATION phase (restructured for fewer
+    #    exchanges / shared frames; proven exact vs the oracle at
+    #    sf0.01 + sf0.1 before landing — see OPTIMIZATION_r11.md) --
+    "source_minhash_similarity",
+    "label_propagation_rounds",
+    "community_top_terms",
     # -- round-11 additions --
     "cross_snapshot_semantic_dedup",
     "ivf_incremental_maintain",
@@ -161,7 +169,7 @@ _WINDOW_FRONT = (
     "crawl_budget_allocator",
     "cube_flag_status",
     "scanner_rank",
-    # -- freshness re-rows: all 30 remaining r4-vintage greens --
+    # -- freshness re-rows: 25 of the 30 remaining r4-vintage greens --
     "key_skew_report",
     "kmeans_lloyd_step",
     "monte_carlo_paths",
@@ -186,11 +194,8 @@ _WINDOW_FRONT = (
     "rank_normalize",
     "retention_cohorts",
     "rsi_macd",
-    "scd2_history",
-    "snapshot_diff",
     "streaming_hll_users",
-    "unigram_lm_logprob",
-)
+    )
 
 
 def load_registry() -> dict[str, QuerySpec]:

@@ -580,9 +580,20 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression; at 4σ a breach means the sketch is genuinely out of spec).
     """
     li = t(spark, sf_dir, "lineitem")
-    g = li.groupBy("l_suppkey").agg(
+    # Dedup FIRST, sketch second (guide §2.3 "shuffle fewer bytes"): the
+    # mixed distinct+non-distinct form made Spark carry a
+    # partial_approx_count_distinct buffer — 400+ HLL register words, ≈3 KB
+    # per row — through the (suppkey, partkey) exchange, turning a 2-long
+    # shuffle into a multi-GB one (plans/r11/approx_distinct_sketch_before
+    # .txt, HashAggregate (2) Results [412]). HLL registers are max-folds of
+    # per-VALUE hashes, so the sketch over the distinct (suppkey, partkey)
+    # set is bit-identical to the sketch over the multiset; COUNT(*) on the
+    # deduped set IS countDistinct. Same two exchanges, narrow rows, and the
+    # HLL buffers now exist only per supplier in the second aggregation.
+    dd = li.select("l_suppkey", "l_partkey").distinct()
+    g = dd.groupBy("l_suppkey").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
+        F.count("*").cast("long").alias("exact_parts"),
     )
     bound = F.lit(4 * 0.02) * F.col("exact_parts") + F.lit(2.0)
     return g.select(

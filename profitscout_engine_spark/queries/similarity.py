@@ -4194,18 +4194,30 @@ def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import profitscout_engine_spark.operators.text as txo
 
-    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
-    ssh = (
-        d.select("source", txo.tokens(F.col("text")).alias("tk"))
-        .select("source", F.explode(txo.word_shingles()).alias("shingle"))
-        .distinct()
-    )
-    sizes = ssh.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    # r11 optimization (guide §2.4, §1.2 step 1): the r10 shape rebuilt the
+    # tokenize→shingle→distinct subtree for THREE consumers (sizes, sig,
+    # both sides of the exact-intersection self-join) and then joined the
+    # per-source sizes back twice. Persist the per-source distinct-shingle
+    # set once per session, fold the size count INTO the signature
+    # aggregation (same groupBy key — one aggregation instead of two), and
+    # carry na/nb through the signature self-join so the two broadcast
+    # size joins disappear. Same values everywhere; strictly fewer passes
+    # and exchanges at any scale.
+    def build() -> DataFrame:
+        d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+        return (
+            d.select("source", txo.tokens(F.col("text")).alias("tk"))
+            .select("source", F.explode(txo.word_shingles()).alias("shingle"))
+            .distinct()
+        )
+
+    ssh = shared(spark, sf_dir, "source_shingle_sets", build)
     sig = ssh.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
         *[
             F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"h{s}")
             for s in range(txo.MINHASH_K)
-        ]
+        ],
     )
     a, b = sig.alias("a"), sig.alias("b")
     slots = None
@@ -4216,6 +4228,8 @@ def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.source").alias("s1"),
         F.col("b.source").alias("s2"),
         slots.alias("slots"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
     )
     i1, i2 = ssh.alias("i1"), ssh.alias("i2")
     inter = (
@@ -4227,13 +4241,9 @@ def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("i1.source").alias("s1"), F.col("i2.source").alias("s2"))
         .agg(F.count("*").cast("long").alias("c"))
     )
-    za = sizes.select(F.col("source").alias("s1"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("source").alias("s2"), F.col("n").alias("nb"))
     c0 = F.coalesce("c", F.lit(0))
     return (
         prs.join(inter, ["s1", "s2"], "left")
-        .join(F.broadcast(za), "s1")
-        .join(F.broadcast(zb), "s2")
         .select(
             "s1",
             "s2",
@@ -5189,37 +5199,62 @@ def _gram_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     power/deflation iteration touches only these 4096 rows."""
 
     def build() -> DataFrame:
+        # Explode to 64·n (i, x) rows each still carrying the milli-vector,
+        # re-explode the vector per row to the 4096·n (gi, gj, x·y)
+        # products, and let the hash aggregate's map-side combine fold
+        # them to ≤4096 partial rows per task. Replaces the r10
+        # positional SELF-JOIN (which shuffled 64·n rows twice and pushed
+        # 4096·n joined rows through the pair aggregation) with ZERO
+        # joins and ONE exchange of ≤4096 partially-aggregated rows per
+        # task (guide §2.4/§2.3): same 4096·n multiply-adds, none of the
+        # join machinery, and a three-expression plan Catalyst analyzes
+        # in milliseconds (a 64-SUM-column variant measured 2.1 s build
+        # + 2.6 s materialize vs 0.3 + 0.7 for this shape). SUMs of the
+        # identical BIGINT products are order-independent, so gv is
+        # bit-equal to the join form's.
         e = t(spark, sf_dir, "embeddings").select(
-            "vec_id",
             F.expr("transform(embedding, x -> CAST(floor(x * 1e3 + 0.5) AS BIGINT))").alias("v"),
         )
-        p = e.select("vec_id", F.posexplode("v").alias("i0", "x")).select(
-            "vec_id", (F.col("i0") + 1).cast("int").alias("i"), "x"
+        p = e.select(F.posexplode("v").alias("i0", "x"), "v")
+        q = p.select(
+            (F.col("i0") + 1).cast("int").alias("gi"),
+            "x",
+            F.posexplode("v").alias("j0", "y"),
         )
-        return (
-            p.alias("a")
-            .join(p.alias("b"), "vec_id")
-            .groupBy(F.col("a.i").alias("gi"), F.col("b.i").alias("gj"))
-            .agg(F.sum(F.col("a.x") * F.col("b.x")).cast("long").alias("gv"))
+        return q.groupBy("gi", (F.col("j0") + 1).cast("int").alias("gj")).agg(
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("gv")
         )
 
     return shared(spark, sf_dir, "gram_milli", build)
 
 
-def _gram_matvec(g: DataFrame, v: dict[int, int]) -> dict[int, int] | None:
-    """w = G v as one bounded aggregation over the 4096-row Gram frame
-    (the iterate re-embedded as a literal map); collects the 64-int
-    result — the loop-invariant driver state that also cuts lineage.
+def _gram_collect(g: DataFrame) -> dict[int, dict[int, int]] | None:
+    """The 64×64 Gram table collected ONCE as {gi: {gj: gv}} — ≤4096
+    BIGINTs of bounded driver state (the same justification as the
+    k-means sample trainer's ≤N×64-int collect). Every power/deflation
+    step is then a driver-local exact-integer matvec instead of a
+    per-iteration Spark collect job: the r10 shape paid J×2 scheduled
+    stages for arithmetic over 32 KB of loop-invariant data (guide §5 —
+    the driver should do no DATA work, but 4096 ints is state, not
+    data; the data-proportional pass already happened building G).
     None on an empty corpus."""
-    vmap = F.create_map(*[x for i, val in v.items() for x in (F.lit(i), F.lit(val))])
-    rows = (
-        g.groupBy(F.col("gi").alias("i"))
-        .agg(F.sum(F.col("gv") * F.element_at(vmap, F.col("gj"))).cast("long").alias("w"))
-        .collect()
-    )
+    rows = g.collect()
     if not rows:
         return None
-    return {r["i"]: r["w"] for r in rows}
+    out: dict[int, dict[int, int]] = {}
+    for r in rows:
+        out.setdefault(r["gi"], {})[r["gj"]] = r["gv"]
+    return out
+
+
+def _gram_matvec_local(G: dict[int, dict[int, int]], v: dict[int, int]) -> dict[int, int]:
+    """w = G v in exact Python integer arithmetic — bit-equal to the
+    BIGINT SUM(gv * v[gj]) aggregation it replaces (Python ints are
+    arbitrary-precision; the lattice bounds keep Spark's int64 exact,
+    so both evaluate the same integers)."""
+    return {
+        i: sum(gv * v[gj] for gj, gv in row.items()) for i, row in G.items()
+    }
 
 
 @query(
@@ -5238,17 +5273,19 @@ def gram_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     subsequent iterations touch only the bounded 4096-row Gram table.
     Renormalization keeps the vector on the +-1000 lattice with
     sign-split nonnegative floor division (the div-vs-// trap rule).
-    Iterate state (64 ints) collects to the driver per step — bounded,
-    loop-invariant, lineage-cutting — and the FINAL matvec runs
+    The Gram table collects ONCE (≤4096 BIGINTs, bounded driver state)
+    and every iteration is a driver-local exact-integer matvec over
+    that loop-invariant table; the FINAL matvec runs
     distributed so the returned plan computes w = G v_final in Spark.
     Output: (pos, v_val, w_val) — w/v ratios expose the Rayleigh
     quotient per component."""
     g = _gram_frame(spark, sf_dir)
+    G = _gram_collect(g)
+    if G is None:
+        return spark.createDataFrame([], "pos int, v_val bigint, w_val bigint")
     v = {i: 1000 for i in range(1, 65)}
     for _ in range(GRAM_ITERS):
-        w = _gram_matvec(g, v)
-        if w is None:
-            return spark.createDataFrame([], "pos int, v_val bigint, w_val bigint")
+        w = _gram_matvec_local(G, v)
         mx = max(abs(x) for x in w.values())
         # driver-side renormalize: exact integer arithmetic, deterministic
         v = {
@@ -5361,13 +5398,14 @@ def gram_topk_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     with max(mx, 1) on both sides.
 
     Scale shape: identical to the parent operator — ONE data-
-    proportional pass builds the shared 64x64 Gram table; all {EIG_ITERS}
-    x 2 iterations touch only those 4096 rows, collecting 64 ints per
-    step (bounded driver state, lineage cut per iteration); the two
-    FINAL matvecs run distributed so the returned plan computes w = G v
-    in Spark. Output: (component, pos, v_val, w_val) — 128 rows; w/v
-    ratios expose the per-component Rayleigh quotients, and the
-    off-component dot audits orthogonality."""
+    proportional pass builds the shared 64x64 Gram table, collected ONCE
+    (≤4096 BIGINTs, bounded driver state); all {EIG_ITERS} x 2
+    iterations are driver-local exact-integer matvecs over that
+    loop-invariant table; the two FINAL matvecs run distributed so the
+    returned plan computes w = G v in Spark. Output: (component, pos,
+    v_val, w_val) — 128 rows; w/v ratios expose the per-component
+    Rayleigh quotients, and the off-component dot audits
+    orthogonality."""
     g = _gram_frame(spark, sf_dir)
 
     def renorm(w: dict[int, int]) -> dict[int, int]:
@@ -5378,18 +5416,15 @@ def gram_topk_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
 
     empty = "component int, pos int, v_val bigint, w_val bigint"
+    G = _gram_collect(g)
+    if G is None:
+        return spark.createDataFrame([], empty)
     v1 = {i: 1000 for i in range(1, 65)}
     for _ in range(EIG_ITERS):
-        w = _gram_matvec(g, v1)
-        if w is None:
-            return spark.createDataFrame([], empty)
-        v1 = renorm(w)
+        v1 = renorm(_gram_matvec_local(G, v1))
     u = {i: 1000 if i % 2 == 1 else -1000 for i in range(1, 65)}
     for _ in range(EIG_ITERS):
-        w = _gram_matvec(g, u)
-        if w is None:
-            return spark.createDataFrame([], empty)
-        r = renorm(w)
+        r = renorm(_gram_matvec_local(G, u))
         duv = sum(r[i] * v1[i] for i in r)
         dvv = sum(x * x for x in v1.values())
         u = renorm({i: r[i] * dvv - duv * v1[i] for i in r})
@@ -5488,35 +5523,44 @@ def label_propagation_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric edge list against the current label table, one
     (node, label) count aggregation, one min-struct argmax per node
     (map-side partial agg, no window), one left join back to the node
-    spine — edge-linear, nothing quadratic, no driver state at all."""
-    pairs = _mh_pairs(spark, sf_dir)
-    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).unionAll(
-        pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
-    )
-    labels = _docs(spark, sf_dir).select("doc_id", F.col("doc_id").alias("lbl"))
-    spine = _docs(spark, sf_dir).select("doc_id")
-    for _ in range(LPA_ROUNDS):
-        counts = (
-            edges.join(
-                labels.select(F.col("doc_id").alias("dst"), F.col("lbl").alias("nlbl")),
-                "dst",
+    spine — edge-linear, nothing quadratic, no driver state at all.
+
+    r11 optimization: the converged label table is published as the
+    session-shared ``lpa_communities`` frame (the SAME key
+    ``community_top_terms`` already reads), so the 3-round loop runs once
+    per session instead of once per consumer execution — the
+    materialized-view pattern every other derived corpus frame uses."""
+
+    def build() -> DataFrame:
+        pairs = _mh_pairs(spark, sf_dir)
+        edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).unionAll(
+            pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+        )
+        labels = _docs(spark, sf_dir).select("doc_id", F.col("doc_id").alias("lbl"))
+        for _ in range(LPA_ROUNDS):
+            counts = (
+                edges.join(
+                    labels.select(F.col("doc_id").alias("dst"), F.col("lbl").alias("nlbl")),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("doc_id"), F.col("nlbl").alias("lbl"))
+                .agg(F.count("*").cast("long").alias("cnt"))
             )
-            .groupBy(F.col("src").alias("doc_id"), F.col("nlbl").alias("lbl"))
-            .agg(F.count("*").cast("long").alias("cnt"))
-        )
-        best = (
-            counts.select(
-                "doc_id", F.struct((-F.col("cnt")).alias("nc"), "lbl").alias("s")
+            best = (
+                counts.select(
+                    "doc_id", F.struct((-F.col("cnt")).alias("nc"), "lbl").alias("s")
+                )
+                .groupBy("doc_id")
+                .agg(F.min("s").alias("s"))
+                .select("doc_id", F.col("s.lbl").alias("blbl"))
             )
-            .groupBy("doc_id")
-            .agg(F.min("s").alias("s"))
-            .select("doc_id", F.col("s.lbl").alias("blbl"))
-        )
-        labels = (
-            labels.join(best, "doc_id", "left")
-            .select("doc_id", F.coalesce("blbl", "lbl").alias("lbl"))
-        )
-    return labels.select("doc_id", F.col("lbl").alias("community"))
+            labels = (
+                labels.join(best, "doc_id", "left")
+                .select("doc_id", F.coalesce("blbl", "lbl").alias("lbl"))
+            )
+        return labels.select("doc_id", F.col("lbl").alias("community"))
+
+    return shared(spark, sf_dir, "lpa_communities", build)
 
 
 # ---- incremental LPA over a graph delta ------------------------------------------
@@ -5820,16 +5864,13 @@ def community_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency — the last is vocabulary-sized, AQE-broadcastable back)
     and one within-community top-k window. Nothing quadratic; the
     communities come straight from the iterated LPA operator."""
-    from .curation import _term_tokens
+    from .curation import _term_freq, _term_tokens
     from . import REGISTRY
 
     # the community table feeds two branches (membership join + size
-    # filter) and its plan embeds the 3-round LPA subtree — share it once
-    # per session like the other derived corpus frames
-    comm = shared(
-        spark, sf_dir, "lpa_communities",
-        lambda: REGISTRY["label_propagation_rounds"].fn(spark, sf_dir),
-    )
+    # filter) — label_propagation_rounds itself now publishes the shared
+    # ``lpa_communities`` frame, so this composes the cached table
+    comm = REGISTRY["label_propagation_rounds"].fn(spark, sf_dir)
     sizes = (
         comm.groupBy("community")
         .agg(F.count("*").cast("long").alias("n_docs"))
@@ -5843,8 +5884,14 @@ def community_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("tf"))
     )
     csize = ct.groupBy("community").agg(F.sum("tf").cast("long").alias("c_tokens"))
-    cf = tk.groupBy("term").agg(F.count("*").cast("long").alias("corpus_tf"))
-    tot = tk.agg(F.count("*").cast("long").alias("t_tokens"))
+    # corpus term frequencies and total token mass come from the
+    # session-shared vocabulary table (_term_freq) instead of two more
+    # full passes over the exploded token stream per execution — same
+    # counts by definition (r11; guide §2.4: share one exchange)
+    cf = _term_freq(spark, sf_dir).select(
+        "term", F.col("cnt").cast("long").alias("corpus_tf")
+    )
+    tot = cf.agg(F.sum("corpus_tf").cast("long").alias("t_tokens"))
     s = (
         ct.join(cf, "term")
         .join(csize, "community")
