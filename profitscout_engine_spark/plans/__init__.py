@@ -17,11 +17,31 @@ from pyspark.sql import DataFrame
 
 
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
-    """Capture ``df.explain(mode)`` as a string."""
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain(mode)
-    return buf.getvalue()
+    """Capture ``df.explain(mode)`` as a string.
+
+    Lifts ``spark.sql.maxPlanStringLength`` for the duration of the call:
+    the session caps it (see session.py — per-action plan rendering for the
+    SQL-listener event is pure overhead on giant shared-frame trees), but
+    every plan GATE flows through this function and must see the complete,
+    untruncated plan — a silently truncated capture would turn the flag
+    snapshot and the plan-sha operator-edit detector into no-ops."""
+    spark = df.sparkSession
+    key = "spark.sql.maxPlanStringLength"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, str(2**31 - 16))
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode)
+        return buf.getvalue()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def pushed_filters(plan: str) -> str:

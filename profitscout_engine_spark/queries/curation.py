@@ -1570,11 +1570,14 @@ def nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("term").cast("long").alias("ssum"))
         .select("doc_id", "c", (F.col("prior_fix") + F.col("ssum")).alias("sfix"))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("sfix"), F.asc("c"))
+    # argmax as a min-struct aggregation (r11, guide §2.3 "aggregate before
+    # you shuffle"): (-sfix, c) struct-min IS the (sfix DESC, c ASC) top-1 —
+    # exact integer/lex compare — and unlike the r10 row_number window it
+    # partial-aggregates map-side and needs no per-partition sort.
     pred = (
-        scores.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", F.col("c").alias("lang_pred"))
+        scores.groupBy("doc_id")
+        .agg(F.min(F.struct((-F.col("sfix")).alias("ns"), F.col("c"))).alias("s"))
+        .select("doc_id", F.col("s.c").alias("lang_pred"))
     )
     return (
         pred.join(docs, "doc_id")

@@ -645,6 +645,22 @@ def token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_PAIR_TOPK = 20
 
 
+def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, wcnt) — the corpus word multiset collapsed to distinct words with
+    multiplicities, straight off the session-shared ``_term_freq`` vocabulary
+    table (one tokenize+count pass per session serves the whole text family).
+    Both BPE statistics read this: any per-word derivation (adjacent pairs,
+    merge application) is a function of the WORD alone, so computing it once
+    per distinct word and weighting by ``wcnt`` yields bit-identical integer
+    totals while the work collapses from token-stream-sized to
+    vocabulary-sized (guide §2.3)."""
+    from .curation import _term_freq
+
+    return _term_freq(spark, sf_dir).select(
+        F.col("term").alias("w"), F.col("cnt").alias("wcnt")
+    )
+
+
 @query(
     "bpe_pair_counts",
     oracle=f"""
@@ -667,24 +683,25 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax pair, add it to the merge table, re-count; this query is that
     count step expressed as a corpus aggregation.
 
-    Scale shape: pairs are generated per word inside the row (array
-    transform, no join), then one hash aggregation with map-side partial
-    combine on a ~26² key space — the shuffle moves only (pair, partial
-    count), and the top-K is a TakeOrderedAndProject, not a global sort.
+    Scale shape (r11 optimization, guide §2.3 "aggregate before you
+    shuffle"): pair generation runs over the session-shared VOCABULARY
+    table (distinct word, multiplicity) instead of the raw token stream —
+    a word's pair multiset is a function of the word alone, so each
+    distinct word is scanned once and its pairs weighted by the word
+    count (exact integer sums, identical totals, Zipf collapses the work
+    by orders of magnitude). One weighted hash aggregation with map-side
+    partial combine on a ~26² key space; top-K is a
+    TakeOrderedAndProject, not a global sort.
     """
-    pairs = (
-        _docs(spark, sf_dir)
-        .select(F.explode(F.split("text", " ")).alias("w"))
-        .where(F.length("w") >= 2)
-        .select(
-            F.explode(
-                F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
-            ).alias("pair")
-        )
+    pairs = _word_counts(spark, sf_dir).where(F.length("w") >= 2).select(
+        "wcnt",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair"),
     )
     return (
         pairs.groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("wcnt").cast("long").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("pair"))
         .limit(BPE_PAIR_TOPK)
     )
@@ -1253,78 +1270,74 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential scanner's behavior, expressed as two windows instead of
     per-row state. The same one-iteration-as-operator contract as
     `kmeans_lloyd_step`/`pagerank_iteration`: a full vocabulary build
-    is a driver loop of this step. Scale shape: per-word windows
-    partition on a synthetic word id (doc_id x 1e5 + position) so no
-    partition exceeds one word's characters; the recount is the same
-    map-side-combinable pair aggregation as the statistic query."""
-    words0 = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.posexplode(F.split("text", " ")).alias("wpos0", "w"))
-        .select("doc_id", (F.col("wpos0") + 1).alias("wpos"), "w")
-    )
+    is a driver loop of this step.
+
+    Scale shape (r11 optimization, guide §2.3/§2.4/§4.1): everything runs
+    per DISTINCT word off the session-shared vocabulary table, weighted
+    by word multiplicity — the merge application is a function of the
+    word alone, so the r10 shape's per-OCCURRENCE character explosion
+    (two per-word row_number windows + two (wid, i) equi-joins over the
+    full token stream) collapses to one in-row sequential-scanner fold
+    (`aggregate` HOF — the same leftmost-non-overlapping automaton, now
+    inside whole-stage codegen with ZERO extra shuffles) over
+    vocabulary-sized input. The recount is the same map-side-combinable
+    weighted pair aggregation as `bpe_pair_counts`; integer-weighted sums
+    make every count bit-identical to the per-occurrence form."""
+    wc = _word_counts(spark, sf_dir)
     paircnt = (
-        words0.where(F.length("w") >= 2)
+        wc.where(F.length("w") >= 2)
         .select(
+            "wcnt",
             F.explode(
                 F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
-            ).alias("pair")
+            ).alias("pair"),
         )
         .groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("wcnt").cast("long").alias("cnt"))
     )
     tp = paircnt.orderBy(F.col("cnt").desc(), F.col("pair")).limit(1).select(
         F.col("pair").alias("mp")
     )
-    chars = (
-        words0.crossJoin(F.broadcast(tp))
+    # Leftmost-non-overlapping merge application as a per-row fold: walk the
+    # word once with a (skip, acc) accumulator — at a match emit the merged
+    # pair and skip the consumed next char, otherwise emit the char. This IS
+    # the sequential scanner the r10 gaps-and-islands windows emulated.
+    syms = F.expr(
+        """
+        aggregate(
+          CASE WHEN length(w) >= 1 THEN sequence(1, length(w))
+               ELSE CAST(array() AS ARRAY<INT>) END,
+          named_struct('skip', false, 'acc', CAST(array() AS ARRAY<STRING>)),
+          (st, i) -> CASE
+             WHEN st.skip THEN named_struct('skip', false, 'acc', st.acc)
+             WHEN i < length(w) AND substr(w, i, 2) = mp
+                THEN named_struct('skip', true,
+                                  'acc', array_append(st.acc, mp))
+             ELSE named_struct('skip', false,
+                               'acc', array_append(st.acc, substr(w, i, 1)))
+          END,
+          st -> st.acc)
+        """
+    )
+    newpairs = (
+        wc.crossJoin(F.broadcast(tp))
+        .select("wcnt", "mp", syms.alias("syms"))
         .select(
-            (F.col("doc_id") * 100000 + F.col("wpos")).alias("wid"),
-            "w",
+            "wcnt",
             "mp",
-            F.posexplode(F.split("w", "")).alias("i0", "c"),
-        )
-        .select(
-            "wid", "w", "mp", (F.col("i0") + 1).alias("i"), "c"
-        )
-        .withColumn("m", F.expr("substr(w, i, 2) = mp"))
-    )
-    mrows = (
-        chars.where(F.col("m") & (F.col("i") < F.length("w")))
-        .withColumn(
-            "grp",
-            F.col("i") - F.row_number().over(Window.partitionBy("wid").orderBy("i")),
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(syms) >= 2 THEN transform("
+                    "sequence(1, size(syms) - 1), "
+                    "j -> concat(element_at(syms, j), '+', element_at(syms, j + 1)))"
+                    " ELSE CAST(array() AS ARRAY<STRING>) END"
+                )
+            ).alias("pair"),
         )
     )
-    applied = (
-        mrows.withColumn("s", F.min("i").over(Window.partitionBy("wid", "grp")))
-        .where((F.col("i") - F.col("s")) % 2 == 0)
-        .select("wid", "i")
-    )
-    ap = applied.withColumn("_a", F.lit(1))
-    consumed = applied.select("wid", (F.col("i") + 1).alias("i")).withColumn(
-        "_c", F.lit(1)
-    )
-    syms = (
-        chars.join(ap, ["wid", "i"], "left")
-        .join(consumed, ["wid", "i"], "left")
-        .where(F.col("_c").isNull())
-        .select(
-            "wid",
-            "i",
-            F.when(F.col("_a").isNotNull(), F.col("mp")).otherwise(F.col("c")).alias("sym"),
-            "mp",
-        )
-    )
-    newpairs = syms.select(
-        "mp",
-        F.concat_ws(
-            "+", F.col("sym"), F.lead("sym").over(Window.partitionBy("wid").orderBy("i"))
-        ).alias("pair"),
-        F.lead("sym").over(Window.partitionBy("wid").orderBy("i")).alias("nxt"),
-    ).where(F.col("nxt").isNotNull())
     return (
         newpairs.groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.first("mp").alias("merged_pair"))
+        .agg(F.sum("wcnt").cast("long").alias("cnt"), F.first("mp").alias("merged_pair"))
         .orderBy(F.col("cnt").desc(), F.col("pair"))
         .limit(BPE_PAIR_TOPK)
         .select("pair", "cnt", "merged_pair")

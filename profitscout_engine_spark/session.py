@@ -78,6 +78,21 @@ def _apply_runtime_confs(spark: SparkSession) -> None:
     except Exception:
         pass  # non-log4j2 deployments keep the default logging
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Every action renders the FULL physical-plan string for the
+    # SparkListenerSQLExecutionStart event — even with the UI disabled, and
+    # including the complete child plans of every InMemoryRelation the query
+    # references. For the shared-frame/iterative queries those trees reach
+    # 10^4 rendered lines and the per-action rendering (TreeNode
+    # generateTreeString → nodeName regex per node) measurably dominates:
+    # incremental_lpa_delta's cached-everything re-execution dropped
+    # 3.9 s → 2.0 s from this cap alone (r11 isolate, best-of-3). The
+    # description string is observability payload, not computation — capping
+    # it is the documented remedy for giant-plan driver overhead (guide
+    # §7.3) and scales: at 100 TB the trees are the same size, the cluster
+    # just waits on the driver longer. Plan-quality gates are unaffected:
+    # explain_str() (the one capture chokepoint for PLANS.json / DRIVER_STATE
+    # / plans_r11) lifts the cap around its explain call.
+    spark.conf.set("spark.sql.maxPlanStringLength", "4096")
     # Serve bare MIN/MAX/COUNT aggregations from parquet footer statistics
     # instead of scanning data pages (off by default; pure win for the
     # idempotency-guard / catalog-introspection style probes).
