@@ -182,6 +182,34 @@ def chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- benchmark contamination: train docs sharing n-grams with the test split --
+def _contam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shared) — distinct word-3-grams each TRAIN document
+    shares with ANY test-split document. The expensive train⋈test shingle
+    join runs ONCE per session (r11, guide §2.4): `contamination_check`
+    (the serving scan) and `contamination_spread` (whose hop-0 seed set is
+    exactly the rows with n_shared ≥ threshold) both read this frame. The
+    split tag is a pure function of doc_id, so the shingle frame tags
+    itself — no join of the (large) posting list against a split table."""
+    from ._util import shared
+    from .similarity import _sh_distinct
+
+    def build() -> DataFrame:
+        digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        is_test = digit.isin("e", "f")
+        sh = _sh_distinct(spark, sf_dir).withColumn(
+            "split", F.when(is_test, "test").otherwise("train")
+        )
+        test_sh = sh.where(F.col("split") == "test").select("shingle").distinct()
+        return (
+            sh.where(F.col("split") == "train")
+            .join(test_sh, "shingle")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shared"))
+        )
+
+    return shared(spark, sf_dir, "contam_overlap", build)
+
+
 @query(
     "contamination_check",
     oracle=f"""
@@ -224,23 +252,12 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle frame is the session-cached dedup materialization — at
     100 TB this is the decontamination pass every eval suite requires.
     """
-    from .similarity import _sh_distinct
-
     digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     is_test = digit.isin("e", "f")
     split = _docs(spark, sf_dir).select(
         "doc_id", F.when(is_test, "test").otherwise("train").alias("split")
     )
-    # The split is a pure function of doc_id, so the shingle frame tags
-    # itself — no join of the (large) posting list against a split table.
-    sh = _sh_distinct(spark, sf_dir).withColumn("split", F.when(is_test, "test").otherwise("train"))
-    test_sh = sh.where(F.col("split") == "test").select("shingle").distinct()
-    overlap = (
-        sh.where(F.col("split") == "train")
-        .join(test_sh, "shingle")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared"))
-    )
+    overlap = _contam_overlap(spark, sf_dir)
     return (
         split.where(F.col("split") == "train")
         .join(overlap, "doc_id", "left")
@@ -929,19 +946,13 @@ def contamination_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     with cost per level = frontier ⋈ edges, never corpus × hops. Reads
     two session-shared materializations (shingles, MinHash pairs), so
     the marginal cost over contamination_check is the tiny BFS itself."""
-    from .similarity import _mh_pairs, _sh_distinct
+    from .similarity import _mh_pairs
 
-    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    is_test = digit.isin("e", "f")
-    sh = _sh_distinct(spark, sf_dir).withColumn(
-        "split", F.when(is_test, "test").otherwise("train")
-    )
-    test_sh = sh.where(F.col("split") == "test").select("shingle").distinct()
+    # hop-0 seeds = the session-shared train⋈test overlap frame filtered at
+    # the threshold — the heavy shingle join no longer runs a second time
+    # for this query (r11; contamination_check reads the same frame).
     seeds = (
-        sh.where(F.col("split") == "train")
-        .join(test_sh, "shingle")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared"))
+        _contam_overlap(spark, sf_dir)
         .where(F.col("n_shared") >= CONTAM_NGRAM_MIN)
         .select("doc_id")
     )

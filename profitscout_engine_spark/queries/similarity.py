@@ -142,6 +142,17 @@ def _jaccard_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return shared(spark, sf_dir, "jaccard_scored_all", build)
 
+def _lsh_bucket_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, table_id, bucket) — the hyperplane-LSH bucket table,
+    session-shared (r11): the scored-pair builder and the cross-snapshot
+    semantic-dedup ledger both read one materialization of the
+    hash-projection pass instead of re-deriving it."""
+    return shared(
+        spark, sf_dir, "lsh_bucket_table",
+        lambda: sim.lsh_buckets(_vecs(spark, sf_dir).select("vec_id", "v")),
+    )
+
+
 def _lsh_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(d1 < d2, sim_raw) — exact cosine over the UNDIRECTED hyperplane-LSH
     candidate set, scored once per session. The dot is symmetric, so the
@@ -152,8 +163,7 @@ def _lsh_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-associated sums); each consumer applies its own rounding."""
 
     def build() -> DataFrame:
-        e = _vecs(spark, sf_dir).select("vec_id", "v")
-        buckets = sim.lsh_buckets(e)
+        buckets = _lsh_bucket_frame(spark, sf_dir)
         a, b = buckets.alias("a"), buckets.alias("b")
         par = spark.sparkContext.defaultParallelism
         cand = (
@@ -2926,11 +2936,21 @@ def stream_dedup_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.band_sig").alias("band_sig"),
         # Bounded state key: applyInPandasWithState pays a Python call per
         # GROUP per batch, and per-signature keys mean thousands of tiny
-        # groups each batch. Bucketing signatures by their first hex byte
-        # caps groups at 4 x 256; each bucket's state is the sig -> min-doc
-        # map for that slice of the store (still bounded by distinct
-        # signatures — the same store, coarser shards).
-        F.substring(F.col("b.band_sig"), 1, 2).alias("bucket"),
+        # groups each batch. Signatures shard by their first
+        # PSE_STREAM_BUCKET_HEX hex chars (default 2 → 4×256 groups); the
+        # fold is per-SIGNATURE inside the shard, so ANY shard width
+        # computes identical verdict rows — the knob exists because shard
+        # count is the state-size dial at scale (each shard's sig→min map
+        # must stay executor-sized). r11 measured the coarser 1-hex
+        # default HYPOTHESIS (fewer Python group calls) and it LOST —
+        # 13.0 s vs 22.9 s fresh-stream isolate best-of-3 — so the r10
+        # 2-hex sharding stays; state (de)serialization bytes, not group
+        # call count, dominate this stream's per-batch cost.
+        F.substring(
+            F.col("b.band_sig"),
+            1,
+            int(_os.environ.get("PSE_STREAM_BUCKET_HEX", "2")),
+        ).alias("bucket"),
     )
 
     def update(
@@ -6657,7 +6677,11 @@ def cross_snapshot_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     day = F.expr(_VSNAP_DAY_SPARK)
     e = _vecs(spark, sf_dir).select("vec_id", "v")
     snap = e.select("vec_id", day.alias("day"))
-    bd = sim.lsh_buckets(e).join(snap, "vec_id")
+    # day is a pure function of vec_id, so the bucket table tags itself —
+    # the r10 join against the snap frame re-derived the LSH projection AND
+    # shuffled it for a lookup a projection computes in place (r11; the
+    # bucket table itself is the session-shared materialization).
+    bd = _lsh_bucket_frame(spark, sf_dir).withColumn("day", day)
     cell = bd.groupBy("table_id", "bucket").agg(F.min("day").alias("first_day"))
     rep = (
         bd.join(cell, ["table_id", "bucket"])

@@ -1433,6 +1433,13 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = ph.agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
     )
+    # r11 (guide §2.4 — a distinct on already-unique data is a wasted
+    # exchange): the bounds filter runs BEFORE the (user, target) dedup so
+    # the dedup shuffle carries only in-range rows, and both bucket counts
+    # are plain COUNT(*) over sets that are distinct BY CONSTRUCTION —
+    # contrib after .distinct() is unique on (user_id, target) and ph is
+    # unique on (user_id, h), so countDistinct's second dedup aggregation
+    # (one more exchange each) computed the identical number.
     contrib = (
         ph.select(
             "user_id",
@@ -1443,16 +1450,16 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.expr("h + make_interval(0, 0, 0, 0, i, 0, 0)").alias("target"),
         )
+        .crossJoin(F.broadcast(bounds))
+        .where((F.col("target") >= F.col("h0")) & (F.col("target") <= F.col("h1")))
+        .select("user_id", "target")
         .distinct()
     )
-    w24 = (
-        contrib.crossJoin(F.broadcast(bounds))
-        .where((F.col("target") >= F.col("h0")) & (F.col("target") <= F.col("h1")))
-        .groupBy(F.col("target").alias("hour"))
-        .agg(F.countDistinct("user_id").cast("long").alias("users_24h"))
+    w24 = contrib.groupBy(F.col("target").alias("hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("users_24h")
     )
     w1 = ph.groupBy(F.col("h").alias("hour")).agg(
-        F.countDistinct("user_id").cast("long").alias("users_1h")
+        F.count(F.lit(1)).cast("long").alias("users_1h")
     )
     return w24.join(w1, "hour", "left").select(
         "hour",
