@@ -12,8 +12,15 @@ from __future__ import annotations
 
 import contextlib
 import io
+import threading
 
 from pyspark.sql import DataFrame
+
+# Capture calls mutate the session-global maxPlanStringLength; concurrent
+# captures (or an action racing a capture) could interleave save/restore and
+# strand the cap at 2^31-16, silently re-enabling full per-action plan
+# rendering for the rest of the session (ADVICE r11). One capture at a time.
+_EXPLAIN_LOCK = threading.Lock()
 
 
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
@@ -27,21 +34,22 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     snapshot and the plan-sha operator-edit detector into no-ops."""
     spark = df.sparkSession
     key = "spark.sql.maxPlanStringLength"
-    try:
-        old = spark.conf.get(key)
-    except Exception:
-        old = None
-    spark.conf.set(key, str(2**31 - 16))
-    try:
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain(mode)
-        return buf.getvalue()
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
+    with _EXPLAIN_LOCK:
+        try:
+            old = spark.conf.get(key)
+        except Exception:
+            old = None
+        spark.conf.set(key, str(2**31 - 16))
+        try:
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode)
+            return buf.getvalue()
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
 
 
 def pushed_filters(plan: str) -> str:

@@ -49,6 +49,7 @@ def reset_shared() -> None:
     source/oracle changes). After reset, a capture rebuilds its shared
     chain in the query's own deterministic build order."""
     with _SHARED_LOCK:
+        _SHARED_VALS.clear()
         for k in list(_SHARED):
             df = _SHARED.pop(k)
             try:
@@ -104,6 +105,28 @@ def shared(
             # storage level has dropped to NONE.
             df.persist()
     return df
+
+
+_SHARED_VALS: dict[tuple[str, str, str], object] = {}
+
+
+def shared_value(
+    spark: SparkSession, sf_dir: str, key: str, builder: Callable[[], object]
+) -> object:
+    """Session-scoped memo for a BOUNDED driver-side literal derived from the
+    data (a class-label axis, a percentile boundary list) — the value twin of
+    :func:`shared`. Same contract: first caller in a (session, dataset) runs
+    the builder (which may collect a bounded frame), later callers reuse;
+    a fresh process always recomputes from the parquet inputs. Only for
+    values bounded by MODEL size (classes, quantiles, K), never by data."""
+    app_id = spark.sparkContext.applicationId
+    k = (app_id, sf_dir, key)
+    with _SHARED_LOCK:
+        for stale in [sk for sk in _SHARED_VALS if sk[0] != app_id]:
+            _SHARED_VALS.pop(stale)
+        if k not in _SHARED_VALS:
+            _SHARED_VALS[k] = builder()
+        return _SHARED_VALS[k]
 
 
 def sr(expr: str, n: int) -> str:

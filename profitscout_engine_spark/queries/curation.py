@@ -1392,6 +1392,28 @@ def _lr_w0_sql(instr_fn: str, bucket: str) -> str:
     )
 
 
+def _lr_db(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bucket, cnt) — the hashed bag-of-words counts, session-shared
+    (r12, guide §2.4): `lr_gradient_step`, `nb_confusion` and
+    `pr_curve_binned` all start from this identical subtree (token stream →
+    md5 bucket → (doc, bucket) count), and each previously re-ran the
+    tokenize+hash pass and re-paid the (doc, bucket) shuffle. One
+    materialization per session; ≤ docs × 256 narrow rows."""
+    from ._util import shared
+
+    bucket = _lr_bucket_sql("instr", "term")
+
+    def build() -> DataFrame:
+        return (
+            _term_tokens(spark, sf_dir)
+            .withColumn("bucket", F.expr(bucket).cast("long"))
+            .groupBy("doc_id", "bucket")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+
+    return shared(spark, sf_dir, "lr_doc_bucket_counts", build)
+
+
 def _lr_oracle() -> str:
     bucket = _lr_bucket_sql("strpos", "term")
     w0 = _lr_w0_sql("strpos", "bucket")
@@ -1437,14 +1459,8 @@ def lr_gradient_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature space is hashed and the data cannot leave the cluster.
     Plan: token explode rides the session-shared stream, then three
     combinable aggregations keyed by (doc, bucket), doc, bucket."""
-    bucket = _lr_bucket_sql("instr", "term")
     w0 = _lr_w0_sql("instr", "bucket")
-    tk = _term_tokens(spark, sf_dir)
-    db = (
-        tk.withColumn("bucket", F.expr(bucket).cast("long"))
-        .groupBy("doc_id", "bucket")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
+    db = _lr_db(spark, sf_dir)
     z = db.groupBy("doc_id").agg(
         F.sum(F.col("cnt") * F.expr(w0)).alias("z")
     )
@@ -1521,16 +1537,30 @@ def nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     confusion matrix. The in-warehouse language-ID baseline every
     curation pipeline wants next to its heuristic
     (`lang_id_heuristic`). Scale: counts tables are (classes ×
-    buckets) tiny; the scoring join fans each doc-bucket row out by
-    n_classes — linear, broadcast-joined against the bounded model."""
-    bucket = _lr_bucket_sql("instr", "term")
-    tk = _term_tokens(spark, sf_dir)
-    db = (
-        tk.withColumn("bucket", F.expr(bucket).cast("long"))
-        .groupBy("doc_id", "bucket")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
+    buckets) tiny; scoring is PIVOTED over the bounded class set (r12,
+    guide §2.3 "aggregate before you shuffle"): all classes score in one
+    pass as per-class SUM columns over the shared (doc, bucket) counts —
+    the r10/r11 shape fanned every doc-bucket row out ×n_classes through
+    the scoring aggregation. Class names are a bounded, data-derived
+    literal list (the k-means-centroid / percentile-literal pattern:
+    collect the BOUNDED model axis, never data)."""
+    from ._util import shared_value
+
+    db = _lr_db(spark, sf_dir)
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    # bounded collect: the class axis (distinct langs) — same driver-state
+    # justification as the 64x64 Gram table / percentile literal maps;
+    # session-memoized so re-invocations don't re-run the tiny collect job.
+    langs = shared_value(
+        spark,
+        sf_dir,
+        "nb_class_axis",
+        lambda: sorted(
+            r[0]
+            for r in docs.select("lang").distinct().collect()
+            if r[0] is not None
+        ),
+    )
     cls = docs.groupBy(F.col("lang").alias("c")).agg(
         F.count("*").cast("long").alias("n_docs")
     )
@@ -1541,54 +1571,78 @@ def nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").cast("long").alias("ccnt"))
     )
     ctot = cb.groupBy("c").agg(F.sum("ccnt").cast("long").alias("ctokens"))
-    model = (
-        cls.join(ctot, "c")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "c",
-            F.floor(F.log(F.col("n_docs") * F.lit(1.0) / F.col("n_total")) * 1e9 + F.lit(0.5))
-            .cast("long")
-            .alias("prior_fix"),
-            "ctokens",
-        )
-    )
-    # per (class, bucket) fixed log-likelihood, including unseen buckets via
-    # the left join at scoring time
-    ll = cb.join(ctot, "c").select(
-        "c",
-        "bucket",
-        F.floor(
-            F.log((F.col("ccnt") + F.lit(1.0)) / (F.col("ctokens") + F.lit(256.0)))
-            * 1e9
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("ll_fix"),
-    )
+    # one-row class constants: prior_fix_k and the unseen-bucket fallback
+    # ll (both exact 1e-9-fixed BIGINTs, identical expressions to r11's)
+    prior = F.floor(
+        F.log(F.col("n_docs") * F.lit(1.0) / F.col("n_total")) * 1e9 + F.lit(0.5)
+    ).cast("long")
     unseen = F.floor(
         F.log(F.lit(1.0) / (F.col("ctokens") + F.lit(256.0))) * 1e9 + F.lit(0.5)
     ).cast("long")
-    scores = (
-        db.crossJoin(F.broadcast(model.select("c", "prior_fix", "ctokens")))
-        .join(F.broadcast(ll), ["c", "bucket"], "left")
-        .select(
-            "doc_id",
-            "c",
-            "prior_fix",
-            (F.col("cnt") * F.coalesce(F.col("ll_fix"), unseen)).alias("term"),
+    consts = (
+        cls.join(ctot, "c")
+        .crossJoin(F.broadcast(tot))
+        .groupBy()
+        .agg(
+            *[
+                F.max(F.when(F.col("c") == k, e)).alias(f"{p}_{i}")
+                for i, k in enumerate(langs)
+                for p, e in (("prior", prior), ("unseen", unseen))
+            ]
         )
-        .groupBy("doc_id", "c", "prior_fix")
-        .agg(F.sum("term").cast("long").alias("ssum"))
-        .select("doc_id", "c", (F.col("prior_fix") + F.col("ssum")).alias("sfix"))
     )
-    # argmax as a min-struct aggregation (r11, guide §2.3 "aggregate before
-    # you shuffle"): (-sfix, c) struct-min IS the (sfix DESC, c ASC) top-1 —
-    # exact integer/lex compare — and unlike the r10 row_number window it
-    # partial-aggregates map-side and needs no per-partition sort.
-    pred = (
-        scores.groupBy("doc_id")
-        .agg(F.min(F.struct((-F.col("sfix")).alias("ns"), F.col("c"))).alias("s"))
-        .select("doc_id", F.col("s.c").alias("lang_pred"))
+    ll_fix = F.floor(
+        F.log((F.col("ccnt") + F.lit(1.0)) / (F.col("ctokens") + F.lit(256.0))) * 1e9
+        + F.lit(0.5)
+    ).cast("long")
+    # per-bucket log-likelihood VECTOR, one column per class (≤256 rows):
+    # every db bucket was contributed by a doc of SOME class, so it appears
+    # here; classes missing the bucket stay NULL and fall back to unseen_k.
+    ll_piv = (
+        cb.join(ctot, "c")
+        .groupBy("bucket")
+        .agg(
+            *[
+                F.max(F.when(F.col("c") == k, ll_fix)).alias(f"ll_{i}")
+                for i in range(len(langs))
+                for k in [langs[i]]
+            ]
+        )
+    )
+    # single-pass scoring: n_docs rows × n_classes SUM columns — same exact
+    # BIGINT terms as the fanout shape (cnt × ll-or-unseen per bucket,
+    # summed per doc, + prior), regrouped from rows into columns.
+    per_doc = (
+        db.join(F.broadcast(ll_piv), "bucket")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(
+                    F.col("cnt")
+                    * F.coalesce(F.col(f"ll_{i}"), F.col(f"unseen_{i}"))
+                )
+                .cast("long")
+                .alias(f"ssum_{i}")
+                for i in range(len(langs))
+            ],
+            *[F.max(f"prior_{i}").alias(f"prior_{i}") for i in range(len(langs))],
+        )
+    )
+    # argmax across the class columns: least() over (-sfix, c) structs IS
+    # the (sfix DESC, c ASC) top-1 — the same exact integer/lex compare as
+    # the r11 min-struct aggregation, now over 5 columns instead of 5 rows.
+    pred = per_doc.select(
+        "doc_id",
+        F.least(
+            *[
+                F.struct(
+                    (-(F.col(f"prior_{i}") + F.col(f"ssum_{i}"))).alias("ns"),
+                    F.lit(k).alias("c"),
+                )
+                for i, k in enumerate(langs)
+            ]
+        )["c"].alias("lang_pred"),
     )
     return (
         pred.join(docs, "doc_id")
@@ -1647,14 +1701,8 @@ def pr_curve_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cumulative precision/recall sweep is a window over the BOUNDED
     bin table — corpus-sized sort eliminated, curve resolution traded
     explicitly via PR_BIN_SCALE."""
-    bucket = _lr_bucket_sql("instr", "term")
     w0 = _lr_w0_sql("instr", "bucket")
-    tk = _term_tokens(spark, sf_dir)
-    db = (
-        tk.withColumn("bucket", F.expr(bucket).cast("long"))
-        .groupBy("doc_id", "bucket")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
+    db = _lr_db(spark, sf_dir)
     z = db.groupBy("doc_id").agg(F.sum(F.col("cnt") * F.expr(w0)).alias("z"))
     labels = _docs(spark, sf_dir).select(
         "doc_id", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")

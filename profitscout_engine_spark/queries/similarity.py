@@ -2946,10 +2946,16 @@ def stream_dedup_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 13.0 s vs 22.9 s fresh-stream isolate best-of-3 — so the r10
         # 2-hex sharding stays; state (de)serialization bytes, not group
         # call count, dominate this stream's per-batch cost.
+        # Validated to 1..8 (ADVICE r11): 0/empty would collapse every
+        # signature into ONE state group with an unbounded sig→min map, a
+        # non-integer would raise at plan build. NOTE the width is part of
+        # the stream's STATE LAYOUT — it must stay fixed for the lifetime
+        # of a checkpointed stream (changing it across restarts re-shards
+        # applyInPandasWithState keys and orphans the existing dedup state).
         F.substring(
             F.col("b.band_sig"),
             1,
-            int(_os.environ.get("PSE_STREAM_BUCKET_HEX", "2")),
+            min(8, max(1, int(_os.environ.get("PSE_STREAM_BUCKET_HEX", "2") or "2"))),
         ).alias("bucket"),
     )
 
@@ -3548,7 +3554,17 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _jaccard_scored(spark, sf_dir)
     base = scored.where(F.col("j") >= JACCARD_MIN).select("d1", "d2")
     strong = scored.where(F.col("j") >= MOD_STRONG_J).select("d1", "d2")
-    cc = connected_components(strong)
+    # Session-shared converged labels (r12, guide §2.4 — same pattern as
+    # `lpa_communities` / `neardup_cc` / the sweep components): the hash-min
+    # loop is an EAGER multi-action computation (per-round join + aggregate +
+    # localCheckpoint + convergence count), and without sharing it re-ran on
+    # every execution of this query — the dominant term left after the r11
+    # single-pass aggregation rewrite. The strong-edge component labeling is
+    # deterministic, so one materialization per session computes the same
+    # rows every consumer would.
+    cc = shared(
+        spark, sf_dir, "modularity_cc", lambda: connected_components(strong)
+    )
     nodes = (
         base.select(F.col("d1").alias("node"))
         .unionByName(base.select(F.col("d2").alias("node")))
@@ -3578,10 +3594,14 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("dc"),
         F.sum("intra").cast("long").alias("ei2"),
     )
+    # coalesce(…, 0) (ADVICE r11): SUM over an empty percomp yields NULL
+    # where the pre-r11 COUNT(*) shape produced m=0 — keep the degenerate
+    # empty-graph row shape stable (the Q division is NULL/degenerate either
+    # way; on every non-empty graph the coalesce is a no-op).
     totals = percomp.agg(
-        F.expr("CAST(sum(dc) div 2 AS BIGINT)").alias("m"),
-        F.expr("CAST(sum(ei2) div 2 AS BIGINT)").alias("e_in"),
-        F.sum(F.col("dc") * F.col("dc")).cast("long").alias("d2sum"),
+        F.expr("CAST(coalesce(sum(dc), 0) div 2 AS BIGINT)").alias("m"),
+        F.expr("CAST(coalesce(sum(ei2), 0) div 2 AS BIGINT)").alias("e_in"),
+        F.coalesce(F.sum(F.col("dc") * F.col("dc")), F.lit(0)).cast("long").alias("d2sum"),
     )
     nstats = comp.agg(
         F.count("*").cast("long").alias("n_nodes"),
@@ -5626,7 +5646,13 @@ def label_propagation_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         # that each action re-renders for the SQL-listener event (the
         # plan-string finding) — community_top_terms alone re-planned a
         # 4.9k-line tree per execution. Same deterministic rows,
-        # materialized once.
+        # materialized once. CLUSTER CAVEAT (ADVICE r11): localCheckpoint
+        # stores blocks in non-replicated executor storage — safe on
+        # local[*] (the tested config); on a real cluster with executor
+        # loss / dynamic-allocation decommission, use reliable
+        # checkpoint() (with a checkpoint dir) or persist(DISK_ONLY_2) so
+        # a mid-session executor loss cannot strand every downstream
+        # consumer of the cached LPA frame.
         return labels.select(
             "doc_id", F.col("lbl").alias("community")
         ).localCheckpoint()
@@ -5839,6 +5865,11 @@ def incremental_lpa_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # what turned the cached-everything re-execution from ~4 s of driver
     # plan-rendering into real work only (same rows: the checkpoint
     # materializes the identical deterministic computation once).
+    # CLUSTER CAVEAT (ADVICE r11): localCheckpoint blocks are
+    # non-replicated executor-local storage — fine on local[*]; deployments
+    # with executor churn should use reliable checkpoint() or
+    # persist(DISK_ONLY_2) here, or an executor loss mid-session strands
+    # every consumer of the cached base labels.
     base = shared(spark, sf_dir, "inc_lpa_base", lambda: labels.localCheckpoint())
     frontier = (
         tagged.where(F.col("is_new"))
