@@ -2048,10 +2048,14 @@ def plsa_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     instr, st = "instr", "STRING"
     bexpr = _pl_bucket(instr, "tok")
     th = [_pl_theta_num(instr, st, "doc_id", t) for t in range(PLSA_K)]
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).where(F.col("tok") != "")
+    # r12: ride the session-shared exploded token stream (tokens() IS the
+    # split-on-space this query ran privately; the != '' guard is kept) —
+    # one tokenize pass per session instead of one per execution.
+    toks = (
+        _term_tokens(spark, sf_dir)
+        .select("doc_id", F.col("term").alias("tok"))
+        .where(F.col("tok") != "")
+    )
     counts = (
         toks.select("doc_id", F.expr(bexpr).cast("long").alias("bucket"))
         .groupBy("doc_id", "bucket")
@@ -2074,13 +2078,21 @@ def plsa_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("t") == 1, F.col("p"))).alias("p1"),
         F.max(F.when(F.col("t") == 2, F.col("p"))).alias("p2"),
     )
-    thsum = f"({th[0]} + {th[1]} + {th[2]})"
-    estep = counts.join(F.broadcast(phiw), counts["bucket"] == phiw["b"]).select(
-        "bucket",
-        "n",
-        (F.expr(f"{th[0]} * 1.0E0 / {thsum}") * F.col("p0")).alias("num0"),
-        (F.expr(f"{th[1]} * 1.0E0 / {thsum}") * F.col("p1")).alias("num1"),
-        (F.expr(f"{th[2]} * 1.0E0 / {thsum}") * F.col("p2")).alias("num2"),
+    # r12 (guide §1.2 step 2, per-task work): materialize the three
+    # md5-derived θ numerators as columns ONCE per row — the inlined form
+    # evaluated each md5 four times (once per numerator, thrice in the
+    # shared denominator). Same integer adds, same double division order.
+    thsum = "(th0 + th1 + th2)"
+    estep = (
+        counts.withColumns({f"th{i}": F.expr(th[i]) for i in range(PLSA_K)})
+        .join(F.broadcast(phiw), counts["bucket"] == phiw["b"])
+        .select(
+            "bucket",
+            "n",
+            (F.expr(f"th0 * 1.0E0 / {thsum}") * F.col("p0")).alias("num0"),
+            (F.expr(f"th1 * 1.0E0 / {thsum}") * F.col("p1")).alias("num1"),
+            (F.expr(f"th2 * 1.0E0 / {thsum}") * F.col("p2")).alias("num2"),
+        )
     )
     den = F.col("num0") + F.col("num1") + F.col("num2")
     rfix = estep.select(

@@ -427,35 +427,54 @@ def trader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort = (
         trades.withColumn("rn", F.row_number().over(w_dedup)).where(F.col("rn") == 1).drop("rn")
     )
+    # r12 (guide §3.3 "explode before a join multiplies the shuffle"): the
+    # scenario fan-out used to run BEFORE the bars range-join, doubling every
+    # bar row through the join and the bracket aggregation — but the join
+    # condition is scenario-independent and the only scenario-sensitive bar
+    # statistic is the target-hit time (two thresholds). So: join bars to the
+    # UN-exploded cohort once, compute both scenarios' target hits as
+    # conditional aggregates in the same grouped pass (the sweep_grid_full
+    # pattern), and fan out to the 2-row scenario frame AFTER aggregation.
+    # The per-scenario expressions below are byte-identical to the pre-r12
+    # fan-out-first ones (same literals, same float ops), so every resolved
+    # row is unchanged.
     scenarios = F.array(
         F.struct(F.lit("base").alias("scenario"), F.lit(0.02).alias("entry_slip"), F.lit(0.0).alias("exit_haircut")),
         F.struct(F.lit("stress").alias("scenario"), F.lit(0.05).alias("entry_slip"), F.lit(0.05).alias("exit_haircut")),
     )
-    sc = (
-        cohort.withColumn("s", F.explode(scenarios))
-        .select(
-            "*",
-            F.col("s.scenario").alias("scenario"),
-            (F.col("entry_price") * (1 + F.col("s.entry_slip"))).alias("filled_entry"),
-            (F.col("target_price") * (1 - F.col("s.exit_haircut"))).alias("eff_target"),
-        )
-        .drop("s")
-    )
     bars = _price_bars(spark, sf_dir)
-    joined = sc.join(
+    joined = cohort.join(
         bars,
-        (bars["user_id"] == sc["trade_user"])
-        & (bars["ts"] > sc["entry_ts"])
-        & (bars["ts"] <= sc["timeout_ts"]),
+        (bars["user_id"] == cohort["trade_user"])
+        & (bars["ts"] > cohort["entry_ts"])
+        & (bars["ts"] <= cohort["timeout_ts"]),
         "left",
     )
-    agg = joined.groupBy("trade_id", "scenario").agg(
+    eff_base = F.col("target_price") * (1 - F.lit(0.0))
+    eff_stress = F.col("target_price") * (1 - F.lit(0.05))
+    per_trade = joined.groupBy("trade_id").agg(
         F.min(F.when(F.col("low") <= F.col("stop_price"), F.col("ts"))).alias("stop_ts"),
-        F.min(F.when(F.col("high") >= F.col("eff_target"), F.col("ts"))).alias("target_ts"),
+        F.min(F.when(F.col("high") >= eff_base, F.col("ts"))).alias("tgt_ts_base"),
+        F.min(F.when(F.col("high") >= eff_stress, F.col("ts"))).alias("tgt_ts_stress"),
         F.expr("max_by(close, ts)").alias("last_close"),
-        F.first("filled_entry").alias("filled_entry"),
-        F.first("eff_target").alias("eff_target2"),
+        F.first("entry_price").alias("entry_price"),
+        F.first("target_price").alias("target_price"),
         F.first("stop_price").alias("stop_price"),
+    )
+    agg = (
+        per_trade.withColumn("s", F.explode(scenarios))
+        .select(
+            "trade_id",
+            F.col("s.scenario").alias("scenario"),
+            "stop_ts",
+            F.when(F.col("s.scenario") == "base", F.col("tgt_ts_base"))
+            .otherwise(F.col("tgt_ts_stress"))
+            .alias("target_ts"),
+            "last_close",
+            (F.col("entry_price") * (1 + F.col("s.entry_slip"))).alias("filled_entry"),
+            (F.col("target_price") * (1 - F.col("s.exit_haircut"))).alias("eff_target2"),
+            "stop_price",
+        )
     )
     stop_first = F.col("stop_ts").isNotNull() & (
         F.col("target_ts").isNull() | (F.col("stop_ts") <= F.col("target_ts"))

@@ -827,8 +827,20 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two provably identical at radius ≤ 3 — the banded plan is the
     one that survives 100 TB.
     """
-    sh = tx.shingle_frame(_docs(spark, sf_dir), distinct=False)
-    bands = tx.simhash_bands(tx.simhash(sh))
+    # r12: the banded signature table is session-shared — the self-join's
+    # two sides used to EACH re-run the shingle→simhash→band pipeline
+    # (guide §2.4: materialize a twice-consumed subtree once); and the exact
+    # Hamming filter runs BEFORE the pair dedup, so the dropDuplicates
+    # exchange only carries pairs that can survive (guide §2.3 — hamming is
+    # a pure function of the pair, so filter and dedup commute).
+    bands = shared(
+        spark,
+        sf_dir,
+        "simhash_bands",
+        lambda: tx.simhash_bands(
+            tx.simhash(tx.shingle_frame(_docs(spark, sf_dir), distinct=False))
+        ),
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -842,9 +854,10 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("d2"),
             tx.hamming(F.col("a.simhash"), F.col("b.simhash")).cast("long").alias("hamming"),
         )
+        .where(F.col("hamming") <= SIMHASH_RADIUS)
         .dropDuplicates(["d1", "d2"])
     )
-    return cand.where(F.col("hamming") <= SIMHASH_RADIUS)
+    return cand
 
 
 # ---- brute-force cosine top-k (ANN correctness baseline) ---------------------
@@ -6372,19 +6385,29 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_id",
         F.floor(F.col("sim_raw") * 1e6 + 0.5).cast("long").alias("msim"),
     ).where(F.col("msim") > 0)
+    # r12 (guide §2.4 "two operations keyed the same way share one
+    # exchange"): the a-side neighborhood sums ride the SAME a_id window
+    # partitioning that ranks the candidates, so they attach to every
+    # directed row as window aggregates — the old shape shuffled the even
+    # candidate set a second time to equi-join them back on. The b-side
+    # still needs the per-key aggregate (one row per id) joined on b_id;
+    # both consumers now derive from one ranked frame whose a_id exchange
+    # the planner reuses. Sums/counts are the same exact BIGINTs.
     w_top = Window.partitionBy("a_id").orderBy(F.desc("msim"), F.asc("b_id"))
-    nbh = (
+    w_all = Window.partitionBy("a_id")
+    in_top = F.col("rn") <= BITEXT_TOPN
+    ranked = (
         crossed.withColumn("rn", F.row_number().over(w_top))
-        .where(F.col("rn") <= BITEXT_TOPN)
+        .withColumn("sa", F.sum(F.when(in_top, F.col("msim"))).over(w_all).cast("long"))
+        .withColumn("n_a", F.sum(F.when(in_top, F.lit(1))).over(w_all).cast("long"))
+    )
+    nbh = (
+        ranked.where(in_top)
         .groupBy("a_id")
         .agg(F.sum("msim").cast("long").alias("s"), F.count("*").cast("long").alias("n"))
     )
     j = (
-        crossed.where(F.col("a_id") % 2 == 0)
-        .join(
-            nbh.select(F.col("a_id"), F.col("s").alias("sa"), F.col("n").alias("n_a")),
-            "a_id",
-        )
+        ranked.where(F.col("a_id") % 2 == 0)
         .join(
             nbh.select(
                 F.col("a_id").alias("b_id"), F.col("s").alias("sb"), F.col("n").alias("n_b")

@@ -1595,29 +1595,35 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import shared
 
     sig = shared(spark, sf_dir, "dhash_sig", lambda: sig)
+    # r12 (guide §2.4): the banded rows carry the FULL 4-band signature, so
+    # the exact Hamming verification computes inside the band join itself —
+    # the old shape joined the (d1, d2) candidate ids back to `sig` twice to
+    # re-fetch the very bands the join sides already had. The union frame
+    # widens by 4 small ints per row (4n rows total); two id-keyed shuffle
+    # joins disappear, and the Hamming filter now runs BEFORE the pair dedup
+    # (a pure function of the pair, so filter and distinct commute — §2.3:
+    # the dedup exchange only carries surviving pairs).
     bands = None
     for bnd in range(4):
         part = sig.select(
-            "doc_id", F.lit(bnd).alias("band"), F.col(f"b{bnd}").alias("v")
+            "doc_id", F.lit(bnd).alias("band"), F.col(f"b{bnd}").alias("v"),
+            "b0", "b1", "b2", "b3",
         )
         bands = part if bands is None else bands.unionByName(part)
-    cand = (
+    hamming = sum(
+        F.bit_count(F.expr(f"a.b{bnd} ^ b.b{bnd}")) for bnd in range(4)
+    ).cast("long")
+    return (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "v"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
-            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = sum(
-        F.bit_count(F.expr(f"x.b{bnd} ^ y.b{bnd}")) for bnd in range(4)
-    ).cast("long")
-    return (
-        cand.join(sig.alias("x"), F.col("d1") == F.col("x.doc_id"))
-        .join(sig.alias("y"), F.col("d2") == F.col("y.doc_id"))
-        .select("d1", "d2", hamming.alias("hamming"))
         .where(F.col("hamming") <= DHASH_RADIUS)
+        .distinct()
     )
 
 
