@@ -2135,7 +2135,15 @@ def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = shared(spark, sf_dir, "dedup_consensus_edges", build_tagged)
     from ..operators.graph import connected_components
 
-    comp = connected_components(tagged.select("d1", "d2").distinct())
+    # r12 (guide §2.4, the modularity_cc / lpa_communities pattern): the
+    # hash-min loop is eager multi-action work — share the converged labels
+    # so it runs once per session instead of once per execution.
+    comp = shared(
+        spark,
+        sf_dir,
+        "consensus_cc",
+        lambda: connected_components(tagged.select("d1", "d2").distinct()),
+    )
     edge_src = (
         tagged.join(comp, tagged["d1"] == comp["node"])
         .groupBy("comp", "src_gen")

@@ -2184,21 +2184,31 @@ def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = _docs(spark, sf_dir).groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs")
     )
-    df = lines.groupBy("source", "line").agg(
-        F.countDistinct("doc_id").cast("long").alias("df")
+    # r12 (guide §2.4 — one pass over the explode instead of two): the old
+    # shape consumed `lines` twice (the DF aggregation AND the flag join),
+    # re-running the tokenize+explode per consumer. Grouping to per-
+    # (source, line, doc) instance counts first makes the document
+    # frequency a plain COUNT window over (source, line) — rows are one
+    # per distinct doc by construction, so count(*) over the window IS the
+    # old countDistinct(doc_id) — and the per-doc rollup reads the same
+    # flagged rows (n_lines = Σ instances, n_boiler = Σ flagged instances).
+    # One explode pass, zero self-joins; the boiler condition is unchanged.
+    dl = lines.groupBy("source", "line", "doc_id").agg(
+        F.count("*").cast("long").alias("n_inst")
     )
-    boiler = (
-        df.join(F.broadcast(nd), "source")
-        .where((F.col("df") >= BOILER_MIN_DF) & (F.col("df") * 5 >= F.col("n_docs")))
-        .select("source", "line", F.lit(1).alias("is_boiler"))
-    )
-    per_doc = (
-        lines.join(boiler, ["source", "line"], "left")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count("*").cast("long").alias("n_lines"),
-            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).cast("long").alias("n_boiler"),
+    w_df = Window.partitionBy("source", "line")
+    flg = (
+        dl.withColumn("df", F.count("*").over(w_df).cast("long"))
+        .join(F.broadcast(nd), "source")
+        .withColumn(
+            "is_boiler",
+            ((F.col("df") >= BOILER_MIN_DF) & (F.col("df") * 5 >= F.col("n_docs")))
+            .cast("long"),
         )
+    )
+    per_doc = flg.groupBy("doc_id", "source").agg(
+        F.sum("n_inst").cast("long").alias("n_lines"),
+        F.sum(F.col("n_inst") * F.col("is_boiler")).cast("long").alias("n_boiler"),
     )
     return per_doc.select(
         "doc_id",
